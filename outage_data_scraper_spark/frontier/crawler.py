@@ -1,0 +1,212 @@
+"""The crawl wave loop: iterative BSP over snapshot-versioned tables.
+
+Replaces the reference's sequential handler loop (app/main.py:13–64) with:
+
+    seeds → frontier (append-only enqueue log)
+    repeat per wave:
+        pending  = frontier ⟕̸ fetch_log           (anti-join: not yet fetched)
+        popped   = top-k per host by the ordering law (priority.pop_wave)
+        fetched  = mapInPandas fetch w/ politeness (fetch.fetch_wave)
+        parsed   = vectorized family parsers       (parse.parse_wave)
+        append records / pages-text / fetch_log
+        children = discovered URLs, deduped against everything enqueued
+                   (exact anti-join or Bloom fast path) → append to frontier
+        commit wave marker
+
+State design: the frontier is an *append-only enqueue log*; "pending" is
+derived (frontier ANTI fetch_log), so no table is ever rewritten in place
+— every wave is a set of appends plus one wave-marker commit. A killed job
+resumes by rolling back any table snapshot newer than the last committed
+wave marker (resume()); re-fetching never happens because fetch_log is the
+source of truth for "done" (north rule: resumable mid-frontier).
+
+Shuffle budget per wave: one hash shuffle for the per-host window pop, one
+repartition(salted_part) for fetch — matching SURVEY.md §4.4's "exactly
+two shuffles per wave".
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import schemas
+from ..catalog import SnapshotCatalog
+from ..parsers.parse import parse_wave
+from .fetch import FetchFn, fetch_wave
+from .priority import merge_children as _merge_children_cols  # noqa: F401
+from .priority import pop_wave, seeds_to_frontier
+from .seen import bloom_from_df, filter_unseen_bloom, filter_unseen_exact
+
+WAVES_SCHEMA = (
+    "wave int, popped long, ok long, failed long, records long, "
+    "children long, wall_s double"
+)
+
+
+@dataclass
+class WaveStats:
+    wave: int
+    popped: int
+    ok: int
+    failed: int
+    records: int
+    children: int
+    wall_s: float
+
+
+class Crawler:
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: SnapshotCatalog,
+        fetcher_factory,
+        per_host_k: int = 4,
+        num_parts: int = 32,
+        salt: int = 1,
+        rate_per_host: float = 10.0,
+        seen_mode: str = "exact",
+        simulated_clock: bool = True,
+    ):
+        self.spark = spark
+        self.cat = catalog
+        self.fetcher_factory = fetcher_factory
+        self.per_host_k = per_host_k
+        self.num_parts = num_parts
+        self.salt = salt
+        self.rate_per_host = rate_per_host
+        assert seen_mode in ("exact", "bloom")
+        self.seen_mode = seen_mode
+        self.simulated_clock = simulated_clock
+
+    # -- state ---------------------------------------------------------------
+    def bootstrap(self, seeds: DataFrame) -> None:
+        frontier = seeds_to_frontier(seeds)
+        self.cat.write("frontier", frontier, mode="overwrite", wave=0)
+
+    def frontier(self) -> DataFrame:
+        return self.cat.read(self.spark, "frontier", schema=schemas.FRONTIER)
+
+    def fetch_log(self) -> DataFrame:
+        return self.cat.read(self.spark, "fetch_log", schema=schemas.FETCH_LOG)
+
+    def pending(self) -> DataFrame:
+        done = self.fetch_log().select("url")
+        return filter_unseen_exact(self.frontier(), done)
+
+    def last_committed_wave(self) -> int:
+        w = self.cat.last_wave("waves")
+        return w if w is not None else 0
+
+    def resume(self) -> int:
+        """Roll back any partial wave so all tables agree with the last
+        committed wave marker; returns the next wave id to run."""
+        last = self.last_committed_wave()
+        for table in ("records", "pages", "fetch_log", "frontier"):
+            snaps = [
+                s["id"]
+                for s in self.cat.snapshots(table)
+                if s.get("wave") is not None and s["wave"] <= last
+            ]
+            if self.cat.snapshots(table):
+                self.cat.rollback(table, max(snaps) if snaps else 0)
+        return last + 1
+
+    # -- one wave ------------------------------------------------------------
+    def run_wave(self, wave: int) -> WaveStats:
+        t0 = time.monotonic()
+        popped = pop_wave(
+            self.pending(), self.per_host_k, self.num_parts, self.salt
+        ).withColumn("wave", F.lit(wave))
+
+        fetched = fetch_wave(
+            popped,
+            self.fetcher_factory,
+            num_parts=self.num_parts,
+            rate_per_host=self.rate_per_host,
+            salt=self.salt,
+            simulated_clock=self.simulated_clock,
+        )
+        parsed = parse_wave(fetched).cache()
+
+        run_ts = F.current_timestamp()
+        records = parsed.filter(F.col("kind") == "record").select(
+            "url", "state", "layout", "emc", "level", "data",
+            F.lit(None).cast("string").alias("text"),
+            run_ts.alias("run_ts"), F.col("wave"),
+        )
+        n_records = records.count()
+        self.cat.write("records", records, wave=wave)
+
+        pages = parsed.filter(F.col("kind") == "text").select(
+            "url", run_ts.alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            F.col("text"), F.lit("en").alias("lang"),
+        )
+        self.cat.write("pages", pages, wave=wave)
+
+        log = parsed.filter(F.col("kind").isin("error", "text")).select(
+            "url", "wave", run_ts.alias("ts"), "status", "reason",
+            F.lit(None).cast("long").alias("bytes"),
+            F.lit(None).cast("int").alias("partition_id"),
+            "emc", "state", "layout",
+        )
+        stats = log.groupBy((F.col("status") == 200).alias("ok")).count().collect()
+        ok = sum(r["count"] for r in stats if r["ok"])
+        failed = sum(r["count"] for r in stats if not r["ok"])
+        self.cat.write("fetch_log", log, wave=wave)
+
+        # children: keep first discovery per URL (visited semantics), then
+        # drop anything already enqueued — exact anti-join or Bloom.
+        disc = parsed.filter(F.col("kind") == "child")
+        w_first = Window.partitionBy("child_url").orderBy(
+            "event_seq", "seed_seq", "depth", "child_seq", "child_rank"
+        )
+        children = (
+            disc.withColumn("rn", F.row_number().over(w_first))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.col("child_url").alias("url"),
+                F.lower(
+                    F.substring_index(F.substring_index(F.col("child_url"), "://", -1), "/", 1)
+                ).alias("host"),
+                F.lit(0).alias("salted_part"),
+                F.lit(0.0).alias("priority"),
+                (F.col("depth") + 1).alias("depth"),
+                "event_seq", "seed_seq",
+                F.col("child_rank").alias("child_seq"),
+                "state", "layout", "emc", "family",
+                F.lit("pending").alias("status"),
+                F.lit(wave).alias("wave"),
+            )
+        )
+        if self.seen_mode == "exact":
+            fresh = filter_unseen_exact(children, self.frontier().select("url"))
+        else:
+            bloom = bloom_from_df(self.frontier().select("url"))
+            fresh = filter_unseen_bloom(children, bloom)
+        n_children = fresh.count()
+        if n_children:
+            self.cat.write("frontier", fresh, wave=wave)
+
+        n_popped = ok + failed
+        wall = time.monotonic() - t0
+        ws = WaveStats(wave, n_popped, ok, failed, n_records, n_children, wall)
+        marker = self.spark.createDataFrame(
+            [(wave, n_popped, ok, failed, n_records, n_children, wall)], WAVES_SCHEMA
+        )
+        self.cat.write("waves", marker, wave=wave)  # the wave commit point
+        parsed.unpersist()
+        return ws
+
+    def run(self, max_waves: int = 10) -> list[WaveStats]:
+        out = []
+        wave = self.last_committed_wave() + 1 if self.cat.exists("waves") else 1
+        for w in range(wave, wave + max_waves):
+            if self.pending().limit(1).count() == 0:
+                break
+            out.append(self.run_wave(w))
+        return out

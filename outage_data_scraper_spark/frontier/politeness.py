@@ -1,0 +1,87 @@
+"""Per-host politeness token buckets, enforced inside fetch partitions.
+
+The reference's politeness is fixed `time.sleep(3/5/10/30)` between
+navigations plus a 10 s request timeout (reference: app/scrapers/
+ga_scraper.py:404,411,726; util.py:74). The engine replaces that with a
+token bucket per host, living inside each fetch partition. Host→partition
+affinity (urlkit.salted_part) guarantees a host's bucket state is held by
+at most ``salt`` partitions per wave; with salt=1 (the parity config) the
+budget is exact, with salt>1 each sub-partition gets rate/salt.
+
+Clocks are injectable so tests run with a simulated clock (no wall sleep)
+and the bench uses a deterministic latency model instead of the network.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+
+@dataclass
+class SimClock:
+    """Virtual clock: sleep() advances time instantly; now() reads it."""
+
+    t: float = 0.0
+
+    def now(self) -> float:
+        return self.t
+
+    def sleep(self, s: float) -> None:
+        self.t += max(s, 0.0)
+
+
+@dataclass
+class TokenBucket:
+    """rate tokens/sec, burst capacity; acquire() blocks until a token."""
+
+    rate: float
+    capacity: float = 1.0
+    clock_now: callable = time.monotonic
+    clock_sleep: callable = time.sleep
+    tokens: float = field(default=None)  # type: ignore[assignment]
+    last: float = field(default=None)  # type: ignore[assignment]
+
+    def __post_init__(self):
+        if self.tokens is None:
+            self.tokens = self.capacity
+        if self.last is None:
+            self.last = self.clock_now()
+
+    def acquire(self) -> float:
+        """Take one token, sleeping if necessary; returns the wait time."""
+        now = self.clock_now()
+        self.tokens = min(self.capacity, self.tokens + (now - self.last) * self.rate)
+        self.last = now
+        if self.tokens >= 1.0:
+            self.tokens -= 1.0
+            return 0.0
+        need = (1.0 - self.tokens) / self.rate
+        self.clock_sleep(need)
+        self.last = self.clock_now()
+        self.tokens = 0.0
+        return need
+
+
+class HostPacer:
+    """One token bucket per host, lazily created inside a fetch partition."""
+
+    def __init__(self, rate_per_host: float, salt: int = 1, sim: bool = False):
+        # With salted co-location each of the `salt` sub-partitions may
+        # host the same domain, so each enforces rate/salt.
+        self.rate = rate_per_host / max(salt, 1)
+        self.sim = sim
+        self.clock = SimClock() if sim else None
+        self._buckets: dict[str, TokenBucket] = {}
+
+    def acquire(self, host: str) -> float:
+        b = self._buckets.get(host)
+        if b is None:
+            b = TokenBucket(
+                rate=self.rate,
+                capacity=1.0,
+                clock_now=self.clock.now if self.sim else time.monotonic,
+                clock_sleep=self.clock.sleep if self.sim else time.sleep,
+            )
+            self._buckets[host] = b
+        return b.acquire()

@@ -1,0 +1,107 @@
+"""Text-analysis column functions for the training-data pipeline surface.
+
+All pure pyspark.sql.functions (JVM-side, whole-stage codegen) — no Python
+in the hot path. Each function has an exact ANSI-SQL mirror used by the
+DuckDB oracles, so semantics are locked by the driver's correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# English function words used by the n-gram-free language heuristic and the
+# stopword-ratio quality signal. Deliberately tiny + frozen: the oracle SQL
+# embeds the same list.
+EN_STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"]
+
+# Frozen punctuation class; mirrored verbatim in the oracle regex.
+PUNCT_CLASS = r"[.,;:!?'\"()\[\]-]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty string → empty array."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text).cast("long")
+
+
+def punct_count(text: Column) -> Column:
+    return (F.length(text) - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))).cast(
+        "long"
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
+        punct_count(text) / F.length(text)
+    )
+
+
+def stopword_count(text: Column) -> Column:
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("long")
+
+
+def stopword_ratio(text: Column) -> Column:
+    n = token_count(text)
+    return F.when(n == 0, F.lit(0.0)).otherwise(stopword_count(text) / n)
+
+
+def mean_token_len(text: Column) -> Column:
+    n = token_count(text)
+    chars = F.length(F.regexp_replace(F.trim(text), r"\s+", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(chars / n)
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: 'en' if ≥12% of tokens are English function
+    words, else 'und'. (A real model slots in as a pandas UDF; this frozen
+    heuristic is the deterministic, oracle-checkable baseline.)"""
+    return F.when(stopword_ratio(text) >= 0.12, F.lit("en")).otherwise(F.lit("und"))
+
+
+def quality_score(text: Column) -> Column:
+    """[0,1] doc-quality proxy: length band + stopword presence − punct
+    excess. Mirrors common web-corpus filters (C4-style) in frozen form."""
+    n = token_count(text)
+    len_ok = F.when((n >= 20) & (n <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+    sw_ok = F.when(stopword_ratio(text) >= 0.05, F.lit(0.4)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(text) <= 0.1, F.lit(0.2)).otherwise(F.lit(0.0))
+    return len_ok + sw_ok + punct_ok
+
+
+def normalized(text: Column) -> Column:
+    """Whitespace-collapsed, lowercased, trimmed — dedup canonical form."""
+    return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (md5 is bit-identical between Spark and DuckDB, so exact-dedup is
+    oracle-checkable)."""
+    return F.md5(normalized(text))
+
+
+def word_shingles(text: Column, k: int = 5) -> Column:
+    """Array of k-word shingles (space-joined) from the normalized text.
+    Building block for n-gram Jaccard / MinHash dedup."""
+    toks = F.split(normalized(text), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+
+
+def shingle_hashes(text: Column, k: int = 5) -> Column:
+    """md5 of each shingle (string hashes match DuckDB's md5)."""
+    return F.transform(word_shingles(text, k), F.md5)

@@ -1,0 +1,67 @@
+"""Scraper dispatch: (state, layout) → site family (SURVEY.md O3).
+
+Replaces the reference's factory-class chain (app/scrapers/scraper.py:15–43
+plus per-state factories, e.g. ga_scraper.py:853–881) with a plain lookup
+table used as a dispatch *column* — the parse stage routes each fetched
+row to its family parser by this value, so dispatch is data, not code.
+
+Only families implemented engine-side are mapped; the full reference
+coverage table lives in SURVEY.md §2.2 and grows here family by family.
+"""
+
+from __future__ import annotations
+
+# (state, layout) → family key in parsers.families / sources.fixtures
+FAMILY_BY_STATE_LAYOUT: dict[tuple[str, str], str] = {
+    # GA1 family reuse set (SURVEY.md §2.2 row GA1)
+    ("ga", "1"): "ga1",
+    ("tx", "8"): "ga1",
+    ("tx", "17"): "ga1",
+    ("fl", "1"): "ga1",
+    ("nc", "1"): "ga1",
+    ("la", "1"): "ga1",
+    ("ms", "1"): "ga1",
+    ("al", "1"): "ga1",
+    ("sc", "1"): "ga1",
+    ("il", "4"): "ga1",
+    # GA3 (XML) reuse set
+    ("ga", "3"): "ga3",
+    ("tx", "16"): "ga3",
+    ("fl", "12"): "ga3",
+    ("il", "5"): "ga3",
+    ("nc", "3"): "ga3",
+    ("ms", "3"): "ga3",
+    ("al", "4"): "ga3",
+    ("sc", "5"): "ga3",
+    # kubra two-hop reuse set
+    ("ga", "4"): "kubra",
+    ("fl", "3"): "kubra",
+    ("ms", "4"): "kubra",
+    ("al", "3"): "kubra",
+    ("sc", "6"): "kubra",
+    ("tx", "19"): "kubra",
+    # GA9 HTML tables reuse set
+    ("ga", "9"): "ga9",
+    ("tx", "11"): "ga9",
+    ("fl", "2"): "ga9",
+    ("il", "3"): "ga9",
+    ("nc", "2"): "ga9",
+    ("la", "2"): "ga9",
+    ("ms", "5"): "ga9",
+    ("al", "2"): "ga9",
+    ("sc", "2"): "ga9",
+    ("tn", "4"): "ga9",
+    # TX4
+    ("tx", "4"): "tx4",
+    ("la", "5"): "tx4",
+    ("ms", "8"): "tx4",
+    # TN7 / FL13 / CA investor
+    ("tn", "7"): "tn7",
+    ("fl", "13"): "fl13",
+    ("tn", "8"): "fl13",
+    ("ca", "investor"): "ca_inv",
+}
+
+
+def family_for(state: str, layout: str) -> str | None:
+    return FAMILY_BY_STATE_LAYOUT.get((state, str(layout)))

@@ -1,0 +1,144 @@
+"""End-to-end crawl over the fixture mini-web (FIXTURES.md §4):
+ordering parity with the reference's sequential loop, seen-set equality,
+byte-identical text across runs, politeness, and kill/resume.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from outage_data_scraper_spark.catalog import SnapshotCatalog
+from outage_data_scraper_spark.frontier.crawler import Crawler
+from outage_data_scraper_spark.sources import fixtures
+from outage_data_scraper_spark.sources.fixtures import make_fixture_fetcher
+from outage_data_scraper_spark.sources.seeds import fixture_miniweb_seeds
+
+
+def crawl(spark, root, **kw):
+    cat = SnapshotCatalog(root)
+    c = Crawler(
+        spark, cat, make_fixture_fetcher,
+        per_host_k=kw.pop("per_host_k", 4), num_parts=8, salt=kw.pop("salt", 1),
+        rate_per_host=100.0, **kw,
+    )
+    c.bootstrap(fixture_miniweb_seeds(spark))
+    c.run(max_waves=30)
+    return c, cat
+
+
+def reference_order(spark):
+    """The reference's sequential crawl order (app/main.py:21 + two-hop
+    discovery ga_scraper.py:393–403), simulated from the fixture defs."""
+    seeds = fixture_miniweb_seeds(spark).orderBy("event_seq", "seed_seq").collect()
+    order = []
+    for s in seeds:
+        if s.state == "tx":  # GA1 family: two endpoints in fixed order
+            order.append(s.url + "data/boundaries.json")
+            order.append(s.url + "data/outages.json")
+        else:  # kubra: anchor then children in discovery order
+            order.append(s.url)
+            order.extend(fixtures.kubra_child_urls(s.url))
+    return order
+
+
+@pytest.fixture(scope="module")
+def crawled(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("crawl"))
+    return crawl(spark, root)
+
+
+def test_final_seen_set_matches_reference(spark, crawled):
+    c, cat = crawled
+    fetched = {r.url for r in c.fetch_log().select("url").distinct().collect()}
+    assert fetched == set(reference_order(spark))
+
+
+def test_crawl_ordering_law_reproduces_reference(spark, crawled):
+    c, _ = crawled
+    # ordering law (SURVEY.md §7.3): sort fetched URLs by
+    # (event_seq, seed_seq, depth, child_seq) — must equal the reference's
+    # sequential order exactly.
+    rows = (
+        c.frontier()
+        .orderBy("event_seq", "seed_seq", "depth", "child_seq")
+        .select("url")
+        .collect()
+    )
+    assert [r.url for r in rows] == reference_order(spark)
+
+
+def test_no_url_fetched_twice(crawled):
+    c, _ = crawled
+    dupes = (
+        c.fetch_log().groupBy("url").count().filter(F.col("count") > 1).count()
+    )
+    assert dupes == 0
+
+
+def test_text_byte_identical_across_runs(spark, crawled, tmp_path_factory):
+    _, cat1 = crawled
+    root2 = str(tmp_path_factory.mktemp("crawl2"))
+    _, cat2 = crawl(spark, root2, per_host_k=2, salt=2)  # different config
+    t1 = {r.url: r.text for r in cat1.read(spark, "pages").select("url", "text").collect()}
+    t2 = {r.url: r.text for r in cat2.read(spark, "pages").select("url", "text").collect()}
+    assert t1.keys() == t2.keys()
+    for u in t1:
+        assert t1[u].encode() == t2[u].encode(), u
+
+
+def test_politeness_pacing_within_partition(spark, crawled):
+    c, _ = crawled
+    # hot host has 5 seeds → 10 endpoint URLs; with per_host_k=4 the pop
+    # must spread them over ≥3 waves
+    hot = c.fetch_log().filter(F.col("url").contains("hot.fixture-utility"))
+    waves = {r.wave for r in hot.select("wave").distinct().collect()}
+    assert len(waves) >= 3
+
+
+def test_records_long_format_types(spark, crawled):
+    _, cat = crawled
+    rec = cat.read(spark, "records")
+    levels = {r.level for r in rec.select("level").distinct().collect()}
+    assert {"per_county", "per_outage", "per_zipcode"} <= levels
+    # typed view via from_json (per-family schema): GA1 per_county
+    county = rec.filter(F.col("level") == "per_county").select(
+        F.from_json("data", "name string, customersAffected long, customersOutNow long").alias("r")
+    ).select("r.*")
+    assert county.filter(
+        (F.col("customersAffected") == 0) & (F.col("customersOutNow") == 0)
+    ).count() == 0
+
+
+def test_kill_and_resume_no_refetch(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("crawl-resume"))
+    cat = SnapshotCatalog(root)
+    c = Crawler(spark, cat, make_fixture_fetcher, per_host_k=2, num_parts=8,
+                salt=1, rate_per_host=100.0)
+    c.bootstrap(fixture_miniweb_seeds(spark))
+    c.run_wave(1)
+    c.run_wave(2)
+    # simulate a mid-wave kill: records snapshot for wave 3 committed, but
+    # no fetch_log / wave marker
+    partial = cat.read(spark, "records").limit(3)
+    cat.write("records", partial, wave=3)
+    assert c.resume() == 3  # rolls the orphan snapshot back
+    before = cat.read(spark, "records").count()
+    c.run(max_waves=30)
+    # fetch_log URL multiset unchanged vs a clean run: no URL fetched twice
+    assert (
+        c.fetch_log().groupBy("url").count().filter(F.col("count") > 1).count() == 0
+    )
+    fetched = {r.url for r in c.fetch_log().select("url").collect()}
+    assert fetched == set(reference_order(spark))
+    assert cat.read(spark, "records").count() >= before
+
+
+def test_bloom_seen_mode_crawl(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("crawl-bloom"))
+    cat = SnapshotCatalog(root)
+    c = Crawler(spark, cat, make_fixture_fetcher, per_host_k=4, num_parts=8,
+                salt=1, rate_per_host=100.0, seen_mode="bloom")
+    c.bootstrap(fixture_miniweb_seeds(spark))
+    c.run(max_waves=30)
+    fetched = {r.url for r in c.fetch_log().select("url").distinct().collect()}
+    # bloom may only *suppress* (fp) — at this scale expect exact equality
+    assert fetched == set(reference_order(spark))
