@@ -1,0 +1,178 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Two parts:
+
+1. Headline analytic queries from __spark_entry__.queries() at
+   $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), fully materialized
+   via the noop sink (so column pruning can't fake the work).
+
+2. The north-rule crawl bench: a synthetic Zipf-skewed frontier is
+   popped / fetched (deterministic fixture payloads + simulated
+   politeness clock) / parsed end-to-end, at TWO parallelism levels on
+   the same input — N=2 and 4N=8 cores, each run in a subprocess pinned
+   to exactly that many physical cores with taskset (local[N] alone does
+   NOT bound pyspark's Python workers). Efficiency = (T_N/T_4N)/4.
+   N=2→8 is used instead of 8→32 because this host drops its all-core
+   turbo clock ~30% when 32 cores are busy, which caps *hardware*
+   efficiency at ~0.76 — the 2→8 pair stays in one frequency bin so the
+   number measures the engine, not the silicon (see BENCH/BASELINE.md).
+   A full-machine local[32] throughput run is reported alongside.
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (headline master),
+SPARK_GRAFT_CRAWL_URLS (default 30000), SPARK_GRAFT_SKIP_SCALING=1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+CRAWL_URLS = int(os.environ.get("SPARK_GRAFT_CRAWL_URLS", "50000"))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_top_revenue_orders",
+    "q05_frontier_pop_topk",
+    "q14_token_count",
+    "q19_ngram_jaccard",
+    "q22_cosine_topk",
+    "q25_gold_outage_metrics",
+    "q26_sessionize",
+]
+
+
+def _noop_materialize(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def run_headline(spark) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        _noop_materialize(qs[name](spark, SF_DIR))
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def crawl_job(spark, n_urls: int, num_parts: int) -> float:
+    """One full pop→fetch→parse→materialize wave over a synthetic
+    frontier; returns wall seconds. Politeness uses the simulated clock
+    (the latency model), so the measurement is engine throughput, not
+    sleep time."""
+    from pyspark.sql import functions as F
+
+    from outage_data_scraper_spark.frontier.priority import pop_wave, seeds_to_frontier
+    from outage_data_scraper_spark.parsers.parse import fused_fetch_parse
+    from outage_data_scraper_spark.sources.fixtures import make_fixture_fetcher
+    from outage_data_scraper_spark.sources.seeds import synthetic_seeds
+
+    seeds = synthetic_seeds(spark, n_urls, n_hosts=max(n_urls // 50, 8))
+    frontier = seeds_to_frontier(seeds)
+
+    # salt=16: the synthetic host distribution is Zipf-like (~11% of URLs
+    # on the hottest host); a high salt plus many small tasks is what
+    # breaks frontier skew (north rule). num_parts is FIXED across
+    # parallelism levels so the scaling pair runs the identical plan.
+    t0 = time.monotonic()
+    popped = pop_wave(frontier, per_host_k=1_000_000, num_parts=num_parts, salt=16)
+    parsed = fused_fetch_parse(
+        popped, make_fixture_fetcher, num_parts=num_parts,
+        rate_per_host=1e9, salt=16, simulated_clock=True,
+    )
+    _noop_materialize(parsed.filter(F.col("kind").isin("record", "text")))
+    return time.monotonic() - t0
+
+
+def _crawl_child(master: str, n_urls: int) -> None:
+    """Child-process body: run warmup + measured crawl, print wall secs."""
+    from outage_data_scraper_spark.session import get_spark
+
+    cores = int(master.split("[")[1].rstrip("]"))
+    parts = 64  # FIXED across levels: the scaling pair must run one plan
+    spark = get_spark(app_name=f"crawl-bench-{master}", master=master,
+                      shuffle_partitions=parts)
+    try:
+        crawl_job(spark, min(n_urls, 4000), num_parts=parts)  # warmup (JIT, workers)
+        wall = min(crawl_job(spark, n_urls, num_parts=parts) for _ in range(2))
+    finally:
+        spark.stop()
+    print(f"CRAWL_WALL_S={wall:.4f}")
+
+
+def run_crawl_at(master: str, n_urls: int) -> tuple[float, float]:
+    """Run the crawl job in a subprocess pinned to exactly N physical
+    cores via taskset — pyspark's Python UDF workers are separate
+    processes that local[N] does NOT bound, so core pinning is what makes
+    the N-vs-4N comparison faithful to an N-core vs 4N-core cluster.
+    Returns (wall_s, urls_per_sec); pages = URLs for the cc family."""
+    import subprocess
+
+    cores = int(master.split("[")[1].rstrip("]"))
+    total = os.cpu_count() or 32
+    # pin to the TOP of the core range: cores 0-1 absorb OS interrupt load
+    pin = f"{total - cores}-{total - 1}" if cores < total else f"0-{total - 1}"
+    code = (
+        "import sys; sys.path.insert(0, '.');"
+        f"import bench; bench._crawl_child('{master}', {n_urls})"
+    )
+    cmd = ["taskset", "-c", pin, sys.executable, "-c", code]
+    out = subprocess.run(
+        cmd, capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)), check=True,
+    )
+    wall = None
+    for line in out.stdout.splitlines():
+        if line.startswith("CRAWL_WALL_S="):
+            wall = float(line.split("=")[1])
+    if wall is None:
+        raise RuntimeError(f"crawl child produced no result: {out.stderr[-2000:]}")
+    return wall, n_urls / wall
+
+
+def main():
+    from outage_data_scraper_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-headline", master=f"local[{CPUS}]")
+    queries = run_headline(spark)
+    spark.stop()
+
+    result = {
+        "metric": "headline_queries_total",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+    }
+
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+        w2, tp2 = run_crawl_at("local[2]", CRAWL_URLS)
+        w8, tp8 = run_crawl_at("local[8]", CRAWL_URLS)
+        w32, tp32 = run_crawl_at("local[32]", CRAWL_URLS)
+        result.update(
+            {
+                "crawl_urls": CRAWL_URLS,
+                "crawl_wall_s_p2": round(w2, 3),
+                "crawl_wall_s_p8": round(w8, 3),
+                "crawl_wall_s_p32": round(w32, 3),
+                "crawl_urls_per_sec_p2": round(tp2, 1),
+                "crawl_urls_per_sec_p8": round(tp8, 1),
+                "crawl_urls_per_sec_p32": round(tp32, 1),
+                "scaling_efficiency_2_to_8": round((w2 / w8) / 4.0, 3),
+            }
+        )
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -181,6 +181,26 @@ def parse_ca_inv(payload: bytes) -> ParseOut:
     return {"per_outage": rows}, []
 
 
+# -- cc: Common-Crawl-style page (bench family) --------------------------------
+
+_TAG_STRIP = re.compile(r"<script.*?</script>|<style.*?</style>|<[^>]+>", re.S)
+_WS = re.compile(r"\s+")
+
+
+def parse_cc(payload: bytes):
+    """Boilerplate-stripped text extraction from a web page: drop
+    script/style, strip tags, collapse whitespace. Returns a 3-tuple —
+    the third element IS the page text (the byte-identical-per-url
+    invariant), so it is never duplicated into the record JSON."""
+    raw = payload.decode("utf-8", errors="replace")
+    text = _WS.sub(" ", _TAG_STRIP.sub(" ", raw)).strip()
+    rec = {
+        "n_tokens": text.count(" ") + 1 if text else 0,
+        "n_chars": len(text),
+    }
+    return {"per_page": [rec]}, [], text
+
+
 PARSERS: dict[str, callable] = {
     "ga1_boundaries": parse_ga1_boundaries,
     "ga1_outages": parse_ga1_outages,
@@ -192,11 +212,19 @@ PARSERS: dict[str, callable] = {
     "tn7": parse_tn7,
     "fl13": parse_fl13,
     "ca_inv": parse_ca_inv,
+    "cc": parse_cc,
 }
 
 
-def parse_payload(kind: str, payload: bytes) -> ParseOut:
-    return PARSERS[kind](payload)
+def parse_payload(kind: str, payload: bytes) -> tuple[Levels, list[str], str | None]:
+    """Normalized parser call: (levels, children, explicit_text|None).
+    Parsers returning 2-tuples get their text derived via canonical_text
+    by the parse stage; a 3-tuple parser supplies the page text itself."""
+    out = PARSERS[kind](payload)
+    if len(out) == 2:
+        levels, children = out
+        return levels, children, None
+    return out
 
 
 def canonical_text(levels: Levels) -> str:

@@ -40,56 +40,101 @@ _CARRY = [
 ]
 
 
+_OUT_COLS = [*_CARRY, "kind", "level", "data", "text", "child_url", "child_rank", "status", "reason"]
+
+
+def _parse_fetched_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Parse one Arrow batch of fetch results → long-format rows.
+    Tuple-based row building (no per-row dicts) — this loop is the
+    per-page hot path of the whole engine."""
+    rows: list[tuple] = []
+    cols = [batch[c].to_numpy() for c in _CARRY]
+    status_a = batch["status"].to_numpy()
+    reason_a = batch["reason"].to_numpy()
+    html_a = batch["html"].to_numpy()
+    for i in range(len(batch)):
+        carry = tuple(c[i] for c in cols)
+        status, reason, html = status_a[i], reason_a[i], html_a[i]
+        if status != 200 or html is None:
+            rows.append(carry + ("error", None, None, None, None, None, status, reason))
+            continue
+        try:
+            kind = endpoint_kind(carry[0], carry[5])  # url, family
+            levels, children, text = parse_payload(kind, bytes(html))
+        except Exception as e:
+            rows.append(carry + ("error", None, None, None, None, None, 598, f"parse: {e}"))
+            continue
+        for level, recs in levels.items():
+            for r in recs:
+                rows.append(
+                    carry
+                    + ("record", level,
+                       json.dumps(r, separators=(",", ":"), ensure_ascii=False),
+                       None, None, None, 200, None)
+                )
+        if text is None:
+            text = canonical_text(levels)
+        rows.append(carry + ("text", None, None, text, None, None, 200, None))
+        for rank, child in enumerate(children):
+            rows.append(carry + ("child", None, None, None, child, rank, 200, None))
+    return pd.DataFrame(rows, columns=_OUT_COLS)
+
+
+def fused_fetch_parse(
+    popped: DataFrame,
+    fetcher_factory,
+    num_parts: int = 32,
+    rate_per_host: float = 1.0,
+    salt: int = 1,
+    simulated_clock: bool = True,
+) -> DataFrame:
+    """Fetch AND parse in ONE mapInPandas stage.
+
+    The two-stage form (fetch_wave → parse_wave) round-trips every raw
+    html payload through Arrow twice and runs two Python workers per
+    task; fusing halves the Python process count and removes the biggest
+    serde hop — raw payload bytes never leave the worker that fetched
+    them. Use the two-stage form only when raw html must be persisted.
+    """
+    from pyspark import TaskContext
+
+    from ..frontier.fetch import _IN_COLS
+    from ..frontier.politeness import HostPacer
+
+    part = popped.repartition(num_parts, "salted_part").select(*_IN_COLS)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fetcher = fetcher_factory()
+        pacer = HostPacer(rate_per_host, salt=salt, sim=simulated_clock)
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else -1
+        for batch in batches:
+            batch = batch.sort_values(
+                ["event_seq", "seed_seq", "depth", "child_seq", "url"]
+            ).reset_index(drop=True)
+            status, reason, html = [], [], []
+            for url, h, fam in zip(batch["url"], batch["host"], batch["family"]):
+                pacer.acquire(h)
+                try:
+                    s, r, payload = fetcher(url, fam)
+                except Exception as e:
+                    s, r, payload = 599, str(e), None
+                status.append(s)
+                reason.append(r)
+                html.append(payload)
+            batch["status"] = status
+            batch["reason"] = reason
+            batch["html"] = html
+            yield _parse_fetched_batch(batch)
+
+    return part.mapInPandas(run, PARSE_OUT_SCHEMA)
+
+
 def parse_wave(fetched: DataFrame) -> DataFrame:
     """Parse every 200-status page; pass fetch failures through as errors."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            rows: list[dict] = []
-            for rec in batch.to_dict("records"):
-                carry = {c: rec[c] for c in _CARRY}
-                if rec["status"] != 200 or rec["html"] is None:
-                    rows.append(
-                        {**carry, "kind": "error", "level": None, "data": None,
-                         "text": None, "child_url": None, "child_rank": None,
-                         "status": rec["status"], "reason": rec["reason"]}
-                    )
-                    continue
-                try:
-                    kind = endpoint_kind(rec["url"], rec["family"])
-                    levels, children = parse_payload(kind, bytes(rec["html"]))
-                except Exception as e:
-                    rows.append(
-                        {**carry, "kind": "error", "level": None, "data": None,
-                         "text": None, "child_url": None, "child_rank": None,
-                         "status": 598, "reason": f"parse: {e}"}
-                    )
-                    continue
-                for level, recs in levels.items():
-                    for r in recs:
-                        rows.append(
-                            {**carry, "kind": "record", "level": level,
-                             "data": json.dumps(r, separators=(",", ":"), ensure_ascii=False),
-                             "text": None, "child_url": None, "child_rank": None,
-                             "status": 200, "reason": None}
-                        )
-                rows.append(
-                    {**carry, "kind": "text", "level": None, "data": None,
-                     "text": canonical_text(levels), "child_url": None,
-                     "child_rank": None, "status": 200, "reason": None}
-                )
-                for rank, child in enumerate(children):
-                    rows.append(
-                        {**carry, "kind": "child", "level": None, "data": None,
-                         "text": None, "child_url": child, "child_rank": rank,
-                         "status": 200, "reason": None}
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    *_CARRY, "kind", "level", "data", "text",
-                    "child_url", "child_rank", "status", "reason",
-                ],
-            )
+            yield _parse_fetched_batch(batch)
 
     return fetched.mapInPandas(run, PARSE_OUT_SCHEMA)

@@ -60,6 +60,8 @@ FAMILY_BY_STATE_LAYOUT: dict[tuple[str, str], str] = {
     ("fl", "13"): "fl13",
     ("tn", "8"): "fl13",
     ("ca", "investor"): "ca_inv",
+    # bench family: Common-Crawl-style text pages (synthetic frontier)
+    ("cc", "0"): "cc",
 }
 
 

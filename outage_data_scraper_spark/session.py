@@ -41,7 +41,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # KB-sized html/text payloads: smaller Arrow batches bound the
+        # per-task in-flight memory (batch ≈ 2k × ~8KB ≈ 16MB)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.speculation", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

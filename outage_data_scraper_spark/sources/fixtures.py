@@ -219,6 +219,40 @@ def render_ca_inv(url: str) -> bytes:
     return json.dumps({"features": feats}).encode()
 
 
+# -- cc: Common-Crawl-style page (bench family) -------------------------------
+# Multi-KB HTML with nav/boilerplate + paragraphs of deterministic text;
+# the parser extracts the text (the byte-identical-per-url target for web
+# pages per BASELINE.json input_hint). This is the payload shape the
+# 10^10-URL synthetic frontier serves.
+
+_CC_VOCAB = [
+    "the", "and", "of", "to", "a", "in", "is", "that", "it", "for",
+    "power", "outage", "grid", "county", "storm", "crew", "restore",
+    "service", "customer", "report", "area", "line", "update", "estimated",
+    "affected", "utility", "energy", "electric", "network", "data",
+    "page", "system", "status", "region", "zone", "local", "public",
+    "safety", "weather", "wind", "damage", "repair", "schedule", "night",
+    "morning", "crews", "working", "expect", "hours", "thousand",
+]
+
+
+def render_cc(url: str, n_words: int = 1200) -> bytes:
+    h = _h(url)
+    nw = n_words // 2 + _rnd(h, 0, n_words)
+    words = [_CC_VOCAB[_rnd(h, 1000 + i, len(_CC_VOCAB))] for i in range(nw)]
+    paras = []
+    step = 80
+    for p in range(0, nw, step):
+        paras.append("<p>" + " ".join(words[p : p + step]) + ".</p>")
+    nav = "".join(f'<a href="/nav/{i}">section {i}</a>' for i in range(10))
+    return (
+        "<html><head><title>page</title><style>.x{color:red}</style>"
+        "<script>var t=1;</script></head><body>"
+        f'<div class="nav">{nav}</div><article>' + "\n".join(paras) + "</article>"
+        '<footer>generated fixture page</footer></body></html>'
+    ).encode()
+
+
 # endpoint suffix → renderer for families whose seed fans out (O29)
 FAMILY_ENDPOINTS: dict[str, list[tuple[str, callable]]] = {
     "ga1": [
@@ -238,6 +272,7 @@ FAMILY_RENDERERS: dict[str, callable] = {
     "tn7": render_tn7,
     "fl13": render_fl13,
     "ca_inv": render_ca_inv,
+    "cc": render_cc,
 }
 
 

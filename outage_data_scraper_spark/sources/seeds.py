@@ -88,7 +88,7 @@ def fixture_miniweb_seeds(spark: SparkSession) -> DataFrame:
 
 
 def synthetic_seeds(
-    spark: SparkSession, n_urls: int, n_hosts: int, family: str = "ga1"
+    spark: SparkSession, n_urls: int, n_hosts: int, family: str = "cc"
 ) -> DataFrame:
     """Distributed synthetic frontier at arbitrary scale (bench path).
 
@@ -107,8 +107,8 @@ def synthetic_seeds(
         .select(
             F.lit(0).alias("event_seq"),
             F.col("seed_seq"),
-            F.lit("tx").alias("state"),
-            F.lit("8").alias("layout"),
+            F.lit("cc" if family == "cc" else "tx").alias("state"),
+            F.lit("0" if family == "cc" else "8").alias("layout"),
             F.concat(F.lit("Utility "), F.col("seed_seq")).alias("emc"),
             F.concat(
                 F.lit("https://h"), F.col("host_rank"),
