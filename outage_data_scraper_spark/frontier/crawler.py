@@ -122,6 +122,27 @@ class Crawler:
             self.pending(), self.per_host_k, self.num_parts, self.salt
         ).withColumn("wave", F.lit(wave))
 
+        # robots gate (north rule; absent in the reference, default-allow
+        # to preserve crawl parity). Denied URLs are logged, not refetched.
+        if self.cat.exists("robots"):
+            from .robots import robots_gate
+
+            robots = self.cat.read(self.spark, "robots", schema=schemas.ROBOTS)
+            allowed = robots_gate(popped, robots, default_allow=True).cache()
+            denied = popped.join(allowed.select("url"), "url", "left_anti")
+            denied_log = denied.select(
+                "url", F.lit(wave).alias("wave"),
+                F.current_timestamp().alias("ts"),
+                F.lit(451).alias("status"),
+                F.lit("robots disallow").alias("reason"),
+                F.lit(None).cast("long").alias("bytes"),
+                F.lit(None).cast("int").alias("partition_id"),
+                "emc", "state", "layout",
+            )
+            if denied_log.limit(1).count():
+                self.cat.write("fetch_log", denied_log, wave=wave)
+            popped = allowed
+
         fetched = fetch_wave(
             popped,
             self.fetcher_factory,

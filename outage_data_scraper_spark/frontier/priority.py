@@ -63,13 +63,21 @@ def with_family(df: DataFrame) -> DataFrame:
 
 
 def expand_endpoints(frontier: DataFrame) -> DataFrame:
-    """Seed fan-out (O29): GA1-family seeds fetch two endpoints
-    (data/boundaries.json + data/outages.json, ga_scraper.py:256–266) in
-    that order — encoded as child_seq 0/1 so the ordering law holds."""
-    suffixes = F.when(
-        F.col("family") == "ga1",
-        F.array(F.lit("data/boundaries.json"), F.lit("data/outages.json")),
-    ).otherwise(F.array(F.lit("")))
+    """Seed fan-out (O29): families whose one seed fetches several
+    endpoints (ga1, tx1, tx4, ga11, il7 — e.g. ga_scraper.py:256–266,
+    tx_scraper.py:103–114) explode into per-endpoint URLs in the
+    reference's fetch order, encoded as child_seq so the ordering law
+    holds. Data-driven from sources.fixtures.FAMILY_ENDPOINTS."""
+    from ..sources.fixtures import FAMILY_ENDPOINTS
+
+    suffixes = F.lit(None)
+    expr = None
+    for fam, eps in FAMILY_ENDPOINTS.items():
+        arr = F.array(*[F.lit(e) for e in eps])
+        expr = F.when(F.col("family") == fam, arr) if expr is None else expr.when(
+            F.col("family") == fam, arr
+        )
+    suffixes = expr.otherwise(F.array(F.lit("")))
     exploded = frontier.select(
         "*", F.posexplode(suffixes).alias("__pos", "__suffix")
     )

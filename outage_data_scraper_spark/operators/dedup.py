@@ -146,10 +146,10 @@ def simhash_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 3,
+    max_hamming: int = 7,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming, found by
-    banding the 64-bit hash into 4×16-bit chunks (pigeonhole: ≤3 bit
+    banding the 64-bit hash into 8×8-bit chunks (pigeonhole: ≤7 bit
     diffs ⇒ ≥1 identical chunk) and verifying with native bit_count."""
     sh = docs.select(F.col(id_col), simhash64(F.col(text_col)).alias("sh"))
     chunks = sh.select(
@@ -160,9 +160,9 @@ def simhash_candidates(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned("sh", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+                        F.shiftrightunsigned("sh", c * 8).bitwiseAND(F.lit(0xFF)).alias("cv"),
                     )
-                    for c in range(4)
+                    for c in range(8)
                 ]
             )
         ).alias("cc"),

@@ -132,9 +132,9 @@ def parse_ga9(payload: bytes) -> ParseOut:
     return {"per_zone": rows}, []
 
 
-# -- TX4: flat JSON lists with ms epochs (tx_scraper.py:85–114) ---------------
+# -- TX4: flat JSON lists at …zip / …county endpoints (tx_scraper.py:85–114) ---
 
-def parse_tx4(payload: bytes, level: str = "per_county") -> ParseOut:
+def parse_tx4(payload: bytes, url: str = "") -> ParseOut:
     items = json.loads(payload)
     rows = []
     for it in items:
@@ -142,6 +142,7 @@ def parse_tx4(payload: bytes, level: str = "per_county") -> ParseOut:
             rec = dict(it)
             rec["lastUpdatedTime"] = _ms_to_str(rec["lastUpdatedTime"])
             rows.append(rec)
+    level = "per_zipcode" if url.endswith("zip") else "per_county"
     return {level: rows}, []
 
 
@@ -181,6 +182,280 @@ def parse_ca_inv(payload: bytes) -> ParseOut:
     return {"per_outage": rows}, []
 
 
+# -- GA2: Outages with OutageLocation X/Y (ga_scraper.py:269–297) --------------
+
+def parse_ga2(payload: bytes) -> ParseOut:
+    doc = json.loads(payload)
+    rows = []
+    for o in doc["Outages"]:
+        rec = dict(o)
+        loc = rec.pop("OutageLocation")
+        rec["X"] = loc["X"]
+        rec["Y"] = loc["Y"]
+        rows.append(rec)
+    return {"per_outage": rows}, []
+
+
+# -- GA5: flat list, ms epochs, zip guard (ga_scraper.py:439–479) ---------------
+
+def parse_ga5(payload: bytes) -> ParseOut:
+    items = json.loads(payload)
+    rows = []
+    for it in items:
+        rec = dict(it)
+        rec["startTime"] = _ms_to_str(rec["startTime"])
+        rec["lastUpdatedTime"] = _ms_to_str(rec["lastUpdatedTime"])
+        rows.append(rec)
+    # <10-row zip guard (ga_scraper.py:455–463)
+    if len(rows) >= 10:
+        for r in rows:
+            r["zip"] = ZIP_GUARD_SENTINEL
+    else:
+        for r in rows:
+            r["zip"] = f"{30000 + int(abs(r['lat'] * 100)) % 9999:05d}"  # geocode stand-in
+    return {"per_outage": rows}, []
+
+
+# -- GA6: reportData polygons + outageData (ga_scraper.py:482–510) ---------------
+
+def parse_ga6(payload: bytes) -> ParseOut:
+    doc = json.loads(payload)
+    polys = [p for p in doc["reportData"]["polygons"] if p["affected"] > 0]
+    outs = doc["outageData"]["outages"]
+    return {"per_county": polys, "per_outage": outs}, []
+
+
+# -- GA7: ShellOut markers (ga_scraper.py:513–589) --------------------------------
+
+def parse_ga7(payload: bytes) -> ParseOut:
+    doc = json.loads(payload)
+    rows = []
+    for m in doc["markers"]:
+        rec = dict(m)
+        rec["service_index_name"] = doc["service_index_name"]
+        rec["isHighTraffic"] = doc["isHighTraffic"]
+        rows.append(rec)
+    return {"per_outage": rows}, []
+
+
+# -- GA10: attributes → lowercased cols, string zeros (ga_scraper.py:692–741) ----
+
+def parse_ga10(payload: bytes) -> ParseOut:
+    doc = json.loads(payload)
+    rows = []
+    for f in doc["features"]:
+        rec = {k.lower(): v for k, v in f["attributes"].items()}  # case-fold (O11)
+        if rec.get("members affected") != "0":  # string-typed compare
+            rows.append(rec)
+    return {"per_county": rows}, []
+
+
+# -- GA11: three endpoints (ga_scraper.py:744–850) --------------------------------
+
+def parse_ga11_subs(payload: bytes) -> ParseOut:
+    doc = json.loads(payload)
+    rows = [s for s in doc["rows"]["subs"] if s["SubTotalConsumersOut"] != 0]
+    return {"per_substation": rows}, []
+
+
+def parse_ga11_county(payload: bytes) -> ParseOut:
+    doc = json.loads(payload)
+    rows = [r for r in doc["rows"] if r["out"] != 0]
+    return {"per_county": rows}, []
+
+
+def parse_ga11_outages(payload: bytes) -> ParseOut:
+    doc = json.loads(payload)
+    rows = []
+    for key, val in doc.items():
+        if not isinstance(val, dict) or "markers" not in val:
+            continue
+        for m in val["markers"]:
+            rec = dict(m)
+            rec["service_index_name"] = val["service_index_name"]
+            rec["outages"] = val["outages"]
+            rec["NumConsumers"] = val["stats"]["NumConsumers"]
+            rec["isHighTraffic"] = doc["isHighTraffic"]
+            rows.append(rec)
+    return {"per_outage": rows}, []
+
+
+# -- TX1: fixed-header report table, VIEW dropped (tx_scraper.py:33–70) -----------
+
+def parse_tx1(payload: bytes, url: str = "") -> ParseOut:
+    tables = extract_tables(payload.decode())
+    if not tables:
+        return {}, []
+    recs = table_records(tables[0])
+    key = "ZIP" if "zip" in url.rsplit("/", 1)[-1] else "COUNTY"
+    rows = []
+    for r in recs:
+        r.pop("VIEW", None)  # dropped by reference
+        if r.get("CUSTOMER OUTAGES") != "0":  # string-typed compare
+            rows.append(r)
+    level = "per_zipcode" if key == "ZIP" else "per_county"
+    return {level: rows}, []
+
+
+# -- TX6: JSONP strip + attributes/geometry + ms casts (tx_scraper.py:230–286) -----
+
+_JSONP = re.compile(r"^[\w.$]+\((.*)\);?\s*$", re.S)
+
+
+def parse_tx6(payload: bytes) -> ParseOut:
+    body = payload.decode()
+    m = _JSONP.match(body)
+    if m:
+        body = m.group(1)
+    doc = json.loads(body)
+    rows = []
+    for f in doc["features"]:
+        rec = dict(f["attributes"])
+        rec["x"] = f["geometry"]["x"]
+        rec["y"] = f["geometry"]["y"]
+        rec["BEGINTIME"] = _ms_to_str(rec["BEGINTIME"])
+        rec["ESTIMATEDTIMERESTORATION"] = _ms_to_str(rec["ESTIMATEDTIMERESTORATION"])
+        rows.append(rec)
+    return {"per_outage": rows}, []
+
+
+# -- TX7: double-encoded d → Table, dropna (tx_scraper.py:289–324) -----------------
+
+def parse_tx7(payload: bytes) -> ParseOut:
+    outer = json.loads(payload)
+    table = json.loads(outer["d"])["Table"]
+    rows = [r for r in table if all(v is not None for v in r.values())]  # dropna
+    return {"per_outage": rows}, []
+
+
+# -- FL1: <pre> JSON, string zeros (fl_scraper.py:24–53) ----------------------------
+
+_PRE = re.compile(r"<pre>(.*?)</pre>", re.S)
+
+
+def _pre_json(payload: bytes):
+    body = payload.decode()
+    m = _PRE.search(body)
+    return json.loads(m.group(1) if m else body)
+
+
+def parse_fl1(payload: bytes) -> ParseOut:
+    doc = _pre_json(payload)
+    rows = [o for o in doc["outages"] if o["Customers Out"] != "0"]  # string compare
+    return {"per_county": rows}, []
+
+
+# -- FL3: explicit 7-col projection (fl_scraper.py:105–158) --------------------------
+
+_FL3_COLS = ["id", "numPeople", "latitude", "longitude", "crewStatus", "startTime", "estRestore"]
+
+
+def parse_fl3(payload: bytes) -> ParseOut:
+    items = _pre_json(payload)
+    rows = []
+    for it in items:
+        if it["numPeople"] != 0:
+            rec = {c: it[c] for c in _FL3_COLS}  # explicit projection
+            rec["startTime"] = _ms_to_str(rec["startTime"])
+            rec["estRestore"] = _ms_to_str(rec["estRestore"])
+            rows.append(rec)
+    return {"per_outage": rows}, []
+
+
+# -- FL5: Elasticsearch hits.hits → _id/_source (fl_scraper.py:208–259) ---------------
+
+def parse_fl5(payload: bytes) -> ParseOut:
+    doc = json.loads(payload)
+    rows = []
+    for hit in doc["hits"]["hits"]:
+        rec = {"_id": hit["_id"], **hit["_source"]}
+        rows.append(rec)
+    return {"per_outage": rows}, []
+
+
+# -- IL7: city/county/metro endpoints (il_scraper.py:224–277) --------------------------
+
+def parse_il7(payload: bytes, url: str = "") -> ParseOut:
+    rows = [r for r in json.loads(payload) if r["NumOutages"] != 0]
+    kind = "city"
+    for k in ("city", "county", "metro"):  # endpoint suffix routes the level
+        if url.endswith(f"{k}.json"):
+            kind = k
+            break
+    return {f"per_{kind}": rows}, []
+
+
+# -- IL8: AreaSummary three levels (il_scraper.py:280–327) ------------------------------
+
+def parse_il8(payload: bytes) -> ParseOut:
+    doc = json.loads(payload)
+    out: Levels = {}
+    for key, level in (
+        ("ZipCodes", "per_zipcode"),
+        ("Counties", "per_county"),
+        ("Districts", "per_district"),
+    ):
+        out[level] = [r for r in doc.get(key, []) if r["Out"] != 0]
+    return out, []
+
+
+# -- TN5: incidents, nested outage_reported (tn_scraper.py:113–172) ----------------------
+
+def parse_tn5(payload: bytes) -> ParseOut:
+    doc = json.loads(payload)
+    districts: dict[str, int] = {}
+    outages = []
+    for inc in doc["incidents"]:
+        rec = dict(inc)
+        rep = rec.pop("outage_reported")
+        rec["customersAffected"] = rep["customersAffected"]
+        rec["reportedAt"] = _ms_to_str(rep["reportedAt"])
+        outages.append(rec)
+        districts[rec["district"]] = districts.get(rec["district"], 0) + rec["customersAffected"]
+    per_district = [
+        {"district": d, "customersAffected": v} for d, v in districts.items()
+    ]
+    return {"per_district": per_district, "per_outage": outages}, []
+
+
+# -- LA3: delete struct fields (la_scraper.py:40–74, O30) --------------------------------
+
+def parse_la3(payload: bytes) -> ParseOut:
+    rows = []
+    for it in json.loads(payload):
+        rec = dict(it)
+        rec.pop("extension", None)
+        rec.pop("affectedAreas", None)
+        rows.append(rec)
+    return {"per_outage": rows}, []
+
+
+# -- MS7: reports[0/1].polygons (ms_scraper.py:41–74) -------------------------------------
+
+def parse_ms7(payload: bytes) -> ParseOut:
+    doc = json.loads(payload)
+    county = [p for p in doc["reports"][0]["polygons"] if p["affected"] != 0]
+    district = [p for p in doc["reports"][1]["polygons"] if p["affected"] != 0]
+    return {"per_county": county, "per_district": district}, []
+
+
+# -- MS10: two DOM ids → one row (ms_scraper.py:77–103) ------------------------------------
+
+_MS10_OUT = re.compile(r'id="lblOutagesNow">(\d+)<')
+_MS10_SERVED = re.compile(r'id="lblCustomersServed">(\d+)<')
+
+
+def parse_ms10(payload: bytes) -> ParseOut:
+    body = payload.decode()
+    out = _MS10_OUT.search(body)
+    served = _MS10_SERVED.search(body)
+    rec = {
+        "outages_now": out.group(1) if out else None,
+        "customers_served": served.group(1) if served else None,
+    }
+    return {"per_emc": [rec]}, []
+
+
 # -- cc: Common-Crawl-style page (bench family) --------------------------------
 
 _TAG_STRIP = re.compile(r"<script.*?</script>|<style.*?</style>|<[^>]+>", re.S)
@@ -204,23 +479,49 @@ def parse_cc(payload: bytes):
 PARSERS: dict[str, callable] = {
     "ga1_boundaries": parse_ga1_boundaries,
     "ga1_outages": parse_ga1_outages,
+    "ga2": parse_ga2,
     "ga3": parse_ga3,
     "kubra_anchor": parse_kubra_anchor,
     "kubra_report": parse_kubra_report,
+    "ga5": parse_ga5,
+    "ga6": parse_ga6,
+    "ga7": parse_ga7,
     "ga9": parse_ga9,
+    "ga10": parse_ga10,
+    "ga11_subs": parse_ga11_subs,
+    "ga11_county": parse_ga11_county,
+    "ga11_outages": parse_ga11_outages,
+    "tx1": parse_tx1,
     "tx4": parse_tx4,
+    "tx6": parse_tx6,
+    "tx7": parse_tx7,
+    "tn5": parse_tn5,
     "tn7": parse_tn7,
+    "fl1": parse_fl1,
+    "fl3": parse_fl3,
+    "fl5": parse_fl5,
     "fl13": parse_fl13,
+    "il7": parse_il7,
+    "il8": parse_il8,
+    "la3": parse_la3,
+    "ms7": parse_ms7,
+    "ms10": parse_ms10,
     "ca_inv": parse_ca_inv,
     "cc": parse_cc,
 }
 
 
-def parse_payload(kind: str, payload: bytes) -> tuple[Levels, list[str], str | None]:
+# Families whose record level depends on which endpoint URL was fetched
+# (the reference routes by fetch call site; the engine routes by URL).
+URL_AWARE = {"tx1", "tx4", "il7"}
+
+
+def parse_payload(kind: str, payload: bytes, url: str = "") -> tuple[Levels, list[str], str | None]:
     """Normalized parser call: (levels, children, explicit_text|None).
     Parsers returning 2-tuples get their text derived via canonical_text
     by the parse stage; a 3-tuple parser supplies the page text itself."""
-    out = PARSERS[kind](payload)
+    fn = PARSERS[kind]
+    out = fn(payload, url) if kind in URL_AWARE else fn(payload)
     if len(out) == 2:
         levels, children = out
         return levels, children, None

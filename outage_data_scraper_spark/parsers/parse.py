@@ -59,8 +59,9 @@ def _parse_fetched_batch(batch: pd.DataFrame) -> pd.DataFrame:
             rows.append(carry + ("error", None, None, None, None, None, status, reason))
             continue
         try:
-            kind = endpoint_kind(carry[0], carry[5])  # url, family
-            levels, children, text = parse_payload(kind, bytes(html))
+            url = carry[0]
+            kind = endpoint_kind(url, carry[5])  # url, family
+            levels, children, text = parse_payload(kind, bytes(html), url)
         except Exception as e:
             rows.append(carry + ("error", None, None, None, None, None, 598, f"parse: {e}"))
             continue

@@ -55,11 +55,49 @@ FAMILY_BY_STATE_LAYOUT: dict[tuple[str, str], str] = {
     ("tx", "4"): "tx4",
     ("la", "5"): "tx4",
     ("ms", "8"): "tx4",
+    # GA2 / GA5 / GA6 / GA7 / GA10 / GA11 reuse sets (SURVEY.md §2.2)
+    ("ga", "2"): "ga2",
+    ("ga", "5"): "ga5",
+    ("fl", "5"): "ga5",
+    ("tn", "6"): "ga5",
+    ("ga", "6"): "ga6",
+    ("tx", "13"): "ga6",
+    ("nc", "5"): "ga6",
+    ("ga", "7"): "ga7",
+    ("nc", "4"): "ga7",
+    ("ga", "10"): "ga10",
+    ("ga", "11"): "ga11",
+    ("tx", "12"): "ga11",
+    ("fl", "4"): "ga11",
+    ("il", "6"): "ga11",
+    ("tn", "1"): "ga11",
+    ("ms", "2"): "ga11",
+    ("al", "5"): "ga11",
+    ("sc", "3"): "ga11",
+    # TX singles
+    ("tx", "1"): "tx1",
+    ("la", "7"): "tx1",
+    ("tx", "6"): "tx6",
+    ("tx", "7"): "tx7",
+    # FL singles
+    ("fl", "6"): "fl1",
+    ("fl", "7"): "fl3",
+    ("fl", "9"): "fl5",
+    ("fl", "11"): "fl3",
+    # IL / TN / LA / MS singles
+    ("il", "7"): "il7",
+    ("il", "8"): "il8",
+    ("tn", "5"): "tn5",
+    ("la", "3"): "la3",
+    ("la", "6"): "la3",
+    ("ms", "7"): "ms7",
+    ("ms", "10"): "ms10",
     # TN7 / FL13 / CA investor
     ("tn", "7"): "tn7",
     ("fl", "13"): "fl13",
     ("tn", "8"): "fl13",
     ("ca", "investor"): "ca_inv",
+    ("ca", "paloalto"): "ga1",
     # bench family: Common-Crawl-style text pages (synthetic frontier)
     ("cc", "0"): "cc",
 }

@@ -219,6 +219,355 @@ def render_ca_inv(url: str) -> bytes:
     return json.dumps({"features": feats}).encode()
 
 
+# -- GA2: JSON Outages with OutageLocation X/Y (ga_scraper.py:269–297) --------
+
+def render_ga2(url: str) -> bytes:
+    h = _h(url)
+    outages = [
+        {
+            "OutageLocation": {
+                "X": -84.0 + _rnd(h, 10 + i, 4000) / 1000.0,
+                "Y": 32.0 + _rnd(h, 20 + i, 4000) / 1000.0,
+            },
+            "CustomersOutNow": _rnd(h, 30 + i, 200),
+            "OutageStartTime": f"2024-08-0{1 + _rnd(h, 40 + i, 7)} "
+            f"{_rnd(h, 50 + i, 24):02d}:{_rnd(h, 60 + i, 60):02d}:00",
+        }
+        for i in range(1 + _rnd(h, 0, 6))
+    ]
+    return json.dumps({"Outages": outages}).encode()
+
+
+# -- GA5: flat JSON list with ms epochs + zip guard (ga_scraper.py:439–479) ----
+
+def render_ga5(url: str) -> bytes:
+    h = _h(url)
+    n = 1 + _rnd(h, 1, 14)  # crosses the <10 zip guard both ways
+    items = [
+        {
+            "id": f"G5-{h % 10000}-{i}",
+            "startTime": 1722470400000 + _rnd(h, 10 + i, 86400) * 1000,
+            "lastUpdatedTime": 1722474000000 + _rnd(h, 20 + i, 86400) * 1000,
+            "lat": 33.0 + _rnd(h, 30 + i, 3000) / 1000.0,
+            "lng": -84.0 + _rnd(h, 40 + i, 3000) / 1000.0,
+            "numPeople": 1 + _rnd(h, 50 + i, 120),
+        }
+        for i in range(n)
+    ]
+    return json.dumps(items).encode()
+
+
+# -- GA6: reportData polygons + outageData (ga_scraper.py:482–510) -------------
+
+def render_ga6(url: str) -> bytes:
+    h = _h(url)
+    polys = [
+        {
+            "name": f"Area{_rnd(h, i, 60)}",
+            "affected": 0 if _rnd(h, 5 + i, 4) == 0 else _rnd(h, 6 + i, 300),
+        }
+        for i in range(2 + _rnd(h, 0, 4))
+    ]
+    outs = [
+        {"id": f"O{h % 999}-{i}", "custsOut": 1 + _rnd(h, 30 + i, 90)}
+        for i in range(1 + _rnd(h, 2, 4))
+    ]
+    return json.dumps(
+        {"reportData": {"polygons": polys}, "outageData": {"outages": outs}}
+    ).encode()
+
+
+# -- GA7: ShellOut markers (ga_scraper.py:513–589) ------------------------------
+
+def render_ga7(url: str) -> bytes:
+    h = _h(url)
+    markers = [
+        {
+            "lat": 34.0 + _rnd(h, 10 + i, 2000) / 1000.0,
+            "lon": -83.0 + _rnd(h, 20 + i, 2000) / 1000.0,
+            "outages": 1 + _rnd(h, 30 + i, 9),
+            "NumConsumers": 1 + _rnd(h, 40 + i, 400),
+        }
+        for i in range(1 + _rnd(h, 0, 5))
+    ]
+    return json.dumps(
+        {
+            "isHighTraffic": bool(_rnd(h, 1, 2)),
+            "service_index_name": f"svc{h % 17}",
+            "markers": markers,
+        }
+    ).encode()
+
+
+# -- GA10: ArcGIS attributes, lowercased, string zeros (ga_scraper.py:692–741) --
+
+def render_ga10(url: str) -> bytes:
+    h = _h(url)
+    feats = [
+        {
+            "attributes": {
+                "County": f"County{_rnd(h, i, 30)}",
+                "Members Affected": str(0 if _rnd(h, 5 + i, 3) == 0 else _rnd(h, 6 + i, 250)),
+                "Members Served": str(500 + _rnd(h, 7 + i, 4000)),
+            }
+        }
+        for i in range(2 + _rnd(h, 0, 4))
+    ]
+    return json.dumps({"features": feats}).encode()
+
+
+# -- GA11: three ShellOut endpoints (ga_scraper.py:744–850) ---------------------
+
+def render_ga11_subs(url: str) -> bytes:
+    h = _h(url)
+    subs = [
+        {
+            "SubName": f"Sub{_rnd(h, i, 40)}",
+            "SubTotalConsumersOut": 0 if _rnd(h, 5 + i, 3) == 0 else _rnd(h, 6 + i, 150),
+            "SubTotalMetersAffectedByDeviceOutages": _rnd(h, 7 + i, 200),
+        }
+        for i in range(2 + _rnd(h, 0, 4))
+    ]
+    return json.dumps({"rows": {"subs": subs}}).encode()
+
+
+def render_ga11_county(url: str) -> bytes:
+    h = _h(url)
+    rows = [
+        {"name": f"County{_rnd(h, i, 25)}", "out": 0 if _rnd(h, 8 + i, 3) == 0 else _rnd(h, 9 + i, 99)}
+        for i in range(2 + _rnd(h, 1, 4))
+    ]
+    return json.dumps({"rows": rows}).encode()
+
+
+def render_ga11_outages(url: str) -> bytes:
+    h = _h(url)
+    markers = [
+        {"lat": 33.5 + _rnd(h, 10 + i, 900) / 1000.0, "lon": -84.5 + _rnd(h, 20 + i, 900) / 1000.0}
+        for i in range(1 + _rnd(h, 2, 5))
+    ]
+    return json.dumps(
+        {
+            "isHighTraffic": False,
+            "timestamp": "2024-08-01 12:00:00",
+            "m0": {
+                "markers": markers,
+                "service_index_name": f"svc{h % 9}",
+                "outages": len(markers),
+                "stats": {"NumConsumers": 10 + _rnd(h, 3, 500)},
+            },
+        }
+    ).encode()
+
+
+# -- TX1: report-table HTML, county/zip endpoints (tx_scraper.py:33–70) ---------
+
+def render_tx1(url: str) -> bytes:
+    h = _h(url)
+    kind = "ZIP" if url.endswith("report-zip.html") else "COUNTY"
+    rows = "".join(
+        f"<tr><td>view</td><td>{kind.title()}{_rnd(h, i, 70)}</td>"
+        f"<td>{0 if _rnd(h, 5 + i, 3) == 0 else _rnd(h, 6 + i, 180)}</td>"
+        f"<td>{200 + _rnd(h, 7 + i, 5000)}</td>"
+        f"<td>{_rnd(h, 8 + i, 100)}%</td></tr>"
+        for i in range(2 + _rnd(h, 1, 5))
+    )
+    return (
+        '<html><body><table class="report-table tree">'
+        f"<tr><th>VIEW</th><th>{kind}</th><th>CUSTOMER OUTAGES</th>"
+        f"<th>CUSTOMERS SERVED</th><th>% AFFECTED</th></tr>{rows}</table></body></html>"
+    ).encode()
+
+
+# -- TX6: ArcGIS envelope, optionally JSONP-wrapped (tx_scraper.py:230–286) -----
+
+def render_tx6(url: str) -> bytes:
+    h = _h(url)
+    feats = [
+        {
+            "attributes": {
+                "OBJECTID": i + 1,
+                "BEGINTIME": 1722470400000 + _rnd(h, 10 + i, 86400) * 1000,
+                "ESTIMATEDTIMERESTORATION": 1722556800000 + _rnd(h, 20 + i, 86400) * 1000,
+                "CUSTOMERSAFFECTED": 1 + _rnd(h, 30 + i, 220),
+            },
+            "geometry": {"x": -97.0 + _rnd(h, 40 + i, 5000) / 1000.0,
+                          "y": 30.0 + _rnd(h, 50 + i, 5000) / 1000.0},
+        }
+        for i in range(1 + _rnd(h, 0, 5))
+    ]
+    body = json.dumps({"features": feats})
+    # half the URLs get the JSONP wrapper the reference strips
+    return (f"dojo_request_script_callbacks.cb({body});" if h % 2 else body).encode()
+
+
+# -- TX7: double-encoded JSON d → Table (tx_scraper.py:289–324) ------------------
+
+def render_tx7(url: str) -> bytes:
+    h = _h(url)
+    table = [
+        {
+            "OutageID": f"T7-{h % 999}-{i}",
+            "Lat": 29.0 + _rnd(h, 10 + i, 900) / 1000.0,
+            "Long": -98.0 + _rnd(h, 20 + i, 900) / 1000.0,
+            "CustomersAffected": _rnd(h, 30 + i, 80) if _rnd(h, 40 + i, 4) else None,
+        }
+        for i in range(2 + _rnd(h, 0, 4))
+    ]
+    inner = json.dumps({"Table": table})
+    return json.dumps({"d": inner}).encode()
+
+
+# -- FL1: <pre> JSON with string-typed zeros (fl_scraper.py:24–53) --------------
+
+def render_fl1(url: str) -> bytes:
+    h = _h(url)
+    outages = [
+        {
+            "County": f"County{_rnd(h, i, 20)}",
+            "Customers Out": str(0 if _rnd(h, 5 + i, 3) == 0 else _rnd(h, 6 + i, 300)),
+            "Customers Served": str(1000 + _rnd(h, 7 + i, 9000)),
+        }
+        for i in range(2 + _rnd(h, 0, 5))
+    ]
+    body = json.dumps({"outages": outages})
+    return f"<html><body><pre>{body}</pre></body></html>".encode()
+
+
+# -- FL3: explicit 7-col projection (fl_scraper.py:105–158) ----------------------
+
+def render_fl3(url: str) -> bytes:
+    h = _h(url)
+    items = [
+        {
+            "id": f"F3-{h % 999}-{i}",
+            "numPeople": 0 if _rnd(h, 5 + i, 4) == 0 else _rnd(h, 6 + i, 160),
+            "latitude": 28.0 + _rnd(h, 10 + i, 900) / 1000.0,
+            "longitude": -81.0 + _rnd(h, 20 + i, 900) / 1000.0,
+            "crewStatus": ["ASSIGNED", "ENROUTE", "ONSITE"][_rnd(h, 30 + i, 3)],
+            "startTime": 1722470400000 + _rnd(h, 40 + i, 86400) * 1000,
+            "estRestore": 1722556800000 + _rnd(h, 50 + i, 86400) * 1000,
+            "internalNote": "drop-me",  # not in the 7-col projection
+        }
+        for i in range(2 + _rnd(h, 0, 5))
+    ]
+    body = json.dumps(items)
+    return f"<pre>{body}</pre>".encode()
+
+
+# -- FL5: Elasticsearch hits (fl_scraper.py:208–259) -----------------------------
+
+def render_fl5(url: str) -> bytes:
+    h = _h(url)
+    hits = [
+        {
+            "_id": f"es-{h % 9999}-{i}",
+            "_source": {
+                "county": f"County{_rnd(h, i, 15)}",
+                "customersAffected": 1 + _rnd(h, 5 + i, 140),
+                "status": ["active", "restored"][_rnd(h, 6 + i, 2)],
+            },
+        }
+        for i in range(1 + _rnd(h, 0, 6))
+    ]
+    return json.dumps({"hits": {"hits": hits}}).encode()
+
+
+# -- IL7: City/County/Metro XHRs (il_scraper.py:224–277) -------------------------
+
+def render_il7(url: str) -> bytes:
+    h = _h(url)
+    kind = url.rsplit("/", 1)[-1].replace(".json", "")  # city|county|metro
+    rows = [
+        {
+            "Name": f"{kind.title()}{_rnd(h, i, 45)}",
+            "NumOutages": 0 if _rnd(h, 5 + i, 4) == 0 else _rnd(h, 6 + i, 70),
+            "NumCustomersAffected": _rnd(h, 7 + i, 800),
+        }
+        for i in range(2 + _rnd(h, 0, 4))
+    ]
+    return json.dumps(rows).encode()
+
+
+# -- IL8: AreaSummary (il_scraper.py:280–327) ------------------------------------
+
+def render_il8(url: str) -> bytes:
+    h = _h(url)
+    def block(kind, k):
+        return [
+            {"Area": f"{kind}{_rnd(h, k * 20 + i, 50)}",
+             "Out": 0 if _rnd(h, k * 30 + i, 4) == 0 else _rnd(h, k * 40 + i, 60),
+             "Served": 100 + _rnd(h, k * 50 + i, 3000)}
+            for i in range(2 + _rnd(h, k, 3))
+        ]
+    return json.dumps(
+        {"ZipCodes": block("Z", 1), "Counties": block("C", 2), "Districts": block("D", 3)}
+    ).encode()
+
+
+# -- TN5: incidents with nested outage_reported (tn_scraper.py:113–172) -----------
+
+def render_tn5(url: str) -> bytes:
+    h = _h(url)
+    incidents = [
+        {
+            "district": f"D{_rnd(h, i, 12)}",
+            "outage_reported": {
+                "customersAffected": 1 + _rnd(h, 5 + i, 90),
+                "reportedAt": 1722470400000 + _rnd(h, 6 + i, 86400) * 1000,
+            },
+            "lat": 36.0 + _rnd(h, 7 + i, 900) / 1000.0,
+            "lon": -86.5 + _rnd(h, 8 + i, 900) / 1000.0,
+        }
+        for i in range(1 + _rnd(h, 0, 6))
+    ]
+    return json.dumps({"incidents": incidents}).encode()
+
+
+# -- LA3: alloutages minus extension/affectedAreas (la_scraper.py:40–74) ----------
+
+def render_la3(url: str) -> bytes:
+    h = _h(url)
+    items = [
+        {
+            "id": f"L3-{h % 999}-{i}",
+            "customersAffected": 1 + _rnd(h, 5 + i, 110),
+            "cause": ["WEATHER", "EQUIPMENT", "UNKNOWN"][_rnd(h, 6 + i, 3)],
+            "extension": {"x": 1},          # deleted by the parser (O30)
+            "affectedAreas": [f"a{i}"],     # deleted by the parser (O30)
+        }
+        for i in range(1 + _rnd(h, 0, 5))
+    ]
+    return json.dumps(items).encode()
+
+
+# -- MS7: reports[0/1].polygons (ms_scraper.py:41–74) -----------------------------
+
+def render_ms7(url: str) -> bytes:
+    h = _h(url)
+    def polys(k):
+        return [
+            {"name": f"P{_rnd(h, k * 10 + i, 30)}",
+             "affected": 0 if _rnd(h, k * 20 + i, 4) == 0 else _rnd(h, k * 30 + i, 130)}
+            for i in range(2 + _rnd(h, k, 3))
+        ]
+    return json.dumps(
+        {"reports": [{"polygons": polys(1)}, {"polygons": polys(2)}]}
+    ).encode()
+
+
+# -- MS10: two DOM ids → one row (ms_scraper.py:77–103) ---------------------------
+
+def render_ms10(url: str) -> bytes:
+    h = _h(url)
+    return (
+        "<html><body>"
+        f'<span id="lblOutagesNow">{_rnd(h, 1, 500)}</span>'
+        f'<span id="lblCustomersServed">{10000 + _rnd(h, 2, 90000)}</span>'
+        "</body></html>"
+    ).encode()
+
+
 # -- cc: Common-Crawl-style page (bench family) -------------------------------
 # Multi-KB HTML with nav/boilerplate + paragraphs of deterministic text;
 # the parser extracts the text (the byte-identical-per-url target for web
@@ -253,24 +602,48 @@ def render_cc(url: str, n_words: int = 1200) -> bytes:
     ).encode()
 
 
-# endpoint suffix → renderer for families whose seed fans out (O29)
-FAMILY_ENDPOINTS: dict[str, list[tuple[str, callable]]] = {
-    "ga1": [
-        ("data/boundaries.json", render_ga1_boundaries),
-        ("data/outages.json", render_ga1_outages),
-    ],
+# endpoint URL suffixes for families whose one seed fans out into several
+# fetches (O29, e.g. ga_scraper.py:256–266, tx_scraper.py:103–114,
+# ga_scraper.py:744–850). Order = the reference's fetch order, which the
+# frontier encodes as child_seq.
+FAMILY_ENDPOINTS: dict[str, list[str]] = {
+    "ga1": ["data/boundaries.json", "data/outages.json"],
+    "tx4": ["zip", "county"],
+    "tx1": ["report-county.html", "report-zip.html"],
+    "ga11": ["shellout/subs.json", "shellout/county.json", "shellout/outages.json"],
+    "il7": ["city.json", "county.json", "metro.json"],
 }
 
 FAMILY_RENDERERS: dict[str, callable] = {
     "ga1_boundaries": render_ga1_boundaries,
     "ga1_outages": render_ga1_outages,
+    "ga2": render_ga2,
     "ga3": render_ga3,
     "kubra_anchor": render_kubra_anchor,
     "kubra_report": render_kubra_report,
+    "ga5": render_ga5,
+    "ga6": render_ga6,
+    "ga7": render_ga7,
     "ga9": render_ga9,
+    "ga10": render_ga10,
+    "ga11_subs": render_ga11_subs,
+    "ga11_county": render_ga11_county,
+    "ga11_outages": render_ga11_outages,
+    "tx1": render_tx1,
     "tx4": render_tx4,
+    "tx6": render_tx6,
+    "tx7": render_tx7,
+    "tn5": render_tn5,
     "tn7": render_tn7,
+    "fl1": render_fl1,
+    "fl3": render_fl3,
+    "fl5": render_fl5,
     "fl13": render_fl13,
+    "il7": render_il7,
+    "il8": render_il8,
+    "la3": render_la3,
+    "ms7": render_ms7,
+    "ms10": render_ms10,
     "ca_inv": render_ca_inv,
     "cc": render_cc,
 }
@@ -282,6 +655,11 @@ def endpoint_kind(url: str, family: str) -> str:
         return "ga1_boundaries" if url.endswith("boundaries.json") else "ga1_outages"
     if family == "kubra":
         return "kubra_report" if "report-" in url else "kubra_anchor"
+    if family == "ga11":
+        for suffix in ("subs", "county", "outages"):
+            if url.endswith(f"{suffix}.json"):
+                return f"ga11_{suffix}"
+        return "ga11_outages"
     return family
 
 

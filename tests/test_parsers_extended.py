@@ -1,0 +1,201 @@
+"""Semantic tests for the extended site-family parser set (SURVEY.md §2.2)."""
+
+import json
+
+from outage_data_scraper_spark.parsers import families
+from outage_data_scraper_spark.sources import fixtures
+
+U = "https://x.fixture-utility.com/outages/9/"
+
+
+def _roundtrip(kind, renderer, url=U):
+    payload = renderer(url)
+    return families.parse_payload(kind, payload, url)
+
+
+def test_ga2_outage_location_flatten():
+    levels, _, _ = _roundtrip("ga2", fixtures.render_ga2)
+    for r in levels["per_outage"]:
+        assert "OutageLocation" not in r and "X" in r and "Y" in r
+
+
+def test_ga5_zip_guard_and_ms_casts():
+    small = big = None
+    for i in range(80):
+        url = f"https://p{i}.example/ga5"
+        n = len(json.loads(fixtures.render_ga5(url)))
+        if n < 10 and small is None:
+            small = url
+        if n >= 10 and big is None:
+            big = url
+    lv, _, _ = families.parse_payload("ga5", fixtures.render_ga5(big), big)
+    assert all(r["zip"] == families.ZIP_GUARD_SENTINEL for r in lv["per_outage"])
+    lv, _, _ = families.parse_payload("ga5", fixtures.render_ga5(small), small)
+    assert all(r["zip"] != families.ZIP_GUARD_SENTINEL for r in lv["per_outage"])
+    assert all(r["startTime"][4] == "-" for r in lv["per_outage"])
+
+
+def test_ga6_affected_filter():
+    levels, _, _ = _roundtrip("ga6", fixtures.render_ga6)
+    assert all(p["affected"] > 0 for p in levels["per_county"])
+    assert levels["per_outage"]
+
+
+def test_ga7_marker_enrich():
+    levels, _, _ = _roundtrip("ga7", fixtures.render_ga7)
+    for r in levels["per_outage"]:
+        assert "service_index_name" in r and "isHighTraffic" in r
+
+
+def test_ga10_casefold_and_string_zero():
+    levels, _, _ = _roundtrip("ga10", fixtures.render_ga10)
+    for r in levels["per_county"]:
+        assert all(k == k.lower() for k in r)
+        assert r["members affected"] != "0"
+        assert isinstance(r["members affected"], str)
+
+
+def test_ga11_three_endpoints():
+    base = "https://g11.example/outages/"
+    lv, _, _ = families.parse_payload(
+        "ga11_subs", fixtures.render_ga11_subs(base + "shellout/subs.json")
+    )
+    assert all(s["SubTotalConsumersOut"] != 0 for s in lv["per_substation"])
+    lv, _, _ = families.parse_payload(
+        "ga11_county", fixtures.render_ga11_county(base + "shellout/county.json")
+    )
+    assert all(r["out"] != 0 for r in lv["per_county"])
+    lv, _, _ = families.parse_payload(
+        "ga11_outages", fixtures.render_ga11_outages(base + "shellout/outages.json")
+    )
+    for r in lv["per_outage"]:
+        assert {"NumConsumers", "service_index_name", "outages"} <= set(r)
+
+
+def test_tx1_view_dropped_and_level_by_url():
+    for suffix, level in (("report-county.html", "per_county"), ("report-zip.html", "per_zipcode")):
+        url = U + suffix
+        lv, _, _ = families.parse_payload("tx1", fixtures.render_tx1(url), url)
+        assert level in lv
+        for r in lv[level]:
+            assert "VIEW" not in r
+            assert r["CUSTOMER OUTAGES"] != "0"
+
+
+def test_tx4_level_by_endpoint():
+    for suffix, level in (("zip", "per_zipcode"), ("county", "per_county")):
+        url = U + suffix
+        lv, _, _ = families.parse_payload("tx4", fixtures.render_tx4(url), url)
+        assert level in lv
+
+
+def test_tx6_jsonp_strip():
+    saw_wrapped = saw_plain = False
+    for i in range(12):
+        url = f"https://t6-{i}.example/q"
+        payload = fixtures.render_tx6(url)
+        saw_wrapped |= payload.startswith(b"dojo_request")
+        saw_plain |= payload.startswith(b"{")
+        lv, _, _ = families.parse_payload("tx6", payload, url)
+        for r in lv["per_outage"]:
+            assert r["BEGINTIME"][4] == "-" and "x" in r and "y" in r
+    assert saw_wrapped and saw_plain
+
+
+def test_tx7_double_encoded_dropna():
+    levels, _, _ = _roundtrip("tx7", fixtures.render_tx7)
+    for r in levels["per_outage"]:
+        assert all(v is not None for v in r.values())
+
+
+def test_fl1_pre_json_string_zero():
+    levels, _, _ = _roundtrip("fl1", fixtures.render_fl1)
+    assert all(r["Customers Out"] != "0" for r in levels["per_county"])
+
+
+def test_fl3_seven_col_projection():
+    levels, _, _ = _roundtrip("fl3", fixtures.render_fl3)
+    for r in levels["per_outage"]:
+        assert set(r) == set(families._FL3_COLS)
+        assert "internalNote" not in r
+
+
+def test_fl5_es_hits():
+    levels, _, _ = _roundtrip("fl5", fixtures.render_fl5)
+    for r in levels["per_outage"]:
+        assert "_id" in r and "county" in r
+
+
+def test_il7_level_per_endpoint():
+    for kind in ("city", "county", "metro"):
+        url = U + f"{kind}.json"
+        lv, _, _ = families.parse_payload("il7", fixtures.render_il7(url), url)
+        assert f"per_{kind}" in lv
+        assert all(r["NumOutages"] != 0 for r in lv[f"per_{kind}"])
+
+
+def test_il8_three_levels():
+    levels, _, _ = _roundtrip("il8", fixtures.render_il8)
+    assert set(levels) == {"per_zipcode", "per_county", "per_district"}
+    for rows in levels.values():
+        assert all(r["Out"] != 0 for r in rows)
+
+
+def test_tn5_nested_unwrap_and_rollup():
+    levels, _, _ = _roundtrip("tn5", fixtures.render_tn5)
+    for r in levels["per_outage"]:
+        assert "outage_reported" not in r and "customersAffected" in r
+    total = sum(r["customersAffected"] for r in levels["per_outage"])
+    assert total == sum(d["customersAffected"] for d in levels["per_district"])
+
+
+def test_la3_struct_field_delete():
+    levels, _, _ = _roundtrip("la3", fixtures.render_la3)
+    for r in levels["per_outage"]:
+        assert "extension" not in r and "affectedAreas" not in r
+
+
+def test_ms7_two_reports():
+    levels, _, _ = _roundtrip("ms7", fixtures.render_ms7)
+    assert set(levels) == {"per_county", "per_district"}
+
+
+def test_ms10_single_row():
+    levels, _, _ = _roundtrip("ms10", fixtures.render_ms10)
+    assert len(levels["per_emc"]) == 1
+    r = levels["per_emc"][0]
+    assert r["outages_now"].isdigit() and r["customers_served"].isdigit()
+
+
+def test_cc_text_extraction():
+    url = "https://h1.synth-utility.net/outages/1/"
+    payload = fixtures.render_cc(url)
+    levels, children, text = families.parse_payload("cc", payload, url)
+    assert children == []
+    assert "<" not in text and "var t=1" not in text  # tags+script stripped
+    assert levels["per_page"][0]["n_tokens"] > 100
+    # byte-identical across calls
+    assert text.encode() == families.parse_payload("cc", payload, url)[2].encode()
+
+
+def test_every_registered_family_roundtrips():
+    """Every (state,layout) mapping resolves to a renderer+parser that
+    produce at least a well-formed ParseOut on a fixture payload."""
+    from outage_data_scraper_spark.parsers.registry import FAMILY_BY_STATE_LAYOUT
+    from outage_data_scraper_spark.sources.fixtures import (
+        FAMILY_ENDPOINTS,
+        endpoint_kind,
+        render,
+    )
+
+    for (state, layout), fam in FAMILY_BY_STATE_LAYOUT.items():
+        base = f"https://{state}-{layout}.example/outages/"
+        urls = [base + s for s in FAMILY_ENDPOINTS.get(fam, [""])]
+        if fam == "kubra":
+            urls = [base, "https://reports.kubra-fixture.io/1/report-county.json"]
+        for url in urls:
+            payload = render(url, fam)
+            kind = endpoint_kind(url, fam)
+            levels, children, text = families.parse_payload(kind, payload, url)
+            assert isinstance(levels, dict)
+            assert isinstance(children, list)

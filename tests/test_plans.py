@@ -1,0 +1,73 @@
+"""Physical-plan assertions: pushdown, pruning, broadcast, shuffle budget.
+
+The reference rereads whole CSVs on every append (util.py:40); the engine
+must demonstrably push filters/columns into the parquet scan and broadcast
+dimensions (SURVEY.md §4.2) — checked here against the real plans.
+"""
+
+from pyspark.sql import functions as F
+
+from outage_data_scraper_spark.plans import (
+    assert_broadcast_join,
+    assert_pushed_filter,
+    assert_whole_stage_codegen,
+    count_exchanges,
+)
+from outage_data_scraper_spark.plans.explain import assert_column_pruned
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_to_parquet_scan(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = docs.filter(F.col("lang") == "en").select("doc_id")
+    assert_pushed_filter(q, "lang")
+
+
+def test_range_filter_pushdown(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    q = ev.filter(F.col("ts") >= "2024-01-10").select("event_id")
+    assert_pushed_filter(q, "ts")
+
+
+def test_column_pruning(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = docs.select("doc_id", "lang")
+    assert_column_pruned(q, "text")  # the fat column never leaves the scan
+
+
+def test_dimension_joins_broadcast(spark):
+    import __spark_entry__ as e
+
+    q = e.q03_region_order_stats(spark, SF)
+    assert_broadcast_join(q, n_min=3)  # customer, nation, region all broadcast
+
+
+def test_gold_pipeline_shuffle_budget(spark):
+    """O18+O19+O20: window + agg + join over the same outage_id key —
+    Catalyst must reuse the hash partitioning instead of re-shuffling per
+    operator. Budget: ≤3 static exchanges (window; agg reuses; join sides)."""
+    import __spark_entry__ as e
+
+    q = e.q25_gold_outage_metrics(spark, SF)
+    n = count_exchanges(q)
+    assert n <= 3, f"gold pipeline plans {n} exchanges"
+
+
+def test_whole_stage_codegen_on_relational_path(spark):
+    import __spark_entry__ as e
+
+    assert_whole_stage_codegen(e.q01_pricing_summary(spark, SF))
+
+
+def test_frontier_pop_single_shuffle(spark):
+    """O2: the per-host window pop must cost exactly one hash exchange."""
+    from outage_data_scraper_spark.frontier.priority import pop_wave, seeds_to_frontier
+    from outage_data_scraper_spark.sources.seeds import synthetic_seeds
+
+    frontier = seeds_to_frontier(synthetic_seeds(spark, 1000, 50))
+    popped = pop_wave(frontier, per_host_k=3, num_parts=8)
+    n = count_exchanges(popped)
+    # one exchange for the window partitionBy(host); the salted repartition
+    # for fetch is applied later in fetch_wave
+    assert n <= 2, f"frontier pop plans {n} exchanges"

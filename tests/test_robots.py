@@ -1,0 +1,80 @@
+"""robots.txt gate: parser, column-algebra matching, crawler integration."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from outage_data_scraper_spark.frontier.robots import parse_robots_txt, robots_gate
+
+
+def test_parse_robots_txt_groups():
+    body = """
+    # comment
+    User-agent: *
+    Disallow: /private/
+    Disallow: /tmp/
+    Crawl-delay: 2.5
+
+    User-agent: OtherBot
+    Disallow: /
+    """
+    dis, delay = parse_robots_txt(body)
+    assert dis == ["/private/", "/tmp/"]
+    assert delay == 2.5
+
+
+def _cands(spark, urls):
+    from outage_data_scraper_spark.functions import urlkit
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return df.withColumn("host", urlkit.host(F.col("url")))
+
+
+def test_robots_gate_rules_and_policies(spark):
+    cands = _cands(
+        spark,
+        [
+            "https://a.com/public/x",
+            "https://a.com/private/y",
+            "https://deny.com/anything",
+            "https://unknown.com/z",
+        ],
+    )
+    robots = spark.createDataFrame(
+        [
+            ("a.com", "2024-08-01 00:00:00", json.dumps(["/private/"]), "rules", 1.0),
+            ("deny.com", "2024-08-01 00:00:00", None, "deny", None),
+        ],
+        "host string, fetched_ts string, rules string, allow_all string, crawl_delay double",
+    ).withColumn("fetched_ts", F.to_timestamp("fetched_ts"))
+    kept = {r.url for r in robots_gate(cands, robots, default_allow=True).collect()}
+    assert kept == {"https://a.com/public/x", "https://unknown.com/z"}
+    # default-deny flips unknown hosts
+    kept2 = {r.url for r in robots_gate(cands, robots, default_allow=False).collect()}
+    assert kept2 == {"https://a.com/public/x"}
+
+
+def test_crawler_respects_robots_table(spark, tmp_path):
+    from outage_data_scraper_spark.catalog import SnapshotCatalog
+    from outage_data_scraper_spark.frontier.crawler import Crawler
+    from outage_data_scraper_spark.sources.fixtures import make_fixture_fetcher
+    from outage_data_scraper_spark.sources.seeds import fixture_miniweb_seeds
+
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    c = Crawler(spark, cat, make_fixture_fetcher, per_host_k=10, num_parts=8)
+    c.bootstrap(fixture_miniweb_seeds(spark))
+    robots = spark.createDataFrame(
+        [("hot.fixture-utility.com", "2024-08-01 00:00:00", None, "deny", None)],
+        "host string, fetched_ts string, rules string, allow_all string, crawl_delay double",
+    ).withColumn("fetched_ts", F.to_timestamp("fetched_ts"))
+    cat.write("robots", robots)
+
+    c.run(max_waves=10)
+    log = c.fetch_log()
+    hot = log.filter(F.col("url").contains("hot.fixture-utility"))
+    # every hot-host URL was denied by robots (status 451), none fetched
+    assert hot.count() > 0
+    assert hot.filter(F.col("status") != 451).count() == 0
+    assert {r.reason for r in hot.select("reason").distinct().collect()} == {"robots disallow"}
+    # other hosts crawled normally
+    assert log.filter(F.col("status") == 200).count() > 0

@@ -1,0 +1,106 @@
+"""Structured-Streaming polling analog: incremental, exactly-once over
+an append-only records directory (SURVEY.md §1.4 / §2.3)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from outage_data_scraper_spark.streaming.poll import (
+    poll_stream,
+    run_available_now,
+    windowed_outage_counts,
+)
+
+OBS = StructType(
+    [
+        StructField("emc", StringType()),
+        StructField("run_ts", TimestampType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _write_wave(spark, path, emc, ts_list):
+    df = (
+        spark.createDataFrame([(emc, ts, 1) for ts in ts_list], "emc string, run_ts string, n long")
+        .withColumn("run_ts", F.to_timestamp("run_ts"))
+        .select("emc", "run_ts", "n")
+    )
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return (
+        str(tmp_path / "records"),
+        str(tmp_path / "sink"),
+        str(tmp_path / "ckpt"),
+    )
+
+
+def _read_sink(spark, sink):
+    return spark.read.parquet(sink)
+
+
+def test_available_now_is_incremental_and_exactly_once(spark, dirs):
+    src, sink, ckpt = dirs
+    # two waves (= two files = two micro-batches): the second wave's
+    # event time pushes the watermark past the first wave's window
+    _write_wave(spark, src, "EMC A", ["2024-08-01 10:01:00", "2024-08-01 10:05:00"])
+    _write_wave(spark, src, "EMC A", ["2024-08-01 11:00:00"])
+
+    stream = poll_stream(spark, src, OBS)
+    assert stream.isStreaming
+    run_available_now(windowed_outage_counts(stream), sink, ckpt)
+    first = {(r.emc, str(r.window_start), r.n_records) for r in _read_sink(spark, sink).collect()}
+    assert ("EMC A", "2024-08-01 10:00:00", 2) in first  # closed by watermark
+    assert not any(w == "2024-08-01 11:00:00" for _, w, _ in first)  # still open
+
+    # poll again with NO new files: nothing new emitted (exactly-once)
+    run_available_now(windowed_outage_counts(poll_stream(spark, src, OBS)), sink, ckpt)
+    assert len(_read_sink(spark, sink).collect()) == len(first)
+
+    # a third wave closes the 11:00 window
+    _write_wave(spark, src, "EMC A", ["2024-08-01 12:00:00"])
+    run_available_now(windowed_outage_counts(poll_stream(spark, src, OBS)), sink, ckpt)
+    rows = {(r.emc, str(r.window_start), r.n_records) for r in _read_sink(spark, sink).collect()}
+    assert ("EMC A", "2024-08-01 11:00:00", 1) in rows
+
+
+def test_crawler_pages_dir_feeds_stream(spark, tmp_path):
+    """The snapshot catalog's data layout (snap-*/part-*.parquet) is
+    directly consumable as a streaming source via glob."""
+    from outage_data_scraper_spark import schemas
+    from outage_data_scraper_spark.catalog import SnapshotCatalog
+    from outage_data_scraper_spark.frontier.crawler import Crawler
+    from outage_data_scraper_spark.sources.fixtures import make_fixture_fetcher
+    from outage_data_scraper_spark.sources.seeds import fixture_miniweb_seeds
+
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    c = Crawler(spark, cat, make_fixture_fetcher, per_host_k=10, num_parts=8)
+    c.bootstrap(fixture_miniweb_seeds(spark))
+    c.run(max_waves=5)
+
+    src = os.path.join(str(tmp_path / "cat"), "records")
+    stream = (
+        spark.readStream.schema(schemas.RECORDS)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src + "/snap-*")
+    )
+    # stateless incremental projection (all crawl records share one
+    # run_ts, so a watermarked agg would never close — the windowed path
+    # is covered above)
+    proj = stream.filter(F.col("level") == "per_county").select("url", "level", "emc")
+    sink, ckpt = str(tmp_path / "s"), str(tmp_path / "c")
+    run_available_now(proj, sink, ckpt)
+    got = spark.read.parquet(sink)
+    assert got.count() > 0
+    assert {r.level for r in got.select("level").distinct().collect()} == {"per_county"}
