@@ -382,6 +382,28 @@ def q27_time_weighted_mean(spark, sf_dir):
     )
 
 
+def q31_json_extract(spark, sf_dir):
+    """O7/O8: nested JSON payload → typed columns (the from_json path the
+    crawl records table uses for per-family typed views)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.from_json(F.col("props"), "k int").getField("k").alias("k"),
+    )
+
+
+def q32_token_explode(spark, sf_dir):
+    """O7: explode over tokenized text → per-token frequency (the
+    flatten/explode pattern of boundary lists, ga_scraper.py:223–226)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(textkit.tokens(textkit.normalized(F.col("text")))).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 100)
+    )
+
+
 def q28_multimodal_features(spark, sf_dir):
     """Multimodal plumbing (stub decoder — rows-only check)."""
     assets = multimodal.synth_assets(spark, 200)
@@ -458,6 +480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_multimodal_features": q28_multimodal_features,
         "q29_bloom_seen_filter": q29_bloom_seen_filter,
         "q30_session_state_machine": q30_session_state_machine,
+        "q31_json_extract": q31_json_extract,
+        "q32_token_explode": q32_token_explode,
     }
 
 
@@ -687,6 +711,15 @@ def oracle_sql() -> dict[str, str]:
                    round(max(value), 2) AS peak_value,
                    round(sum(gap_s * value) / (CASE WHEN sum(gap_s) > 0 THEN sum(gap_s) END), 2) AS tw_mean_value
             FROM gaps GROUP BY user_id, session_id
+        """,
+        "q31_json_extract": """
+            SELECT event_id, CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS k
+            FROM events
+        """,
+        "q32_token_explode": f"""
+            SELECT token, count(*)::BIGINT AS n
+            FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+            GROUP BY 1 HAVING count(*) >= 100
         """,
         "q27_time_weighted_mean": """
             WITH ev AS (SELECT user_id, date_trunc('second', ts) AS ts, value FROM events),

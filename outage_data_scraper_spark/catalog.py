@@ -79,19 +79,33 @@ class SnapshotCatalog:
         df: DataFrame,
         mode: str = "append",
         wave: int | None = None,
+        partition_by: list[str] | None = None,
     ) -> int:
         """Append or overwrite; returns the new snapshot id.
 
         ``wave`` stamps crawl-wave lineage on the snapshot so resume can
-        find the last consistent wave across tables.
+        find the last consistent wave across tables. ``partition_by``
+        hive-partitions the snapshot's files (the stand-in for Iceberg's
+        partition spec — e.g. records PARTITIONED BY (state, layout),
+        pages by (url bucket, day), FIXTURES.md §1.1) so scans with
+        partition predicates prune files.
         """
         assert mode in ("append", "overwrite")
         manifest = self._load_manifest(name)
         snap_id = (manifest["snapshots"][-1]["id"] + 1) if manifest["snapshots"] else 1
         data_dir = os.path.join(self._table_dir(name), f"snap-{snap_id:08d}")
-        df.write.mode("overwrite").parquet(data_dir)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_dir)
         manifest["snapshots"].append(
-            {"id": snap_id, "mode": mode, "dir": f"snap-{snap_id:08d}", "wave": wave}
+            {
+                "id": snap_id,
+                "mode": mode,
+                "dir": f"snap-{snap_id:08d}",
+                "wave": wave,
+                "partition_by": partition_by,
+            }
         )
         self._commit_manifest(name, manifest)
         return snap_id
@@ -112,19 +126,33 @@ class SnapshotCatalog:
         snaps = self.snapshots(name)
         if snapshot is not None:
             snaps = [s for s in snaps if s["id"] <= snapshot]
-        live: list[str] = []
+        live: list[dict] = []
         for s in snaps:
             if s["mode"] == "overwrite":
                 live = []
-            live.append(os.path.join(self._table_dir(name), s["dir"]))
+            live.append(s)
         if not live:
             if schema is None:
                 raise ValueError(f"table {name!r} is empty and no schema given")
             return spark.createDataFrame([], schema)
-        reader = spark.read
+
+        def read_one(s: dict):
+            path = os.path.join(self._table_dir(name), s["dir"])
+            reader = spark.read
+            # hive-partitioned snapshots need per-dir discovery; schema is
+            # applied only to unpartitioned snapshots (partition columns
+            # come back via discovery)
+            if schema is not None and not s.get("partition_by"):
+                reader = reader.schema(schema)
+            return reader.parquet(path)
+
+        dfs = [read_one(s) for s in live]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=False)
         if schema is not None:
-            reader = reader.schema(schema)
-        return reader.parquet(*live)
+            out = out.select(*[f.name for f in schema.fields])
+        return out
 
     def rollback(self, name: str, snapshot: int) -> None:
         """Drop snapshots newer than ``snapshot`` (crash-recovery path)."""

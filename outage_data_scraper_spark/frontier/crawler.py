@@ -70,6 +70,8 @@ class Crawler:
         rate_per_host: float = 10.0,
         seen_mode: str = "exact",
         simulated_clock: bool = True,
+        bloom_expected_n: int = 100_000,
+        bloom_fpp: float = 1e-4,
     ):
         self.spark = spark
         self.cat = catalog
@@ -81,11 +83,49 @@ class Crawler:
         assert seen_mode in ("exact", "bloom")
         self.seen_mode = seen_mode
         self.simulated_clock = simulated_clock
+        self.BLOOM_EXPECTED_N = bloom_expected_n
+        self.BLOOM_FPP = bloom_fpp
 
     # -- state ---------------------------------------------------------------
     def bootstrap(self, seeds: DataFrame) -> None:
         frontier = seeds_to_frontier(seeds)
         self.cat.write("frontier", frontier, mode="overwrite", wave=0)
+        if self.seen_mode == "bloom":
+            self._bloom_add(frontier.select("url"), wave=0, reset=True)
+
+    # -- persistent Bloom seen-set --------------------------------------------
+    # The Bloom filter is incrementally maintained in the seen_bloom table
+    # (one merged bitset row per wave, wave-stamped): each wave ORs in only
+    # the NEWLY enqueued URLs instead of rebuilding from the full frontier —
+    # at 10^10-URL scale a rebuild would be a full-table scan per wave.
+    def _bloom_load(self):
+        from .seen import BloomFilter
+
+        if not self.cat.exists("seen_bloom"):
+            return None
+        row = (
+            self.cat.read(self.spark, "seen_bloom")
+            .orderBy(F.col("wave").desc())
+            .first()
+        )
+        if row is None:
+            return None
+        return BloomFilter.from_bytes(row.m, row.k, bytes(row.bitset))
+
+    def _bloom_add(self, urls: DataFrame, wave: int, reset: bool = False):
+        from .seen import BloomFilter, bloom_from_df
+
+        fresh = bloom_from_df(
+            urls, expected_n=self.BLOOM_EXPECTED_N, fpp=self.BLOOM_FPP
+        )
+        current = None if reset else self._bloom_load()
+        merged = fresh if current is None else current.merge(fresh)
+        row = self.spark.createDataFrame(
+            [(wave, merged.m, merged.k, merged.to_bytes())],
+            "wave int, m long, k int, bitset binary",
+        )
+        self.cat.write("seen_bloom", row, mode="overwrite", wave=wave)
+        return merged
 
     def frontier(self) -> DataFrame:
         return self.cat.read(self.spark, "frontier", schema=schemas.FRONTIER)
@@ -105,7 +145,7 @@ class Crawler:
         """Roll back any partial wave so all tables agree with the last
         committed wave marker; returns the next wave id to run."""
         last = self.last_committed_wave()
-        for table in ("records", "pages", "fetch_log", "frontier"):
+        for table in ("records", "pages", "fetch_log", "frontier", "seen_bloom"):
             snaps = [
                 s["id"]
                 for s in self.cat.snapshots(table)
@@ -123,11 +163,17 @@ class Crawler:
         ).withColumn("wave", F.lit(wave))
 
         # robots gate (north rule; absent in the reference, default-allow
-        # to preserve crawl parity). Denied URLs are logged, not refetched.
+        # to preserve crawl parity). Denied URLs are logged, not refetched;
+        # Crawl-delay becomes a per-host token-bucket rate override.
+        rate_overrides: dict[str, float] | None = None
         if self.cat.exists("robots"):
             from .robots import robots_gate
 
             robots = self.cat.read(self.spark, "robots", schema=schemas.ROBOTS)
+            rate_overrides = {
+                r.host: 1.0 / r.crawl_delay
+                for r in robots.filter(F.col("crawl_delay") > 0).collect()
+            } or None
             allowed = robots_gate(popped, robots, default_allow=True).cache()
             denied = popped.join(allowed.select("url"), "url", "left_anti")
             denied_log = denied.select(
@@ -150,24 +196,35 @@ class Crawler:
             rate_per_host=self.rate_per_host,
             salt=self.salt,
             simulated_clock=self.simulated_clock,
+            rate_overrides=rate_overrides,
         )
         parsed = parse_wave(fetched).cache()
 
         run_ts = F.current_timestamp()
+        # records PARTITIONED BY (state, layout) — the engine analog of
+        # the reference's {state}/layout_{id}/ CSV path (app/main.py:29)
         records = parsed.filter(F.col("kind") == "record").select(
             "url", "state", "layout", "emc", "level", "data",
             F.lit(None).cast("string").alias("text"),
             run_ts.alias("run_ts"), F.col("wave"),
         )
         n_records = records.count()
-        self.cat.write("records", records, wave=wave)
+        if n_records:
+            self.cat.write("records", records, wave=wave, partition_by=["state", "layout"])
 
+        # pages partition spec (bucket(16, url), days(warc_ts)) per
+        # FIXTURES.md §1.1 — month/day filters (O24) prune files
         pages = parsed.filter(F.col("kind") == "text").select(
             "url", run_ts.alias("warc_ts"),
             F.lit(None).cast("binary").alias("html"),
             F.col("text"), F.lit("en").alias("lang"),
+            F.pmod(F.xxhash64("url"), F.lit(16)).cast("string").alias("url_bucket"),
+            F.date_format(run_ts, "yyyy-MM-dd").alias("warc_day"),
         )
-        self.cat.write("pages", pages, wave=wave)
+        if pages.limit(1).count():
+            self.cat.write(
+                "pages", pages, wave=wave, partition_by=["url_bucket", "warc_day"]
+            )
 
         log = parsed.filter(F.col("kind").isin("error", "text")).select(
             "url", "wave", run_ts.alias("ts"), "status", "reason",
@@ -207,11 +264,16 @@ class Crawler:
         if self.seen_mode == "exact":
             fresh = filter_unseen_exact(children, self.frontier().select("url"))
         else:
-            bloom = bloom_from_df(self.frontier().select("url"))
+            bloom = self._bloom_load()
+            if bloom is None:  # e.g. bootstrapped before bloom mode existed
+                bloom = self._bloom_add(self.frontier().select("url"), wave=wave - 1, reset=True)
             fresh = filter_unseen_bloom(children, bloom)
+        fresh = fresh.cache()
         n_children = fresh.count()
         if n_children:
             self.cat.write("frontier", fresh, wave=wave)
+            if self.seen_mode == "bloom":
+                self._bloom_add(fresh.select("url"), wave=wave)
 
         n_popped = ok + failed
         wall = time.monotonic() - t0

@@ -45,11 +45,14 @@ def fetch_wave(
     rate_per_host: float = 1.0,
     salt: int = 1,
     simulated_clock: bool = True,
+    rate_overrides: dict[str, float] | None = None,
 ) -> DataFrame:
     """Fetch every popped URL; returns FETCH_RESULT_SCHEMA rows.
 
     ``fetcher_factory`` is called once per partition (so connection pools /
     fixture stores initialize executor-side, not on the driver).
+    ``rate_overrides``: host → req/s from robots Crawl-delay (broadcast
+    via task closure; the robots table is tiny).
     """
     from pyspark import TaskContext
 
@@ -57,7 +60,9 @@ def fetch_wave(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         fetcher = fetcher_factory()
-        pacer = HostPacer(rate_per_host, salt=salt, sim=simulated_clock)
+        pacer = HostPacer(
+            rate_per_host, salt=salt, sim=simulated_clock, rate_overrides=rate_overrides
+        )
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else -1
         for batch in batches:

@@ -64,12 +64,24 @@ class TokenBucket:
 
 
 class HostPacer:
-    """One token bucket per host, lazily created inside a fetch partition."""
+    """One token bucket per host, lazily created inside a fetch partition.
 
-    def __init__(self, rate_per_host: float, salt: int = 1, sim: bool = False):
+    ``rate_overrides`` maps host → requests/sec (e.g. derived from a
+    robots.txt Crawl-delay); hosts not listed use the default rate.
+    """
+
+    def __init__(
+        self,
+        rate_per_host: float,
+        salt: int = 1,
+        sim: bool = False,
+        rate_overrides: dict[str, float] | None = None,
+    ):
         # With salted co-location each of the `salt` sub-partitions may
         # host the same domain, so each enforces rate/salt.
-        self.rate = rate_per_host / max(salt, 1)
+        self.salt = max(salt, 1)
+        self.rate = rate_per_host / self.salt
+        self.overrides = rate_overrides or {}
         self.sim = sim
         self.clock = SimClock() if sim else None
         self._buckets: dict[str, TokenBucket] = {}
@@ -77,8 +89,10 @@ class HostPacer:
     def acquire(self, host: str) -> float:
         b = self._buckets.get(host)
         if b is None:
+            rate = self.overrides.get(host, None)
+            rate = (rate / self.salt) if rate is not None else self.rate
             b = TokenBucket(
-                rate=self.rate,
+                rate=rate,
                 capacity=1.0,
                 clock_now=self.clock.now if self.sim else time.monotonic,
                 clock_sleep=self.clock.sleep if self.sim else time.sleep,

@@ -45,6 +45,9 @@ def get_spark(
         # per-task in-flight memory (batch ≈ 2k × ~8KB ≈ 16MB)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.speculation", "false")
+        # partition columns stay strings — snapshot unions must not see
+        # a layout='8' directory flip to int via type inference
+        .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -142,3 +142,23 @@ def test_bloom_seen_mode_crawl(spark, tmp_path_factory):
     fetched = {r.url for r in c.fetch_log().select("url").distinct().collect()}
     # bloom may only *suppress* (fp) — at this scale expect exact equality
     assert fetched == set(reference_order(spark))
+
+
+def test_bloom_state_persists_across_waves(spark, tmp_path_factory):
+    """seen_bloom is maintained incrementally (one OR per wave), and the
+    persisted bitset suppresses re-enqueue of already-seen children."""
+    root = str(tmp_path_factory.mktemp("crawl-bloomstate"))
+    cat = SnapshotCatalog(root)
+    c = Crawler(spark, cat, make_fixture_fetcher, per_host_k=4, num_parts=8,
+                rate_per_host=100.0, seen_mode="bloom")
+    c.bootstrap(fixture_miniweb_seeds(spark))
+    assert cat.exists("seen_bloom")
+    c.run(max_waves=30)
+    # bloom contains every fetched URL: probing it suppresses all of them
+    from outage_data_scraper_spark.frontier.seen import filter_unseen_bloom
+    bloom = c._bloom_load()
+    fetched = c.fetch_log().select("url").distinct()
+    assert filter_unseen_bloom(fetched, bloom).count() == 0
+    # crawl result unchanged vs reference order
+    urls = {r.url for r in fetched.collect()}
+    assert urls == set(reference_order(spark))

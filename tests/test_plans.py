@@ -71,3 +71,26 @@ def test_frontier_pop_single_shuffle(spark):
     # one exchange for the window partitionBy(host); the salted repartition
     # for fetch is applied later in fetch_wave
     assert n <= 2, f"frontier pop plans {n} exchanges"
+
+
+def test_records_partition_pruning(spark, tmp_path):
+    """records snapshots are hive-partitioned by (state, layout); a state
+    filter must appear as a PartitionFilter, not a data filter."""
+    from outage_data_scraper_spark.catalog import SnapshotCatalog
+    from outage_data_scraper_spark.frontier.crawler import Crawler
+    from outage_data_scraper_spark.plans.explain import formatted_plan
+    from outage_data_scraper_spark.sources.fixtures import make_fixture_fetcher
+    from outage_data_scraper_spark.sources.seeds import fixture_miniweb_seeds
+
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    c = Crawler(spark, cat, make_fixture_fetcher, per_host_k=10, num_parts=8)
+    c.bootstrap(fixture_miniweb_seeds(spark))
+    c.run(max_waves=5)
+
+    rec = cat.read(spark, "records")  # no schema → partition discovery
+    q = rec.filter(F.col("state") == "tx").select("url", "level")
+    plan = formatted_plan(q)
+    part_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert part_lines and any("state" in ln for ln in part_lines), plan[:1500]
+    # and the tx rows are actually there
+    assert q.count() > 0

@@ -78,3 +78,15 @@ def test_crawler_respects_robots_table(spark, tmp_path):
     assert {r.reason for r in hot.select("reason").distinct().collect()} == {"robots disallow"}
     # other hosts crawled normally
     assert log.filter(F.col("status") == 200).count() > 0
+
+def test_crawl_delay_becomes_rate_override(spark, tmp_path):
+    """A robots Crawl-delay maps to that host's token-bucket rate: with a
+    simulated clock the per-request wait equals the delay."""
+    from outage_data_scraper_spark.frontier.politeness import HostPacer
+
+    p = HostPacer(rate_per_host=100.0, salt=1, sim=True,
+                  rate_overrides={"slow.com": 1.0 / 5.0})
+    assert p.acquire("slow.com") == 0.0
+    assert abs(p.acquire("slow.com") - 5.0) < 1e-9   # Crawl-delay: 5
+    assert p.acquire("fast.com") == 0.0
+    assert abs(p.acquire("fast.com") - 0.01) < 1e-9  # default rate

@@ -90,10 +90,17 @@ def test_crawler_pages_dir_feeds_stream(spark, tmp_path):
     c.run(max_waves=5)
 
     src = os.path.join(str(tmp_path / "cat"), "records")
+    # records snapshots are hive-partitioned by (state, layout); a
+    # recursive file lookup streams the data files directly (partition
+    # columns live in dir names, the remaining columns in the files)
+    data_schema = StructType(
+        [f for f in schemas.RECORDS.fields if f.name not in ("state", "layout")]
+    )
     stream = (
-        spark.readStream.schema(schemas.RECORDS)
+        spark.readStream.schema(data_schema)
         .option("pathGlobFilter", "*.parquet")
-        .parquet(src + "/snap-*")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
     )
     # stateless incremental projection (all crawl records share one
     # run_ts, so a watermarked agg would never close — the windowed path
