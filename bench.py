@@ -56,6 +56,9 @@ def run_headline(spark) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    # warm the session (codegen JIT, parquet footer cache, python workers)
+    # so q01 doesn't absorb the whole cold-start
+    _noop_materialize(qs[HEADLINE[0]](spark, SF_DIR))
     out = {}
     for name in HEADLINE:
         t0 = time.monotonic()

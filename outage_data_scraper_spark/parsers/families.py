@@ -456,6 +456,39 @@ def parse_ms10(payload: bytes) -> ParseOut:
     return {"per_emc": [rec]}, []
 
 
+# -- NY1: two-state XHR pair (ny_scraper.py:33–153) ------------------------------
+
+def parse_ny1(payload: bytes, url: str = "") -> ParseOut:
+    doc = json.loads(payload)
+    level = "per_borough" if url.endswith("report_nyc.json") else "per_area"
+    rows = [r for r in doc["rows"] if r["customersAffected"] != 0]
+    return {level: rows}, []
+
+
+# -- TN2: reportTable per dropdown level (tn_scraper.py:38–110) -------------------
+
+def parse_tn2(payload: bytes, url: str = "") -> ParseOut:
+    tables = extract_tables(payload.decode())
+    if not tables:
+        return {}, []
+    recs = [r for r in table_records(tables[0]) if r.get("Aff") != "0"]  # string cmp
+    level = f"per_{url.rsplit('/', 1)[-1]}" if "/report/" in url else "per_county"
+    return {level: recs}, []
+
+
+# -- NC7: treegrid rows (nc_scraper.py:151–259) ------------------------------------
+
+def parse_nc7(payload: bytes) -> ParseOut:
+    tables = extract_tables(payload.decode())
+    if not tables:
+        return {}, []
+    rows = [
+        r for r in table_records(tables[0])
+        if r.get("cust_a") not in (None, "0")  # string-typed zero
+    ]
+    return {"per_county": rows}, []
+
+
 # -- cc: Common-Crawl-style page (bench family) --------------------------------
 
 _TAG_STRIP = re.compile(r"<script.*?</script>|<style.*?</style>|<[^>]+>", re.S)
@@ -506,6 +539,9 @@ PARSERS: dict[str, callable] = {
     "la3": parse_la3,
     "ms7": parse_ms7,
     "ms10": parse_ms10,
+    "ny1": parse_ny1,
+    "tn2": parse_tn2,
+    "nc7": parse_nc7,
     "ca_inv": parse_ca_inv,
     "cc": parse_cc,
 }
@@ -513,7 +549,7 @@ PARSERS: dict[str, callable] = {
 
 # Families whose record level depends on which endpoint URL was fetched
 # (the reference routes by fetch call site; the engine routes by URL).
-URL_AWARE = {"tx1", "tx4", "il7"}
+URL_AWARE = {"tx1", "tx4", "il7", "ny1", "tn2"}
 
 
 def parse_payload(kind: str, payload: bytes, url: str = "") -> tuple[Levels, list[str], str | None]:

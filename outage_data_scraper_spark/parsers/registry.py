@@ -84,6 +84,11 @@ FAMILY_BY_STATE_LAYOUT: dict[tuple[str, str], str] = {
     ("fl", "7"): "fl3",
     ("fl", "9"): "fl5",
     ("fl", "11"): "fl3",
+    # NY / NC
+    ("ny", "1"): "ny1",
+    ("nc", "7"): "nc7",
+    ("nc", "6"): "nc7",
+    ("tn", "2"): "tn2",
     # IL / TN / LA / MS singles
     ("il", "7"): "il7",
     ("il", "8"): "il8",

@@ -568,6 +568,52 @@ def render_ms10(url: str) -> bytes:
     ).encode()
 
 
+# -- NY1: report_nyc/westchester XHR pair (ny_scraper.py:33–153) ----------------
+
+def render_ny1(url: str) -> bytes:
+    h = _h(url)
+    kind = "borough" if url.endswith("report_nyc.json") else "area"
+    rows = [
+        {
+            "name": f"{kind.title()}{_rnd(h, i, 20)}",
+            "customersAffected": 0 if _rnd(h, 5 + i, 4) == 0 else _rnd(h, 6 + i, 400),
+            "customersServed": 1000 + _rnd(h, 7 + i, 50000),
+        }
+        for i in range(2 + _rnd(h, 0, 4))
+    ]
+    return json.dumps({"rows": rows}).encode()
+
+
+# -- TN2: reportTable HTML per dropdown level (tn_scraper.py:38–110) -------------
+
+def render_tn2(url: str) -> bytes:
+    h = _h(url)
+    rows = "".join(
+        f"<tr><td>Area{_rnd(h, i, 40)}</td>"
+        f"<td>{0 if _rnd(h, 6 + i, 3) == 0 else _rnd(h, 7 + i, 120)}</td>"
+        f"<td>{300 + _rnd(h, 8 + i, 4000)}</td></tr>"
+        for i in range(2 + _rnd(h, 1, 5))
+    )
+    return (
+        '<html><body><table id="reportTable">'
+        "<tr><th>Name</th><th>Aff</th><th>Served</th></tr>"
+        f"{rows}</table></body></html>"
+    ).encode()
+
+
+# -- NC7: treegrid DOM rows (nc_scraper.py:151–259) -------------------------------
+
+def render_nc7(url: str) -> bytes:
+    h = _h(url)
+    rows = "".join(
+        f'<tr class="treegrid"><td class="area_name">County{_rnd(h, i, 25)}</td>'
+        f'<td class="cust_a">{0 if _rnd(h, 5 + i, 3) == 0 else _rnd(h, 6 + i, 200)}</td>'
+        f'<td class="cust_s">{500 + _rnd(h, 7 + i, 9000)}</td></tr>'
+        for i in range(2 + _rnd(h, 0, 5))
+    )
+    return f"<html><body><table><tr><th>area_name</th><th>cust_a</th><th>cust_s</th></tr>{rows}</table></body></html>".encode()
+
+
 # -- cc: Common-Crawl-style page (bench family) -------------------------------
 # Multi-KB HTML with nav/boilerplate + paragraphs of deterministic text;
 # the parser extracts the text (the byte-identical-per-url target for web
@@ -612,6 +658,8 @@ FAMILY_ENDPOINTS: dict[str, list[str]] = {
     "tx1": ["report-county.html", "report-zip.html"],
     "ga11": ["shellout/subs.json", "shellout/county.json", "shellout/outages.json"],
     "il7": ["city.json", "county.json", "metro.json"],
+    "ny1": ["report_nyc.json", "report_westchester.json"],
+    "tn2": ["report/county", "report/district"],
 }
 
 FAMILY_RENDERERS: dict[str, callable] = {
@@ -644,6 +692,9 @@ FAMILY_RENDERERS: dict[str, callable] = {
     "la3": render_la3,
     "ms7": render_ms7,
     "ms10": render_ms10,
+    "ny1": render_ny1,
+    "tn2": render_tn2,
+    "nc7": render_nc7,
     "ca_inv": render_ca_inv,
     "cc": render_cc,
 }

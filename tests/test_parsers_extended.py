@@ -199,3 +199,26 @@ def test_every_registered_family_roundtrips():
             levels, children, text = families.parse_payload(kind, payload, url)
             assert isinstance(levels, dict)
             assert isinstance(children, list)
+
+
+def test_ny1_level_by_endpoint():
+    for suffix, level in (("report_nyc.json", "per_borough"), ("report_westchester.json", "per_area")):
+        url = U + suffix
+        lv, _, _ = families.parse_payload("ny1", fixtures.render_ny1(url), url)
+        assert level in lv
+        assert all(r["customersAffected"] != 0 for r in lv[level])
+
+
+def test_tn2_dropdown_levels_string_zero():
+    for suffix, level in (("report/county", "per_county"), ("report/district", "per_district")):
+        url = U + suffix
+        lv, _, _ = families.parse_payload("tn2", fixtures.render_tn2(url), url)
+        assert level in lv
+        assert all(r["Aff"] != "0" for r in lv[level])
+
+
+def test_nc7_treegrid():
+    lv, _, _ = _roundtrip("nc7", fixtures.render_nc7)
+    for r in lv["per_county"]:
+        assert set(r) == {"area_name", "cust_a", "cust_s"}
+        assert r["cust_a"] != "0"
