@@ -170,5 +170,31 @@ class SnapshotCatalog:
         waves = [s.get("wave") for s in self.snapshots(name) if s.get("wave") is not None]
         return max(waves) if waves else None
 
+    def compact(self, spark: SparkSession, name: str, wave: int | None = None) -> int:
+        """Rewrite the table's live state as one overwrite snapshot
+        (Iceberg's rewrite_data_files analog). Long crawls append one
+        snapshot per wave per table; periodic compaction keeps the
+        read-side union shallow. Keeps the last snapshot's partition spec.
+        Old snapshot dirs are retired from the manifest (readers only see
+        the manifest) and removed."""
+        snaps = self.snapshots(name)
+        if not snaps:
+            raise ValueError(f"table {name!r} is empty")
+        partition_by = snaps[-1].get("partition_by")
+        current = self.read(spark, name)
+        snap_id = self.write(
+            name, current, mode="overwrite", wave=wave, partition_by=partition_by
+        )
+        # drop retired data dirs (everything before the compaction snapshot)
+        manifest = self._load_manifest(name)
+        keep = [s for s in manifest["snapshots"] if s["id"] >= snap_id]
+        retired = [s for s in manifest["snapshots"] if s["id"] < snap_id]
+        self._commit_manifest(name, {"snapshots": keep})
+        for s in retired:
+            shutil.rmtree(
+                os.path.join(self._table_dir(name), s["dir"]), ignore_errors=True
+            )
+        return snap_id
+
     def drop(self, name: str) -> None:
         shutil.rmtree(self._table_dir(name), ignore_errors=True)

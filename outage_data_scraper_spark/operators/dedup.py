@@ -194,22 +194,39 @@ def ngram_jaccard_pairs(
     k_shingle: int = 5,
     min_jaccard: float = 0.8,
 ) -> DataFrame:
-    """Exact Jaccard over distinct k-word shingles: explode → self-join on
-    shingle hash → |∩| per pair; |∪| = |A|+|B|−|∩|. md5 shingle hashes so
-    the DuckDB oracle reproduces it bit-for-bit."""
-    sh = docs.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(textkit.shingle_hashes(F.col(text_col), k_shingle))).alias("sh"),
+    """Exact Jaccard over distinct k-word shingles.
+
+    Physical shape (chosen over the naive explode+self-join, which
+    shuffles the exploded table twice on 32-byte md5 strings): hash each
+    shingle to 64 bits JVM-side, group the exploded (shingle → doc list)
+    once, generate co-occurrence pairs inside each group with two
+    generators, then count per pair — one wide shuffle on longs plus one
+    on (id,id). Set sizes come straight off the un-exploded array
+    (size(array_distinct(...))), no second aggregation over the exploded
+    data. Results are identical to the md5-based DuckDB oracle because
+    only shingle *identity* feeds the counts.
+    """
+    arr = F.array_distinct(
+        F.transform(textkit.word_shingles(F.col(text_col), k_shingle), lambda s: F.xxhash64(s))
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    l, r = sh.alias("l"), sh.alias("r")
-    inter = (
-        l.join(r, (F.col("l.sh") == F.col("r.sh")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
-        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
+    base = docs.select(F.col(id_col), arr.alias("arr")).filter(F.size("arr") > 0)
+    sizes = base.select(F.col(id_col), F.size("arr").alias("n"))
+    sh = base.select(F.col(id_col), F.explode("arr").alias("sh"))
+    grouped = (
+        sh.groupBy("sh")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
+    pairs = (
+        grouped.select(F.explode("ids").alias("id_a"), F.col("ids"))
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    inter = pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("common"))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    # no broadcast hint: sizes is one row per doc (10^10 at target scale);
+    # AQE broadcasts it automatically when it is actually small
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")

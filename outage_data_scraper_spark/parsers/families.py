@@ -456,6 +456,21 @@ def parse_ms10(payload: bytes) -> ParseOut:
     return {"per_emc": [rec]}, []
 
 
+# -- IL1: nested areas[0].areas, conditional {val} unwrap (il_scraper.py:37–131) --
+
+def parse_il1(payload: bytes, url: str = "") -> ParseOut:
+    doc = json.loads(payload)
+    level = "per_zipcode" if url.endswith("report_zip.json") else "per_county"
+    rows = []
+    for a in doc["file_data"]["areas"][0]["areas"]:
+        rec = dict(a)
+        if isinstance(rec.get("cust_a"), dict):  # {val:…} sometimes wraps
+            rec["cust_a"] = rec["cust_a"]["val"]
+        if rec["cust_a"] != 0 or rec.get("n_out", 0) != 0:
+            rows.append(rec)
+    return {level: rows}, []
+
+
 # -- NY1: two-state XHR pair (ny_scraper.py:33–153) ------------------------------
 
 def parse_ny1(payload: bytes, url: str = "") -> ParseOut:
@@ -542,6 +557,7 @@ PARSERS: dict[str, callable] = {
     "ny1": parse_ny1,
     "tn2": parse_tn2,
     "nc7": parse_nc7,
+    "il1": parse_il1,
     "ca_inv": parse_ca_inv,
     "cc": parse_cc,
 }
@@ -549,7 +565,7 @@ PARSERS: dict[str, callable] = {
 
 # Families whose record level depends on which endpoint URL was fetched
 # (the reference routes by fetch call site; the engine routes by URL).
-URL_AWARE = {"tx1", "tx4", "il7", "ny1", "tn2"}
+URL_AWARE = {"tx1", "tx4", "il7", "ny1", "tn2", "il1"}
 
 
 def parse_payload(kind: str, payload: bytes, url: str = "") -> tuple[Levels, list[str], str | None]:

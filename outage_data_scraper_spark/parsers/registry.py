@@ -84,6 +84,10 @@ FAMILY_BY_STATE_LAYOUT: dict[tuple[str, str], str] = {
     ("fl", "7"): "fl3",
     ("fl", "9"): "fl5",
     ("fl", "11"): "fl3",
+    # IL stormcenter
+    ("il", "1"): "il1",
+    ("il", "2"): "kubra",
+    ("ny", "2"): "kubra",
     # NY / NC
     ("ny", "1"): "ny1",
     ("nc", "7"): "nc7",

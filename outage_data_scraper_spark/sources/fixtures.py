@@ -568,6 +568,26 @@ def render_ms10(url: str) -> bytes:
     ).encode()
 
 
+# -- IL1: stormcenter nested report (il_scraper.py:37–131) ------------------------
+# cust_a is SOMETIMES a {val:int} wrapper and sometimes a bare int — the
+# reference unwraps conditionally; the fixture exercises both shapes.
+
+def render_il1(url: str) -> bytes:
+    h = _h(url)
+    kind = "zip" if url.endswith("report_zip.json") else "county"
+    inner = [
+        {
+            "name": f"{kind.title()}{_rnd(h, i, 40)}",
+            "cust_a": (
+                {"val": _rnd(h, 10 + i, 500)} if _rnd(h, 20 + i, 2) else _rnd(h, 30 + i, 500)
+            ),
+            "n_out": 0 if _rnd(h, 40 + i, 4) == 0 else _rnd(h, 50 + i, 60),
+        }
+        for i in range(2 + _rnd(h, 0, 4))
+    ]
+    return json.dumps({"file_data": {"areas": [{"areas": inner}]}}).encode()
+
+
 # -- NY1: report_nyc/westchester XHR pair (ny_scraper.py:33–153) ----------------
 
 def render_ny1(url: str) -> bytes:
@@ -660,6 +680,7 @@ FAMILY_ENDPOINTS: dict[str, list[str]] = {
     "il7": ["city.json", "county.json", "metro.json"],
     "ny1": ["report_nyc.json", "report_westchester.json"],
     "tn2": ["report/county", "report/district"],
+    "il1": ["report_county.json", "report_zip.json"],
 }
 
 FAMILY_RENDERERS: dict[str, callable] = {
@@ -695,6 +716,7 @@ FAMILY_RENDERERS: dict[str, callable] = {
     "ny1": render_ny1,
     "tn2": render_tn2,
     "nc7": render_nc7,
+    "il1": render_il1,
     "ca_inv": render_ca_inv,
     "cc": render_cc,
 }

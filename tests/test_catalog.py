@@ -31,3 +31,27 @@ def test_rollback_drops_newer_snapshots(spark, tmp_catalog_dir):
     cat.rollback("t", s1)
     assert [r.x for r in cat.read(spark, "t").collect()] == [1]
     assert cat.last_wave("t") == 1
+
+
+def test_compact_preserves_state_and_prunes_snapshots(spark, tmp_catalog_dir):
+    cat = SnapshotCatalog(tmp_catalog_dir)
+    for i in range(4):
+        cat.write("t", _df(spark, [i]))
+    before = sorted(r.x for r in cat.read(spark, "t").collect())
+    cat.compact(spark, "t")
+    assert sorted(r.x for r in cat.read(spark, "t").collect()) == before
+    assert len(cat.snapshots("t")) == 1
+    # appends continue normally after compaction
+    cat.write("t", _df(spark, [9]))
+    assert sorted(r.x for r in cat.read(spark, "t").collect()) == before + [9]
+
+
+def test_compact_keeps_partition_spec(spark, tmp_catalog_dir):
+    cat = SnapshotCatalog(tmp_catalog_dir)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "x int, p string")
+    cat.write("t", df, partition_by=["p"])
+    cat.write("t", spark.createDataFrame([(3, "a")], "x int, p string"), partition_by=["p"])
+    cat.compact(spark, "t")
+    assert cat.snapshots("t")[-1]["partition_by"] == ["p"]
+    got = {(r.x, r.p) for r in cat.read(spark, "t").collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "a")}

@@ -222,3 +222,19 @@ def test_nc7_treegrid():
     for r in lv["per_county"]:
         assert set(r) == {"area_name", "cust_a", "cust_s"}
         assert r["cust_a"] != "0"
+
+
+def test_il1_conditional_val_unwrap():
+    saw_wrapped = False
+    for i in range(6):
+        url = f"https://il1-{i}.example/report_county.json"
+        payload = fixtures.render_il1(url)
+        saw_wrapped |= b'"val"' in payload
+        lv, _, _ = families.parse_payload("il1", payload, url)
+        for r in lv["per_county"]:
+            assert not isinstance(r["cust_a"], dict)
+            assert r["cust_a"] != 0 or r["n_out"] != 0
+    assert saw_wrapped
+    url = "https://il1.example/report_zip.json"
+    lv, _, _ = families.parse_payload("il1", fixtures.render_il1(url), url)
+    assert "per_zipcode" in lv

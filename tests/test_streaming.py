@@ -111,3 +111,61 @@ def test_crawler_pages_dir_feeds_stream(spark, tmp_path):
     got = spark.read.parquet(sink)
     assert got.count() > 0
     assert {r.level for r in got.select("level").distinct().collect()} == {"per_county"}
+
+
+def test_stateful_streaming_sessionizer(spark, tmp_path):
+    """applyInPandasWithState: sessions survive micro-batch boundaries and
+    emit exactly when the feed recovers."""
+    from outage_data_scraper_spark.streaming.stateful import streaming_sessionize
+
+    src = str(tmp_path / "obs")
+    obs_schema = "emc string, ts string, out long"
+
+    def wave(rows):
+        df = (
+            spark.createDataFrame(rows, obs_schema)
+            .withColumn("ts", F.to_timestamp("ts"))
+            .select("emc", "ts", "out")
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    # wave 1 opens a session for EMC A (no close yet)
+    wave([("A", "2024-08-01 10:00:00", 50), ("A", "2024-08-01 10:15:00", 80)])
+    # wave 2 (separate file → separate micro-batch) recovers A, and B
+    # opens+closes within the batch
+    wave([
+        ("A", "2024-08-01 10:30:00", 0),
+        ("B", "2024-08-01 10:00:00", 7),
+        ("B", "2024-08-01 10:10:00", 0),
+    ])
+
+    from outage_data_scraper_spark import schemas  # noqa: F401
+    from pyspark.sql.types import LongType, StringType, StructField, StructType, TimestampType
+
+    stream = (
+        spark.readStream.schema(
+            StructType([
+                StructField("emc", StringType()),
+                StructField("ts", TimestampType()),
+                StructField("out", LongType()),
+            ])
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sessions = streaming_sessionize(stream, threshold=0)
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", str(tmp_path / "sink"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.emc, str(r.session_start), r.n_obs, r.peak_out, r.closed_by)
+        for r in spark.read.parquet(str(tmp_path / "sink")).collect()
+    }
+    assert ("A", "2024-08-01 10:00:00", 2, 80, "recovered") in got
+    assert ("B", "2024-08-01 10:00:00", 1, 7, "recovered") in got
