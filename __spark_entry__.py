@@ -423,7 +423,9 @@ def q29_bloom_seen_filter(spark, sf_dir):
 
 def q30_session_state_machine(spark, sf_dir):
     """O26 full threshold-merger state machine via applyInPandas
-    (sequential within group, parallel across groups — rows-only)."""
+    (sequential within group, parallel across groups). Although the fold
+    is imperative, its semantics are SQL-expressible, so the driver
+    cross-checks it value-exact against a gaps-and-islands + lag oracle."""
     from outage_data_scraper_spark.operators.sessionize import (
         sessionize_threshold_state_machine,
     )
@@ -435,10 +437,44 @@ def q30_session_state_machine(spark, sf_dir):
         F.lit("ci").alias("CityName"),
         F.lit("0").alias("CountyFIPS"),
         F.lit(1000).cast("long").alias("CustomersTracked"),
-        F.col("value").cast("long").alias("CustomersOut"),
+        F.floor(F.col("value")).cast("long").alias("CustomersOut"),
         F.date_trunc("second", "ts").alias("RecordDateTime"),
     )
-    return sessionize_threshold_state_machine(ev, threshold=50, abs_diff=100)
+    out = sessionize_threshold_state_machine(ev, threshold=50, abs_diff=100)
+    return out.select(
+        F.col("UtilityName").alias("utility"),
+        "session_id",
+        F.date_format("session_start_ts", _TS_FMT_SPARK).alias("session_start"),
+        F.date_format("session_end_ts", _TS_FMT_SPARK).alias("session_end"),
+        F.round("duration_min", 2).alias("duration_min"),
+        "n_obs",
+        "peak_customers_out",
+        "case_d_splits",
+    )
+
+
+def q33_session_properties(spark, sf_dir):
+    """O28: per-key scalar report over sessions (step2_property.py:60–94).
+
+    Arithmetic is integer-exact until the final division (durations in
+    whole seconds, floored values) so the cross-engine value hash is
+    immune to float summation order."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("second", "ts").alias("ts"),
+        F.floor("value").cast("long").alias("val"),
+    )
+    s = sessionize_sql(ev, threshold=50, keys=["user_id"], ts_col="ts", val_col="val")
+    s = s.withColumn(
+        "duration_s",
+        F.unix_timestamp("session_end_ts") - F.unix_timestamp("session_start_ts"),
+    ).withColumn("cm_s", F.col("tw_numerator"))  # Σ gap·val, integer-exact
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("outage_frequency"),
+        F.round(F.sum("duration_s") / F.count(F.lit(1)) / 60.0, 2).alias("avg_duration_min"),
+        F.round(F.sum("peak_value") / F.count(F.lit(1)), 2).alias("avg_peak"),
+        F.round(F.sum("cm_s") / 60.0, 2).alias("total_customer_minutes"),
+    )
 
 
 # -- driver contract -----------------------------------------------------------
@@ -482,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_session_state_machine": q30_session_state_machine,
         "q31_json_extract": q31_json_extract,
         "q32_token_explode": q32_token_explode,
+        "q33_session_properties": q33_session_properties,
     }
 
 
@@ -711,6 +748,68 @@ def oracle_sql() -> dict[str, str]:
                    round(max(value), 2) AS peak_value,
                    round(sum(gap_s * value) / (CASE WHEN sum(gap_s) > 0 THEN sum(gap_s) END), 2) AS tw_mean_value
             FROM gaps GROUP BY user_id, session_id
+        """,
+        "q30_session_state_machine": """
+            WITH ev AS (
+              SELECT user_id::VARCHAR AS utility, date_trunc('second', ts) AS ts,
+                     CAST(floor(value) AS BIGINT) AS out
+              FROM events
+            ),
+            marked AS (
+              SELECT *, (out > 50)::INT AS is_active,
+                     coalesce(lag((out > 50)::INT) OVER (PARTITION BY utility ORDER BY ts), 0) AS prev_active,
+                     lag(out) OVER (PARTITION BY utility ORDER BY ts) AS prev_out
+              FROM ev
+            ),
+            sess AS (
+              SELECT *, sum(CASE WHEN is_active = 1 AND prev_active = 0 THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY utility ORDER BY ts) AS session_id
+              FROM marked
+            ),
+            act AS (
+              SELECT *, row_number() OVER (PARTITION BY utility, session_id ORDER BY ts) AS rn
+              FROM sess WHERE is_active = 1
+            )
+            SELECT utility, session_id::INT AS session_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+                   round((epoch(max(ts)) - epoch(min(ts))) / 60.0, 2) AS duration_min,
+                   count(*)::BIGINT AS n_obs,
+                   max(out)::BIGINT AS peak_customers_out,
+                   sum(CASE WHEN rn > 1 AND abs(out - prev_out) > 100 THEN 1 ELSE 0 END)::INT AS case_d_splits
+            FROM act GROUP BY utility, session_id
+        """,
+        "q33_session_properties": """
+            WITH ev AS (SELECT user_id, date_trunc('second', ts) AS ts,
+                               CAST(floor(value) AS BIGINT) AS val FROM events),
+            marked AS (
+              SELECT *, (val > 50)::INT AS is_active,
+                     coalesce(lag((val > 50)::INT) OVER (PARTITION BY user_id ORDER BY ts), 0) AS prev_active
+              FROM ev
+            ),
+            sess AS (
+              SELECT *, sum(CASE WHEN is_active = 1 AND prev_active = 0 THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+              FROM marked
+            ),
+            act AS (SELECT * FROM sess WHERE is_active = 1),
+            gaps AS (
+              SELECT *, coalesce(epoch(lead(ts) OVER (PARTITION BY user_id, session_id ORDER BY ts))
+                                  - epoch(ts), 0)::BIGINT AS gap_s
+              FROM act
+            ),
+            sessions AS (
+              SELECT user_id, session_id,
+                     (epoch(max(ts)) - epoch(min(ts)))::BIGINT AS duration_s,
+                     max(val) AS peak,
+                     sum(gap_s * val)::BIGINT AS cm_s
+              FROM gaps GROUP BY 1, 2
+            )
+            SELECT user_id, count(*)::BIGINT AS outage_frequency,
+                   round(sum(duration_s)::DOUBLE / count(*) / 60.0, 2) AS avg_duration_min,
+                   round(sum(peak)::DOUBLE / count(*), 2) AS avg_peak,
+                   round(sum(cm_s)::DOUBLE / 60.0, 2) AS total_customer_minutes
+            FROM sessions GROUP BY 1
         """,
         "q31_json_extract": """
             SELECT event_id, CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS k

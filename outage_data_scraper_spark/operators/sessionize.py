@@ -78,6 +78,9 @@ def sessionize_sql(
             F.sum(F.col("gap_s") * F.col(val_col))
             / F.when(F.sum("gap_s") > 0, F.sum("gap_s")).otherwise(F.lit(None))
         ).alias("tw_mean_value"),
+        # exact numerator Σ gapᵢ·valᵢ (integer-exact when val is integral)
+        F.sum(F.col("gap_s") * F.col(val_col)).alias("tw_numerator"),
+        F.sum("gap_s").alias("active_s"),
     )
 
 

@@ -94,3 +94,20 @@ def test_records_partition_pruning(spark, tmp_path):
     assert part_lines and any("state" in ln for ln in part_lines), plan[:1500]
     # and the tx rows are actually there
     assert q.count() > 0
+
+
+def test_crawl_wave_two_shuffle_budget(spark):
+    """SURVEY.md §4.4: exactly two shuffles per wave — the host window pop
+    and the salted repartition for fetch. The fused fetch+parse chain must
+    not add more."""
+    from outage_data_scraper_spark.frontier.priority import pop_wave, seeds_to_frontier
+    from outage_data_scraper_spark.parsers.parse import fused_fetch_parse
+    from outage_data_scraper_spark.sources.fixtures import make_fixture_fetcher
+    from outage_data_scraper_spark.sources.seeds import synthetic_seeds
+
+    frontier = seeds_to_frontier(synthetic_seeds(spark, 2000, 100))
+    popped = pop_wave(frontier, per_host_k=100, num_parts=8, salt=4)
+    parsed = fused_fetch_parse(popped, make_fixture_fetcher, num_parts=8,
+                               rate_per_host=1e9, salt=4)
+    n = count_exchanges(parsed)
+    assert n == 2, f"crawl wave plans {n} shuffles (budget: 2)"
