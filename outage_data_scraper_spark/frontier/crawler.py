@@ -166,6 +166,7 @@ class Crawler:
         # to preserve crawl parity). Denied URLs are logged, not refetched;
         # Crawl-delay becomes a per-host token-bucket rate override.
         rate_overrides: dict[str, float] | None = None
+        allowed = None
         if self.cat.exists("robots"):
             from .robots import robots_gate
 
@@ -200,7 +201,14 @@ class Crawler:
         )
         parsed = parse_wave(fetched).cache()
 
-        run_ts = F.current_timestamp()
+        # ONE wall-clock per wave, fixed driver-side: F.current_timestamp()
+        # is per-action, and the wave runs several actions — records and
+        # pages must share the same run_ts (the reference calls timenow()
+        # once per parse, ga_scraper.py:212–214)
+        from datetime import datetime, timezone
+
+        wave_ts = datetime.now(timezone.utc).replace(tzinfo=None, microsecond=0)
+        run_ts = F.lit(wave_ts).cast("timestamp")
         # records PARTITIONED BY (state, layout) — the engine analog of
         # the reference's {state}/layout_{id}/ CSV path (app/main.py:29)
         records = parsed.filter(F.col("kind") == "record").select(
@@ -283,6 +291,9 @@ class Crawler:
         )
         self.cat.write("waves", marker, wave=wave)  # the wave commit point
         parsed.unpersist()
+        fresh.unpersist()
+        if allowed is not None:
+            allowed.unpersist()
         return ws
 
     def run(self, max_waves: int = 10) -> list[WaveStats]:
