@@ -121,15 +121,28 @@ def parse_kubra_report(payload: bytes) -> ParseOut:
     return {level: rows}, []
 
 
-# -- GA9: HTML tables (ga_scraper.py:597–689) --------------------------------
+# -- GA9: landing page discovers dropdown levels; one table per level
+# (ga_scraper.py:597–689, dropdown discovery at 680–688) -----------------------
 
-def parse_ga9(payload: bytes) -> ParseOut:
+_GA9_OPTION = re.compile(r'<option value="([^"]+)"')
+
+
+def parse_ga9_landing(payload: bytes, url: str = "") -> ParseOut:
+    """The runtime-discovered dropdown levels become child URLs — the
+    engine form of the reference's per-dropdown page loads."""
+    levels = _GA9_OPTION.findall(payload.decode())
+    children = [f"{url}?level={lv}" for lv in levels]
+    return {}, children
+
+
+def parse_ga9_table(payload: bytes, url: str = "") -> ParseOut:
     tables = extract_tables(payload.decode())
     if len(tables) < 2:
         return {}, []
     recs = table_records(tables[1])
     rows = [r for r in recs if r.get("# Out") != "0"]  # string-typed compare
-    return {"per_zone": rows}, []
+    level = url.rsplit("level=", 1)[-1] if "level=" in url else "zone"
+    return {f"per_{level}": rows}, []
 
 
 # -- TX4: flat JSON lists at …zip / …county endpoints (tx_scraper.py:85–114) ---
@@ -534,7 +547,8 @@ PARSERS: dict[str, callable] = {
     "ga5": parse_ga5,
     "ga6": parse_ga6,
     "ga7": parse_ga7,
-    "ga9": parse_ga9,
+    "ga9_landing": parse_ga9_landing,
+    "ga9_table": parse_ga9_table,
     "ga10": parse_ga10,
     "ga11_subs": parse_ga11_subs,
     "ga11_county": parse_ga11_county,
@@ -565,7 +579,7 @@ PARSERS: dict[str, callable] = {
 
 # Families whose record level depends on which endpoint URL was fetched
 # (the reference routes by fetch call site; the engine routes by URL).
-URL_AWARE = {"tx1", "tx4", "il7", "ny1", "tn2", "il1"}
+URL_AWARE = {"tx1", "tx4", "il7", "ny1", "tn2", "il1", "ga9_landing", "ga9_table"}
 
 
 def parse_payload(kind: str, payload: bytes, url: str = "") -> tuple[Levels, list[str], str | None]:

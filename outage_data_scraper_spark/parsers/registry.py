@@ -80,6 +80,7 @@ FAMILY_BY_STATE_LAYOUT: dict[tuple[str, str], str] = {
     ("tx", "6"): "tx6",
     ("tx", "7"): "tx7",
     # FL singles
+    ("fl", "8"): "nc7",  # Duke DOM table (FL9/NC6 twins, SURVEY §2.2)
     ("fl", "6"): "fl1",
     ("fl", "7"): "fl3",
     ("fl", "9"): "fl5",

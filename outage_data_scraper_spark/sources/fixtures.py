@@ -131,10 +131,27 @@ def render_kubra_report(url: str) -> bytes:
     return json.dumps({"file_title": title, "file_data": {"areas": areas}}).encode()
 
 
-def render_ga9(url: str) -> bytes:
+def ga9_levels(url: str) -> list[str]:
+    """Dropdown levels discovered at runtime on the GA9 landing page
+    (ga_scraper.py:680–688); deterministic per seed."""
     h = _h(url)
+    all_levels = ["zone", "county", "district"]
+    return all_levels[: 1 + _rnd(h, 99, 3)]
+
+
+def render_ga9_landing(url: str) -> bytes:
+    options = "".join(f'<option value="{lv}">{lv}</option>' for lv in ga9_levels(url))
+    return (
+        f"<html><body><select id='level'>{options}</select>"
+        "<div>select a level</div></body></html>"
+    ).encode()
+
+
+def render_ga9_table(url: str) -> bytes:
+    h = _h(url)
+    level = url.rsplit("level=", 1)[-1].title()
     rows = "".join(
-        f"<tr><td>Zone{_rnd(h, i, 60)}</td>"
+        f"<tr><td>{level}{_rnd(h, i, 60)}</td>"
         f"<td>{0 if _rnd(h, 7 + i, 3) == 0 else _rnd(h, 9 + i, 150)}</td>"
         f"<td>{100 + _rnd(h, 11 + i, 4000)}</td></tr>"
         for i in range(2 + _rnd(h, 1, 5))
@@ -693,7 +710,8 @@ FAMILY_RENDERERS: dict[str, callable] = {
     "ga5": render_ga5,
     "ga6": render_ga6,
     "ga7": render_ga7,
-    "ga9": render_ga9,
+    "ga9_landing": render_ga9_landing,
+    "ga9_table": render_ga9_table,
     "ga10": render_ga10,
     "ga11_subs": render_ga11_subs,
     "ga11_county": render_ga11_county,
@@ -733,6 +751,8 @@ def endpoint_kind(url: str, family: str) -> str:
             if url.endswith(f"{suffix}.json"):
                 return f"ga11_{suffix}"
         return "ga11_outages"
+    if family == "ga9":
+        return "ga9_table" if "level=" in url else "ga9_landing"
     return family
 
 

@@ -78,12 +78,18 @@ def test_level_keyword_cascade_order():
     assert families.classify_level("other") == "per_unknown"
 
 
-def test_ga9_html_table_string_zero_filter():
-    payload = fixtures.render_ga9("https://t.example/table")
-    levels, _ = families.parse_ga9(payload)
-    for rec in levels["per_zone"]:
-        assert set(rec) == {"Name", "# Out", "# Served"}
-        assert rec["# Out"] != "0"  # string-typed (ga_scraper.py:641)
+def test_ga9_dropdown_discovery_and_table_parse():
+    url = "https://t.example/outages/"
+    levels, children = families.parse_ga9_landing(fixtures.render_ga9_landing(url), url)
+    assert levels == {}
+    assert children == [f"{url}?level={lv}" for lv in fixtures.ga9_levels(url)]
+    for child in children:
+        lv, _ = families.parse_ga9_table(fixtures.render_ga9_table(child), child)
+        level = f"per_{child.rsplit('level=', 1)[-1]}"
+        assert level in lv
+        for rec in lv[level]:
+            assert set(rec) == {"Name", "# Out", "# Served"}
+            assert rec["# Out"] != "0"  # string-typed (ga_scraper.py:641)
 
 
 def test_tx4_ms_epoch_and_int_zero_filter():
