@@ -404,6 +404,15 @@ def q32_token_explode(spark, sf_dir):
     )
 
 
+def q34_ann_ivf_topk(spark, sf_dir):
+    """IVF-quantized ANN (k-means inverted lists, probed search —
+    approximate, rows-only check; brute-force q22 is the recall oracle)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ann_topk_ivf(
+        emb, _query_vec(spark, sf_dir), k=10, n_centroids=8, n_probe=3, iters=2
+    )
+
+
 def q28_multimodal_features(spark, sf_dir):
     """Multimodal plumbing (stub decoder — rows-only check)."""
     assets = multimodal.synth_assets(spark, 200)
@@ -519,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_json_extract": q31_json_extract,
         "q32_token_explode": q32_token_explode,
         "q33_session_properties": q33_session_properties,
+        "q34_ann_ivf_topk": q34_ann_ivf_topk,
     }
 
 

@@ -101,6 +101,90 @@ def ann_topk_lsh(
     )
 
 
+# -- IVF: k-means coarse quantizer + probed search ----------------------------
+
+def kmeans_centroids(
+    emb: DataFrame, k: int = 16, iters: int = 3,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic mini k-means, DataFrame-native: initial centroids are
+    the k lowest-id vectors spread by id order; each Lloyd step is one
+    assign pass (argmin over broadcast centroid literals) + one
+    elementwise-mean aggregation via posexplode. Everything JVM-side; the
+    driver only holds k×dim floats."""
+    n = emb.count()
+    step = max(n // k, 1)
+    init_rows = (
+        emb.orderBy(id_col)
+        .withColumn("__rn", F.monotonically_increasing_id())
+        .filter(F.pmod(F.col("__rn"), F.lit(step)) == 0)
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = np.array([[float(x) for x in r[0]] for r in init_rows])
+    v = F.col(vec_col).cast("array<double>")
+    for _ in range(iters):
+        assigned = emb.withColumn("__c", _nearest_centroid(v, centroids))
+        means = (
+            assigned.select("__c", F.posexplode(v).alias("pos", "x"))
+            .groupBy("__c", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = centroids.copy()
+        for r in means:
+            new[r["__c"]][r["pos"]] = r["m"]
+        centroids = new
+    return centroids
+
+
+def _nearest_centroid(v: Column, centroids: np.ndarray) -> Column:
+    """argmin_i ||v − c_i||² as pure column algebra: array_min over
+    (distance, index) structs."""
+    cands = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(v, _lit_vec(c), lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, d: acc + d,
+                ).alias("d"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.array_min(cands).getField("i")
+
+
+def ann_topk_ivf(
+    emb: DataFrame, query: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_centroids: int = 16, n_probe: int = 4, iters: int = 3,
+) -> DataFrame:
+    """IVF search: coarse-quantize with k-means, scan only the query's
+    ``n_probe`` nearest inverted lists, rerank exactly. At scale the
+    cluster id is a partition key (SCALE.md) so probes are partition-
+    pruned scans; recall is tuned by n_probe with brute force (cosine_
+    topk) as the oracle."""
+    centroids = kmeans_centroids(emb, n_centroids, iters, id_col, vec_col)
+    q = np.asarray(query, dtype=float)
+    order = np.argsort(((centroids - q) ** 2).sum(axis=1))
+    probes = [int(i) for i in order[:n_probe]]
+    v = F.col(vec_col).cast("array<double>")
+    bucketed = emb.withColumn("__c", _nearest_centroid(v, centroids))
+    cands = bucketed.filter(F.col("__c").isin(probes))
+    return (
+        cands.select(
+            F.col(id_col),
+            F.round(cosine(v, _lit_vec(query)), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame, threshold: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding",

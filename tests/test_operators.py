@@ -191,3 +191,32 @@ def test_host_pacer_per_host_isolation():
     assert p.acquire("a.com") == 0.0
     assert p.acquire("b.com") == 0.0    # different host: own bucket
     assert p.acquire("a.com") > 0.0     # same host: throttled
+
+
+def test_ann_ivf_recall_vs_brute_force(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    centers = rng.standard_normal((4, 16)) * 3
+    vecs = []
+    for i in range(240):
+        c = centers[i % 4]
+        vecs.append((i, (c + rng.standard_normal(16) * 0.3).tolist(), i % 4))
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>, label int")
+    q = (centers[0] + 0.1).tolist()
+    exact = [r.vec_id for r in similarity.cosine_topk(emb, q, k=10).collect()]
+    approx = [r.vec_id for r in similarity.ann_topk_ivf(
+        emb, q, k=10, n_centroids=8, n_probe=3, iters=2).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.8, f"IVF recall {recall} too low"
+
+
+def test_kmeans_deterministic(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(2)
+    vecs = [(i, rng.standard_normal(8).tolist(), 0) for i in range(100)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>, label int")
+    c1 = similarity.kmeans_centroids(emb, k=4, iters=2)
+    c2 = similarity.kmeans_centroids(emb, k=4, iters=2)
+    assert np.allclose(c1, c2)
