@@ -341,6 +341,20 @@ def parse_tx7(payload: bytes) -> ParseOut:
     return {"per_outage": rows}, []
 
 
+# -- TX10: outageLst + per-row zipcode geocode guard (tx_scraper.py:327–344) --------
+
+def parse_tx10(payload: bytes) -> ParseOut:
+    lst = json.loads(payload)["outageLst"]
+    # same <10-row geocode guard as GA1/GA5 (tx_scraper.py:336–338)
+    if len(lst) >= 10:
+        for o in lst:
+            o["zipcode"] = ZIP_GUARD_SENTINEL
+    else:
+        for o in lst:
+            o["zipcode"] = f"{75000 + int(abs(o['lat'] * 100)) % 9999:05d}"
+    return {"per_outage": lst}, []
+
+
 # -- FL1: <pre> JSON, string zeros (fl_scraper.py:24–53) ----------------------------
 
 _PRE = re.compile(r"<pre>(.*?)</pre>", re.S)
@@ -557,6 +571,7 @@ PARSERS: dict[str, callable] = {
     "tx4": parse_tx4,
     "tx6": parse_tx6,
     "tx7": parse_tx7,
+    "tx10": parse_tx10,
     "tn5": parse_tn5,
     "tn7": parse_tn7,
     "fl1": parse_fl1,

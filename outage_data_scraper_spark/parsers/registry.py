@@ -79,6 +79,7 @@ FAMILY_BY_STATE_LAYOUT: dict[tuple[str, str], str] = {
     ("la", "7"): "tx1",
     ("tx", "6"): "tx6",
     ("tx", "7"): "tx7",
+    ("tx", "10"): "tx10",
     # FL singles
     ("fl", "8"): "nc7",  # Duke DOM table (FL9/NC6 twins, SURVEY §2.2)
     ("fl", "6"): "fl1",

@@ -435,6 +435,22 @@ def render_tx7(url: str) -> bytes:
     return json.dumps({"d": inner}).encode()
 
 
+# -- TX10: outageLst with per-row geocode (tx_scraper.py:327–344) ----------------
+
+def render_tx10(url: str) -> bytes:
+    h = _h(url)
+    lst = [
+        {
+            "outageId": f"X{h % 999}-{i}",
+            "lat": 31.0 + _rnd(h, 10 + i, 900) / 1000.0,
+            "lng": -99.0 + _rnd(h, 20 + i, 900) / 1000.0,
+            "customersAffected": 1 + _rnd(h, 30 + i, 75),
+        }
+        for i in range(1 + _rnd(h, 0, 12))
+    ]
+    return json.dumps({"outageLst": lst}).encode()
+
+
 # -- FL1: <pre> JSON with string-typed zeros (fl_scraper.py:24–53) --------------
 
 def render_fl1(url: str) -> bytes:
@@ -720,6 +736,7 @@ FAMILY_RENDERERS: dict[str, callable] = {
     "tx4": render_tx4,
     "tx6": render_tx6,
     "tx7": render_tx7,
+    "tx10": render_tx10,
     "tn5": render_tn5,
     "tn7": render_tn7,
     "fl1": render_fl1,

@@ -238,3 +238,19 @@ def test_il1_conditional_val_unwrap():
     url = "https://il1.example/report_zip.json"
     lv, _, _ = families.parse_payload("il1", fixtures.render_il1(url), url)
     assert "per_zipcode" in lv
+
+
+def test_tx10_geocode_guard():
+    small = big = None
+    for i in range(60):
+        url = f"https://tx10-{i}.example/outages"
+        n = len(json.loads(fixtures.render_tx10(url))["outageLst"])
+        if n < 10 and small is None:
+            small = url
+        if n >= 10 and big is None:
+            big = url
+    assert small and big
+    lv, _, _ = families.parse_payload("tx10", fixtures.render_tx10(big), big)
+    assert all(o["zipcode"] == families.ZIP_GUARD_SENTINEL for o in lv["per_outage"])
+    lv, _, _ = families.parse_payload("tx10", fixtures.render_tx10(small), small)
+    assert all(o["zipcode"] != families.ZIP_GUARD_SENTINEL and len(o["zipcode"]) == 5 for o in lv["per_outage"])
