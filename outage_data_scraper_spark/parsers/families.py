@@ -518,6 +518,29 @@ def parse_tn2(payload: bytes, url: str = "") -> ParseOut:
     return {level: recs}, []
 
 
+# -- NY3: county table + URL-templated town pages (ny_scraper.py:230–313) ----------
+# Child URLs are built by splicing each county name into the source URL
+# before its extension (ny_scraper.py:308–310: src[:-5] + County + src[-5:]).
+# The reference drops the last table row (footer) — table_rows[1:-1].
+
+def _ny3_table_rows(payload: bytes) -> list[dict]:
+    tables = extract_tables(payload.decode())
+    if len(tables) < 2:
+        return []
+    recs = table_records(tables[1])
+    return recs[:-1] if recs else []  # reference ignores the last tr
+
+
+def parse_ny3_county(payload: bytes, url: str = "") -> ParseOut:
+    rows = _ny3_table_rows(payload)
+    children = [f"{url[:-5]}{r['County']}{url[-5:]}" for r in rows if r.get("County")]
+    return {"per_county": rows}, children
+
+
+def parse_ny3_town(payload: bytes) -> ParseOut:
+    return {"per_town": _ny3_table_rows(payload)}, []
+
+
 # -- NC7: treegrid rows (nc_scraper.py:151–259) ------------------------------------
 
 def parse_nc7(payload: bytes) -> ParseOut:
@@ -587,6 +610,8 @@ PARSERS: dict[str, callable] = {
     "tn2": parse_tn2,
     "nc7": parse_nc7,
     "il1": parse_il1,
+    "ny3_county": parse_ny3_county,
+    "ny3_town": parse_ny3_town,
     "ca_inv": parse_ca_inv,
     "cc": parse_cc,
 }
@@ -594,7 +619,7 @@ PARSERS: dict[str, callable] = {
 
 # Families whose record level depends on which endpoint URL was fetched
 # (the reference routes by fetch call site; the engine routes by URL).
-URL_AWARE = {"tx1", "tx4", "il7", "ny1", "tn2", "il1", "ga9_landing", "ga9_table"}
+URL_AWARE = {"tx1", "tx4", "il7", "ny1", "tn2", "il1", "ga9_landing", "ga9_table", "ny3_county"}
 
 
 def parse_payload(kind: str, payload: bytes, url: str = "") -> tuple[Levels, list[str], str | None]:

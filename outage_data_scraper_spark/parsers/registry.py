@@ -92,6 +92,7 @@ FAMILY_BY_STATE_LAYOUT: dict[tuple[str, str], str] = {
     ("ny", "2"): "kubra",
     # NY / NC
     ("ny", "1"): "ny1",
+    ("ny", "3"): "ny3",
     ("nc", "7"): "nc7",
     ("nc", "6"): "nc7",
     ("tn", "2"): "tn2",

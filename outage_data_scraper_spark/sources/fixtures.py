@@ -667,6 +667,38 @@ def render_nc7(url: str) -> bytes:
     return f"<html><body><table><tr><th>area_name</th><th>cust_a</th><th>cust_s</th></tr>{rows}</table></body></html>".encode()
 
 
+# -- NY3: iframe county table + URL-templated town pages (ny_scraper.py:230–313)
+
+def ny3_counties(url: str) -> list[str]:
+    h = _h(url)
+    return [f"Cnty{_rnd(h, 500 + i, 30)}" for i in range(2 + _rnd(h, 501, 3))]
+
+
+def render_ny3_county(url: str) -> bytes:
+    rows = "".join(
+        f"<tr><td>{c}</td><td>{_rnd(_h(url), 600 + i, 150)}</td></tr>"
+        for i, c in enumerate(ny3_counties(url))
+    )
+    return (
+        "<html><body><table><tr><td>nav</td></tr></table>"
+        "<table><tr><th>County</th><th>Customers Affected</th></tr>"
+        f"{rows}<tr><td>footer</td><td></td></tr></table></body></html>"
+    ).encode()
+
+
+def render_ny3_town(url: str) -> bytes:
+    h = _h(url)
+    rows = "".join(
+        f"<tr><td>Town{_rnd(h, 700 + i, 80)}</td><td>{_rnd(h, 800 + i, 90)}</td></tr>"
+        for i in range(2 + _rnd(h, 801, 4))
+    )
+    return (
+        "<html><body><table><tr><td>nav</td></tr></table>"
+        "<table><tr><th>Town</th><th>Customers Affected</th></tr>"
+        f"{rows}<tr><td>footer</td><td></td></tr></table></body></html>"
+    ).encode()
+
+
 # -- cc: Common-Crawl-style page (bench family) -------------------------------
 # Multi-KB HTML with nav/boilerplate + paragraphs of deterministic text;
 # the parser extracts the text (the byte-identical-per-url target for web
@@ -714,6 +746,9 @@ FAMILY_ENDPOINTS: dict[str, list[str]] = {
     "ny1": ["report_nyc.json", "report_westchester.json"],
     "tn2": ["report/county", "report/district"],
     "il1": ["report_county.json", "report_zip.json"],
+    # ny3's single endpoint is the iframe's county table page; town pages
+    # are discovered from it by URL templating
+    "ny3": ["/towns.html"],
 }
 
 FAMILY_RENDERERS: dict[str, callable] = {
@@ -752,6 +787,8 @@ FAMILY_RENDERERS: dict[str, callable] = {
     "tn2": render_tn2,
     "nc7": render_nc7,
     "il1": render_il1,
+    "ny3_county": render_ny3_county,
+    "ny3_town": render_ny3_town,
     "ca_inv": render_ca_inv,
     "cc": render_cc,
 }
@@ -770,6 +807,10 @@ def endpoint_kind(url: str, family: str) -> str:
         return "ga11_outages"
     if family == "ga9":
         return "ga9_table" if "level=" in url else "ga9_landing"
+    if family == "ny3":
+        # seed ends …/towns.html; town pages have the county name spliced
+        # in before the extension (ny_scraper.py:308–310)
+        return "ny3_county" if url.endswith("/towns.html") else "ny3_town"
     return family
 
 

@@ -254,3 +254,19 @@ def test_tx10_geocode_guard():
     assert all(o["zipcode"] == families.ZIP_GUARD_SENTINEL for o in lv["per_outage"])
     lv, _, _ = families.parse_payload("tx10", fixtures.render_tx10(small), small)
     assert all(o["zipcode"] != families.ZIP_GUARD_SENTINEL and len(o["zipcode"]) == 5 for o in lv["per_outage"])
+
+
+def test_ny3_url_templated_town_discovery():
+    url = "https://ny3.example/outages/towns.html"
+    payload = fixtures.render_ny3_county(url)
+    levels, children, _ = families.parse_payload("ny3_county", payload, url)
+    counties = [r["County"] for r in levels["per_county"]]
+    assert counties == fixtures.ny3_counties(url)
+    # child URLs splice the county name before the extension
+    assert children == [f"{url[:-5]}{c}{url[-5:]}" for c in counties]
+    for child in children:
+        lv, kids, _ = families.parse_payload(
+            "ny3_town", fixtures.render_ny3_town(child), child
+        )
+        assert kids == []
+        assert all(set(r) == {"Town", "Customers Affected"} for r in lv["per_town"])
