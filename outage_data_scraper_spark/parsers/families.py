@@ -389,6 +389,13 @@ def parse_fl3(payload: bytes) -> ParseOut:
     return {"per_outage": rows}, []
 
 
+# -- FL7: <pre> JSON returndata wrapper (fl_scraper.py:295–322) ------------------------
+
+def parse_fl7(payload: bytes) -> ParseOut:
+    doc = _pre_json(payload)
+    return {"per_outage": doc["returndata"]}, []
+
+
 # -- FL5: Elasticsearch hits.hits → _id/_source (fl_scraper.py:208–259) ---------------
 
 def parse_fl5(payload: bytes) -> ParseOut:
@@ -600,6 +607,7 @@ PARSERS: dict[str, callable] = {
     "fl1": parse_fl1,
     "fl3": parse_fl3,
     "fl5": parse_fl5,
+    "fl7": parse_fl7,
     "fl13": parse_fl13,
     "il7": parse_il7,
     "il8": parse_il8,

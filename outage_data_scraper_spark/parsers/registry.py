@@ -85,7 +85,7 @@ FAMILY_BY_STATE_LAYOUT: dict[tuple[str, str], str] = {
     ("fl", "6"): "fl1",
     ("fl", "7"): "fl3",
     ("fl", "9"): "fl5",
-    ("fl", "11"): "fl3",
+    ("fl", "11"): "fl7",
     # IL stormcenter
     ("il", "1"): "il1",
     ("il", "2"): "kubra",

@@ -488,6 +488,24 @@ def render_fl3(url: str) -> bytes:
     return f"<pre>{body}</pre>".encode()
 
 
+# -- FL7: <pre> JSON returndata wrapper (fl_scraper.py:295–322) --------------------
+
+def render_fl7(url: str) -> bytes:
+    h = _h(url)
+    items = [
+        {
+            "outageId": f"F7-{h % 999}-{i}",
+            "affected": 1 + _rnd(h, 5 + i, 130),
+            "cause": ["TREE", "EQUIPMENT", "UNKNOWN"][_rnd(h, 6 + i, 3)],
+            "lat": 27.0 + _rnd(h, 10 + i, 900) / 1000.0,
+            "lon": -82.0 + _rnd(h, 20 + i, 900) / 1000.0,
+        }
+        for i in range(1 + _rnd(h, 0, 5))
+    ]
+    body = json.dumps({"returndata": items})
+    return f"<pre>{body}</pre>".encode()
+
+
 # -- FL5: Elasticsearch hits (fl_scraper.py:208–259) -----------------------------
 
 def render_fl5(url: str) -> bytes:
@@ -777,6 +795,7 @@ FAMILY_RENDERERS: dict[str, callable] = {
     "fl1": render_fl1,
     "fl3": render_fl3,
     "fl5": render_fl5,
+    "fl7": render_fl7,
     "fl13": render_fl13,
     "il7": render_il7,
     "il8": render_il8,

@@ -270,3 +270,9 @@ def test_ny3_url_templated_town_discovery():
         )
         assert kids == []
         assert all(set(r) == {"Town", "Customers Affected"} for r in lv["per_town"])
+
+
+def test_fl7_returndata_unwrap():
+    lv, _, _ = _roundtrip("fl7", fixtures.render_fl7)
+    for r in lv["per_outage"]:
+        assert {"outageId", "affected", "cause"} <= set(r)
