@@ -36,10 +36,9 @@ from pyspark.sql import functions as F
 from .. import schemas
 from ..catalog import SnapshotCatalog
 from ..parsers.parse import parse_wave
-from .fetch import FetchFn, fetch_wave
-from .priority import merge_children as _merge_children_cols  # noqa: F401
+from .fetch import fetch_wave
 from .priority import pop_wave, seeds_to_frontier
-from .seen import bloom_from_df, filter_unseen_bloom, filter_unseen_exact
+from .seen import filter_unseen_bloom, filter_unseen_exact
 
 WAVES_SCHEMA = (
     "wave int, popped long, ok long, failed long, records long, "

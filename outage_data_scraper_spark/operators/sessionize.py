@@ -23,8 +23,6 @@ groupBy hash-distributes well; skewed mega-groups are bounded by the
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
