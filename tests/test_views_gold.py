@@ -77,3 +77,28 @@ def test_tn7_rollups_from_real_seed(spark, tmp_path):
         == v.agg(F.sum("customerCount")).first()[0]
         == zipc.agg(F.sum("customerCount")).first()[0]
     )
+
+
+def test_gold_with_real_ga_mapping_dimension(spark):
+    """O21 against the reference's actual zip→county map
+    (app/pipeline/ga_mapping.json, 679 entries) as a broadcast dimension."""
+    import json
+    import os
+
+    path = "/root/reference/app/pipeline/ga_mapping.json"
+    if not os.path.exists(path):
+        pytest.skip("reference mapping not available")
+    mapping = json.load(open(path))
+    dim = spark.createDataFrame(list(mapping.items()), "zipcode string, county string")
+
+    obs = spark.createDataFrame(
+        [("O1", "2024-08-01 10:15:00", "2024-08-01 10:00:00", 10, 33.0, -84.0, "30002"),
+         ("O2", "2024-08-01 10:15:00", "2024-08-01 10:00:00", 20, 33.0, -84.0, "30004"),
+         ("O3", "2024-08-01 10:15:00", "2024-08-01 10:00:00", 30, 33.0, -84.0, "99999")],
+        "outage_id string, timestamp string, start_time string, "
+        "customer_affected long, lat double, lng double, zipcode string",
+    ).withColumns({"timestamp": F.to_timestamp("timestamp"), "start_time": F.to_timestamp("start_time")})
+    gold = {r.outage_id: r.county for r in
+            standardize_ga1tx8(obs, dim, "GA EMC", "ga").collect()}
+    assert gold["O1"] == "Dekalb" and gold["O2"] == "Fulton"
+    assert gold["O3"] is None  # unmapped zip → null county (Series.map semantics)
