@@ -220,3 +220,15 @@ def test_kmeans_deterministic(spark):
     c1 = similarity.kmeans_centroids(emb, k=4, iters=2)
     c2 = similarity.kmeans_centroids(emb, k=4, iters=2)
     assert np.allclose(c1, c2)
+
+
+def test_token_bucket_real_clock_delays():
+    """Politeness with the REAL clock: 3 acquisitions at 20 req/s must
+    take ≥ 2/20 s of wall time (first is the burst token)."""
+    import time as _t
+
+    tb = TokenBucket(rate=20.0, capacity=1.0)
+    t0 = _t.monotonic()
+    for _ in range(3):
+        tb.acquire()
+    assert _t.monotonic() - t0 >= 0.099
