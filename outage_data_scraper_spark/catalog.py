@@ -176,10 +176,17 @@ class SnapshotCatalog:
         snapshot per wave per table; periodic compaction keeps the
         read-side union shallow. Keeps the last snapshot's partition spec.
         Old snapshot dirs are retired from the manifest (readers only see
-        the manifest) and removed."""
+        the manifest) and removed.
+
+        ``wave`` defaults to the table's last committed wave: resume()
+        rolls back any snapshot whose wave exceeds the last wave marker
+        and treats wave=None as uncommitted, so an unstamped compaction
+        snapshot would be rolled back — deleting the table's only data."""
         snaps = self.snapshots(name)
         if not snaps:
             raise ValueError(f"table {name!r} is empty")
+        if wave is None:
+            wave = self.last_wave(name)
         partition_by = snaps[-1].get("partition_by")
         current = self.read(spark, name)
         snap_id = self.write(

@@ -98,7 +98,12 @@ def word_shingles(text: Column, k: int = 5) -> Column:
     Building block for n-gram Jaccard / MinHash dedup."""
     toks = F.split(normalized(text), " ")
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    # Guard docs shorter than k tokens: sequence(1, 0) would produce a
+    # DESCENDING [1, 0] and slice(toks, 0, k) throws at runtime. Mirrors
+    # the oracle's `WHERE len(w) >= k` filter (empty shingle set).
+    idx = F.when(
+        n >= k, F.sequence(F.lit(1), n - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
 
 

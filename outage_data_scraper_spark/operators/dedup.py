@@ -40,14 +40,19 @@ def exact_dedup_map(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
 
 def minhash_signature(text_col, k_shingle: int = 5, num_perm: int = 32):
     """Column: array<long> minhash signature. Permutation i is the
-    independent hash family xxhash64(shingle, i) — min over shingles."""
+    independent hash family xxhash64(shingle, i) — min over shingles.
+
+    The permutation index is bound via a closure factory, NOT a default
+    arg on the transform lambda: pyspark introspects lambda arity, so a
+    two-arg lambda becomes an (element, array_index) transform and every
+    signature entry would collapse to the same hash family.
+    """
     shingles = textkit.word_shingles(text_col, k_shingle)
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(num_perm)
-        ]
-    )
+
+    def _perm(i: int):
+        return F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
+
+    return F.array(*[_perm(i) for i in range(num_perm)])
 
 
 def minhash_lsh_candidates(

@@ -112,12 +112,13 @@ def kmeans_centroids(
     assign pass (argmin over broadcast centroid literals) + one
     elementwise-mean aggregation via posexplode. Everything JVM-side; the
     driver only holds k×dim floats."""
-    n = emb.count()
-    step = max(n // k, 1)
+    # Deterministic pseudo-random init: the k rows with the smallest
+    # xxhash64(id). Always yields exactly min(k, n) centroids (the old
+    # monotonically_increasing_id + pmod sampling could under-provision:
+    # mii is non-contiguous across partitions), and compiles to
+    # TakeOrderedAndProject — a per-partition top-k merge, no global sort.
     init_rows = (
-        emb.orderBy(id_col)
-        .withColumn("__rn", F.monotonically_increasing_id())
-        .filter(F.pmod(F.col("__rn"), F.lit(step)) == 0)
+        emb.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
         .limit(k)
         .select(vec_col)
         .collect()

@@ -561,6 +561,18 @@ def parse_nc7(payload: bytes) -> ParseOut:
     return {"per_county": rows}, []
 
 
+# -- NC6: Duke 5-column summary table (nc_scraper.py:23–143; FL twin is
+# fl_scraper.py:357–483). The reference filters `Number of Outages != 0`
+# — an INT compare against DOM-scraped strings, which is a no-op — so
+# parity here means keeping every row, zeros included.
+
+def parse_nc6(payload: bytes) -> ParseOut:
+    tables = extract_tables(payload.decode())
+    if not tables:
+        return {}, []
+    return {"per_county": table_records(tables[0])}, []
+
+
 # -- cc: Common-Crawl-style page (bench family) --------------------------------
 
 _TAG_STRIP = re.compile(r"<script.*?</script>|<style.*?</style>|<[^>]+>", re.S)
@@ -617,6 +629,7 @@ PARSERS: dict[str, callable] = {
     "ny1": parse_ny1,
     "tn2": parse_tn2,
     "nc7": parse_nc7,
+    "nc6": parse_nc6,
     "il1": parse_il1,
     "ny3_county": parse_ny3_county,
     "ny3_town": parse_ny3_town,

@@ -81,7 +81,7 @@ FAMILY_BY_STATE_LAYOUT: dict[tuple[str, str], str] = {
     ("tx", "7"): "tx7",
     ("tx", "10"): "tx10",
     # FL singles
-    ("fl", "8"): "nc7",  # Duke DOM table (FL9/NC6 twins, SURVEY §2.2)
+    ("fl", "8"): "nc6",  # Duke 5-col summary (fl_scraper.py:357; no-op zero filter)
     ("fl", "6"): "fl1",
     ("fl", "7"): "fl3",
     ("fl", "9"): "fl5",
@@ -94,7 +94,7 @@ FAMILY_BY_STATE_LAYOUT: dict[tuple[str, str], str] = {
     ("ny", "1"): "ny1",
     ("ny", "3"): "ny3",
     ("nc", "7"): "nc7",
-    ("nc", "6"): "nc7",
+    ("nc", "6"): "nc6",  # Duke 5-col summary (nc_scraper.py:23; no-op zero filter)
     ("tn", "2"): "tn2",
     # IL / TN / LA / MS singles
     ("il", "7"): "il7",

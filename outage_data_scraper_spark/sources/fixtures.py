@@ -685,6 +685,25 @@ def render_nc7(url: str) -> bytes:
     return f"<html><body><table><tr><th>area_name</th><th>cust_a</th><th>cust_s</th></tr>{rows}</table></body></html>".encode()
 
 
+# -- NC6: Duke 5-column summary table (nc_scraper.py:23–143 / fl_scraper.py:357) --
+
+def render_nc6(url: str) -> bytes:
+    h = _h(url)
+    rows = "".join(
+        f'<tr><td>Area{_rnd(h, i, 25)}</td>'
+        f"<td>{0 if _rnd(h, 5 + i, 3) == 0 else _rnd(h, 6 + i, 40)}</td>"
+        f"<td>{_rnd(h, 7 + i, 900)}</td>"
+        f"<td>{_rnd(h, 8 + i, 100)}%</td>"
+        f"<td>2024-01-0{1 + _rnd(h, 9 + i, 9)}</td></tr>"
+        for i in range(2 + _rnd(h, 0, 5))
+    )
+    return (
+        "<html><body><table><tr><th>Location</th><th>Number of Outages</th>"
+        "<th>Affected Customers</th><th>Percentage Affected</th>"
+        f"<th>Last Updated</th></tr>{rows}</table></body></html>"
+    ).encode()
+
+
 # -- NY3: iframe county table + URL-templated town pages (ny_scraper.py:230–313)
 
 def ny3_counties(url: str) -> list[str]:
@@ -805,6 +824,7 @@ FAMILY_RENDERERS: dict[str, callable] = {
     "ny1": render_ny1,
     "tn2": render_tn2,
     "nc7": render_nc7,
+    "nc6": render_nc6,
     "il1": render_il1,
     "ny3_county": render_ny3_county,
     "ny3_town": render_ny3_town,

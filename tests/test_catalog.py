@@ -46,6 +46,21 @@ def test_compact_preserves_state_and_prunes_snapshots(spark, tmp_catalog_dir):
     assert sorted(r.x for r in cat.read(spark, "t").collect()) == before + [9]
 
 
+def test_compact_default_wave_is_last_wave(spark, tmp_catalog_dir):
+    """Regression: an unstamped (wave=None) compaction snapshot would be
+    rolled back by Crawler.resume() — deleting the table's only data."""
+    cat = SnapshotCatalog(tmp_catalog_dir)
+    cat.write("t", _df(spark, [1]), wave=1)
+    cat.write("t", _df(spark, [2]), wave=2)
+    cat.compact(spark, "t")
+    assert cat.snapshots("t")[-1]["wave"] == 2
+    assert cat.last_wave("t") == 2
+    # resume()-style rollback to the last committed wave keeps the data
+    keep = [s["id"] for s in cat.snapshots("t") if s.get("wave") is not None and s["wave"] <= 2]
+    cat.rollback("t", max(keep))
+    assert sorted(r.x for r in cat.read(spark, "t").collect()) == [1, 2]
+
+
 def test_compact_keeps_partition_spec(spark, tmp_catalog_dir):
     cat = SnapshotCatalog(tmp_catalog_dir)
     df = spark.createDataFrame([(1, "a"), (2, "b")], "x int, p string")

@@ -89,6 +89,11 @@ def _docs(spark, texts):
 NEAR_A = "the quick brown fox jumps over the lazy dog again and again every single day " * 4
 NEAR_B = NEAR_A.replace("lazy", "sleepy")
 OTHER = "completely different content about power grid outage restoration crews working " * 4
+# High-Jaccard pair for banded-LSH recall tests: 60 distinct tokens, one
+# substitution → shingle Jaccard ≈ 0.84, so a 4-row band matches w.h.p.
+# (NEAR_A/NEAR_B sit at ≈0.5, which 4-row bands legitimately miss.)
+LONG_A = " ".join(f"tok{i}" for i in range(60))
+LONG_B = LONG_A.replace("tok30", "swapped")
 
 
 def test_exact_dedup_normalization(spark):
@@ -98,13 +103,52 @@ def test_exact_dedup_normalization(spark):
 
 
 def test_minhash_lsh_finds_near_dups(spark):
-    docs = _docs(spark, [NEAR_A, NEAR_B, OTHER])
+    docs = _docs(spark, [LONG_A, LONG_B, OTHER])
     pairs = dedup.minhash_lsh_candidates(docs, num_perm=32, bands=8).collect()
     got = {(r.id_a, r.id_b) for r in pairs}
     assert (0, 1) in got
     assert (0, 2) not in got and (1, 2) not in got
     est = {(r.id_a, r.id_b): r.est_jaccard for r in pairs}[(0, 1)]
     assert est > 0.5
+
+
+def test_minhash_signature_entries_distinct(spark):
+    """Regression: the permutation index must bind per-signature-entry.
+    A default-arg lambda is introspected as an (element, index) transform
+    lambda, collapsing every entry to the same hash family — banded LSH
+    then degenerates to single-hash matching with est_jaccard ≡ 1.0."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, [NEAR_A])
+    sig = docs.select(
+        dedup.minhash_signature(F.col("text"), k_shingle=5, num_perm=16).alias("sig")
+    ).first()["sig"]
+    assert len(sig) == 16
+    assert len(set(sig)) >= 12, f"signature entries not independent: {sig}"
+
+
+def test_minhash_est_jaccard_not_degenerate(spark):
+    docs = _docs(spark, [LONG_A, LONG_B, OTHER])
+    pairs = dedup.minhash_lsh_candidates(docs, num_perm=32, bands=8).collect()
+    est = {(r.id_a, r.id_b): r.est_jaccard for r in pairs}[(0, 1)]
+    assert est < 1.0  # near-dups, not identical — degenerate sigs give 1.0
+
+
+def test_word_shingles_short_doc_yields_empty(spark):
+    """Docs with fewer than k tokens must produce an empty shingle array
+    (sequence(1, 0) is DESCENDING and slice(toks, 0, k) throws)."""
+    from pyspark.sql import functions as F
+
+    from outage_data_scraper_spark.functions import textkit
+
+    docs = _docs(spark, ["two words", "", NEAR_A])
+    sizes = docs.select(
+        F.size(textkit.word_shingles(F.col("text"), 5)).alias("n")
+    ).collect()
+    assert sizes[0].n == 0 and sizes[1].n == 0 and sizes[2].n > 0
+    # and the full jaccard path survives a short-doc corpus
+    pairs = dedup.ngram_jaccard_pairs(docs, min_jaccard=0.3).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == set()
 
 
 def test_simhash_near_dups(spark):

@@ -224,6 +224,32 @@ def test_nc7_treegrid():
         assert r["cust_a"] != "0"
 
 
+def test_nc6_duke_summary_keeps_zero_rows():
+    # Reference filter is `df["Number of Outages"] != 0` — an int compare
+    # against DOM strings, i.e. a no-op (nc_scraper.py:35, fl_scraper.py:369).
+    # Parity = every row survives, zeros included.
+    saw_zero = False
+    for i in range(8):
+        url = f"https://nc6-{i}.example/summary"
+        lv, children, _ = families.parse_payload("nc6", fixtures.render_nc6(url), url)
+        assert children == []
+        for r in lv["per_county"]:
+            assert set(r) == {
+                "Location", "Number of Outages", "Affected Customers",
+                "Percentage Affected", "Last Updated",
+            }
+            saw_zero |= r["Number of Outages"] == "0"
+    assert saw_zero  # fixture produces zeros and the parser keeps them
+
+
+def test_nc6_fl8_routing():
+    from outage_data_scraper_spark.parsers import registry
+
+    assert registry.family_for("nc", "6") == "nc6"
+    assert registry.family_for("fl", "8") == "nc6"
+    assert registry.family_for("nc", "7") == "nc7"
+
+
 def test_il1_conditional_val_unwrap():
     saw_wrapped = False
     for i in range(6):
