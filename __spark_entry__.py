@@ -665,9 +665,14 @@ def oracle_sql() -> dict[str, str]:
               FROM toks WHERE len(w) >= 3
             ),
             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            -- DF cap mirror: shingles shared by >1000 docs are dropped from
+            -- the intersection (boilerplate carries no near-dup signal);
+            -- set sizes stay uncapped, matching ngram_jaccard_pairs
+            keep AS (SELECT s FROM sh GROUP BY 1 HAVING count(*) BETWEEN 2 AND 1000),
             inter AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              JOIN keep k ON k.s = a.s
               GROUP BY 1, 2
             )
             SELECT id_a, id_b,

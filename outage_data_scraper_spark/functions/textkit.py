@@ -95,16 +95,25 @@ def fingerprint(text: Column) -> Column:
 
 def word_shingles(text: Column, k: int = 5) -> Column:
     """Array of k-word shingles (space-joined) from the normalized text.
-    Building block for n-gram Jaccard / MinHash dedup."""
+    Building block for n-gram Jaccard / MinHash dedup.
+
+    Built as a (k−1)-fold zip_with of suffix-shifted token arrays, NOT as
+    transform(sequence(1, n−k+1), i -> slice(toks, i, k)): a slice inside
+    a HOF lambda re-evaluates the token split per *position* — O(n_tokens
+    × text_len) per row — while the zip form splits once per row (the k
+    suffix slices share the split subtree via projection-level CSE).
+    zip_with pads the shorter side with null and concat propagates it, so
+    the tail positions (and any doc with < k tokens) drop out in the
+    final null filter."""
     toks = F.split(normalized(text), " ")
-    n = F.size(toks)
-    # Guard docs shorter than k tokens: sequence(1, 0) would produce a
-    # DESCENDING [1, 0] and slice(toks, 0, k) throws at runtime. Mirrors
-    # the oracle's `WHERE len(w) >= k` filter (empty shingle set).
-    idx = F.when(
-        n >= k, F.sequence(F.lit(1), n - (k - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    out = toks
+    for j in range(1, k):
+        # length = size(toks) over-covers the suffix, which slice allows;
+        # a huge literal length (e.g. INT_MAX) silently yields all-null
+        # elements downstream of zip_with (offset+length overflow).
+        suffix = F.slice(toks, j + 1, F.size(toks))
+        out = F.zip_with(out, suffix, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.filter(out, lambda x: x.isNotNull())
 
 
 def shingle_hashes(text: Column, k: int = 5) -> Column:

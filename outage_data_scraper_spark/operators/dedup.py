@@ -17,10 +17,22 @@ higher-order functions) — no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import textkit
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a narrow input up to the cluster's parallelism before a
+    CPU-heavy projection. Small parquet inputs arrive as one or two file
+    splits (maxPartitionBytes ≫ file size), which would serialize the
+    shingle/hash projections; at real scale the scan already yields more
+    splits than cores and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 # -- exact -------------------------------------------------------------------
@@ -71,7 +83,7 @@ def minhash_lsh_candidates(
     near-dup clusters we want, and AQE's skew-join handles the residue.
     """
     rows_per_band = num_perm // bands
-    sig = docs.select(
+    sig = _spread(docs).select(
         F.col(id_col),
         minhash_signature(F.col(text_col), k_shingle, num_perm).alias("sig"),
     ).filter(F.size("sig") > 0)
@@ -156,7 +168,7 @@ def simhash_candidates(
     """Near-dup pairs with hamming(simhash) ≤ max_hamming, found by
     banding the 64-bit hash into 8×8-bit chunks (pigeonhole: ≤7 bit
     diffs ⇒ ≥1 identical chunk) and verifying with native bit_count."""
-    sh = docs.select(F.col(id_col), simhash64(F.col(text_col)).alias("sh"))
+    sh = _spread(docs).select(F.col(id_col), simhash64(F.col(text_col)).alias("sh"))
     chunks = sh.select(
         id_col,
         "sh",
@@ -198,47 +210,66 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k_shingle: int = 5,
     min_jaccard: float = 0.8,
+    df_max: int = 1000,
 ) -> DataFrame:
-    """Exact Jaccard over distinct k-word shingles.
+    """Exact Jaccard over distinct k-word shingles, DF-capped.
 
-    Physical shape (chosen over the naive explode+self-join, which
-    shuffles the exploded table twice on 32-byte md5 strings): hash each
-    shingle to 64 bits JVM-side, group the exploded (shingle → doc list)
-    once, generate co-occurrence pairs inside each group with two
-    generators, then count per pair — one wide shuffle on longs plus one
-    on (id,id). Set sizes come straight off the un-exploded array
-    (size(array_distinct(...))), no second aggregation over the exploded
-    data. Results are identical to the md5-based DuckDB oracle because
-    only shingle *identity* feeds the counts.
+    Physical shape — exactly two wide shuffles, the heavy shingle
+    projection evaluated ONCE:
+
+    1. Project each doc to (id, n=|shingle set|, exploded shingle hash):
+       xxhash64 shingles JVM-side; n rides along on every exploded row so
+       no separate sizes table (and no join back) is ever needed.
+    2. Shuffle once on the shingle hash; a window count-per-shingle
+       computes document frequency WITHOUT materializing per-shingle
+       lists, then drops singletons (can't pair) and hot shingles with
+       df > df_max. A shingle shared by >df_max docs is boilerplate — it
+       carries no near-dup signal but would generate df² pair rows (the
+       quadratic blowup at web scale); the cap is mirrored in the DuckDB
+       oracle so q19 stays value-exact. collect_list after the window
+       reuses the same hash partitioning (no new exchange) and every list
+       is bounded by df_max.
+    3. Explode co-occurrence pairs (≤ df_max² per shingle, distributed)
+       and shuffle once on (id_a, id_b): count = |intersection|, set
+       sizes come along via any_value. Jaccard + threshold filter close
+       the plan.
+
+    Results are identical to the md5-based DuckDB oracle because only
+    shingle *identity* feeds the counts.
     """
     arr = F.array_distinct(
         F.transform(textkit.word_shingles(F.col(text_col), k_shingle), lambda s: F.xxhash64(s))
     )
-    base = docs.select(F.col(id_col), arr.alias("arr")).filter(F.size("arr") > 0)
-    sizes = base.select(F.col(id_col), F.size("arr").alias("n"))
-    sh = base.select(F.col(id_col), F.explode("arr").alias("sh"))
-    grouped = (
-        sh.groupBy("sh")
-        .agg(F.collect_list(id_col).alias("ids"))
-        .filter(F.size("ids") > 1)
+    # No size(arr)>0 pre-filter: explode already drops empty/null arrays,
+    # and Catalyst would push the filter BELOW the repartition — running
+    # the whole shingle expression serially on the unsplit input just to
+    # evaluate the predicate.
+    sh = (
+        _spread(docs)
+        .select(F.col(id_col), arr.alias("arr"))
+        .select(F.col(id_col), F.size("arr").alias("n"), F.explode("arr").alias("sh"))
+    )
+    w = Window.partitionBy("sh")
+    kept = sh.withColumn("df", F.count(F.lit(1)).over(w)).filter(
+        (F.col("df") >= 2) & (F.col("df") <= df_max)
+    )
+    grouped = kept.groupBy("sh").agg(
+        F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("n").alias("n"))).alias("ms")
     )
     pairs = (
-        grouped.select(F.explode("ids").alias("id_a"), F.col("ids"))
-        .select("id_a", F.explode("ids").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
+        grouped.select(F.explode("ms").alias("a"), F.col("ms"))
+        .select("a", F.explode("ms").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
     )
-    inter = pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("common"))
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
-    # no broadcast hint: sizes is one row per doc (10^10 at target scale);
-    # AQE broadcasts it automatically when it is actually small
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= min_jaccard)
+    inter = pairs.groupBy(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+    ).agg(
+        F.count(F.lit(1)).alias("common"),
+        F.any_value(F.col("a.n")).alias("na"),
+        F.any_value(F.col("b.n")).alias("nb"),
     )
+    return inter.select(
+        "id_a",
+        "id_b",
+        (F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))).alias("jaccard"),
+    ).filter(F.col("jaccard") >= min_jaccard)
