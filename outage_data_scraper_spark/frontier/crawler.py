@@ -163,18 +163,23 @@ class Crawler:
 
         # robots gate (north rule; absent in the reference, default-allow
         # to preserve crawl parity). Denied URLs are logged, not refetched;
-        # Crawl-delay becomes a per-host token-bucket rate override.
-        rate_overrides: dict[str, float] | None = None
+        # Crawl-delay rides the gate's broadcast join onto the wave as a
+        # per-row rate_override column (req/s) — the robots table is never
+        # collected driver-side (10^8 hosts ≈ 10 GB at target scale).
         allowed = None
         if self.cat.exists("robots"):
             from .robots import robots_gate
 
             robots = self.cat.read(self.spark, "robots", schema=schemas.ROBOTS)
-            rate_overrides = {
-                r.host: 1.0 / r.crawl_delay
-                for r in robots.filter(F.col("crawl_delay") > 0).collect()
-            } or None
-            allowed = robots_gate(popped, robots, default_allow=True).cache()
+            allowed = (
+                robots_gate(popped, robots, default_allow=True)
+                .withColumn(
+                    "rate_override",
+                    F.when(F.col("crawl_delay") > 0, 1.0 / F.col("crawl_delay")),
+                )
+                .drop("crawl_delay")
+                .cache()
+            )
             denied = popped.join(allowed.select("url"), "url", "left_anti")
             denied_log = denied.select(
                 "url", F.lit(wave).alias("wave"),
@@ -196,7 +201,6 @@ class Crawler:
             rate_per_host=self.rate_per_host,
             salt=self.salt,
             simulated_clock=self.simulated_clock,
-            rate_overrides=rate_overrides,
         )
         parsed = parse_wave(fetched).cache()
 

@@ -51,12 +51,18 @@ def fetch_wave(
 
     ``fetcher_factory`` is called once per partition (so connection pools /
     fixture stores initialize executor-side, not on the driver).
-    ``rate_overrides``: host → req/s from robots Crawl-delay (broadcast
-    via task closure; the robots table is tiny).
+
+    Per-host rate overrides (robots Crawl-delay) arrive as a nullable
+    ``rate_override`` column on ``popped`` (req/s), joined in by the
+    robots gate — never a driver-side host dict, which would OOM at
+    10^8-host scale. ``rate_overrides`` (host → req/s dict) remains for
+    small/test configurations.
     """
     from pyspark import TaskContext
 
-    part = popped.repartition(num_parts, "salted_part").select(*_IN_COLS)
+    has_rate_col = "rate_override" in popped.columns
+    in_cols = _IN_COLS + (["rate_override"] if has_rate_col else [])
+    part = popped.repartition(num_parts, "salted_part").select(*in_cols)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         fetcher = fetcher_factory()
@@ -65,32 +71,39 @@ def fetch_wave(
         )
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else -1
-        for batch in batches:
-            # Deterministic within-partition order = the crawl-ordering law.
-            batch = batch.sort_values(
-                ["event_seq", "seed_seq", "depth", "child_seq", "url"]
-            )
-            out = {
-                "status": [], "reason": [], "bytes": [], "html": [], "wait_s": [],
-            }
-            for url, h, fam in zip(batch["url"], batch["host"], batch["family"]):
-                wait = pacer.acquire(h)
-                try:
-                    status, reason, payload = fetcher(url, fam)
-                except Exception as e:  # failure-capture side output (O23)
-                    status, reason, payload = 599, str(e), None
-                out["status"].append(status)
-                out["reason"].append(reason)
-                out["bytes"].append(len(payload) if payload is not None else 0)
-                out["html"].append(payload)
-                out["wait_s"].append(wait)
-            res = batch.reset_index(drop=True)
-            for k, v in out.items():
-                res[k] = v
-            res["partition_id"] = pid
-            yield res[
-                _IN_COLS
-                + ["status", "reason", "bytes", "html", "partition_id", "wait_s"]
-            ]
+        # Materialize the WHOLE partition before sorting: the ordering law
+        # is per-partition, and a wave partition larger than one Arrow
+        # batch (~10k rows) must not fall back to batch-local order.
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        # Deterministic within-partition order = the crawl-ordering law.
+        pdf = pdf.sort_values(
+            ["event_seq", "seed_seq", "depth", "child_seq", "url"]
+        ).reset_index(drop=True)
+        rates = pdf["rate_override"] if has_rate_col else [None] * len(pdf)
+        out = {"status": [], "reason": [], "bytes": [], "html": [], "wait_s": []}
+        for url, h, fam, rate in zip(pdf["url"], pdf["host"], pdf["family"], rates):
+            wait = pacer.acquire(h, None if rate is None or pd.isna(rate) else float(rate))
+            try:
+                status, reason, payload = fetcher(url, fam)
+            except Exception as e:  # failure-capture side output (O23)
+                status, reason, payload = 599, str(e), None
+            out["status"].append(status)
+            out["reason"].append(reason)
+            out["bytes"].append(len(payload) if payload is not None else 0)
+            out["html"].append(payload)
+            out["wait_s"].append(wait)
+        for k, v in out.items():
+            pdf[k] = v
+        pdf["partition_id"] = pid
+        res = pdf[
+            _IN_COLS + ["status", "reason", "bytes", "html", "partition_id", "wait_s"]
+        ]
+        # Re-chunk the output so one partition's payloads never ride in a
+        # single oversized Arrow batch.
+        for lo in range(0, len(res), 10_000):
+            yield res.iloc[lo : lo + 10_000]
 
     return part.mapInPandas(run, FETCH_RESULT_SCHEMA)

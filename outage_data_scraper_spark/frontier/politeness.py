@@ -66,8 +66,11 @@ class TokenBucket:
 class HostPacer:
     """One token bucket per host, lazily created inside a fetch partition.
 
-    ``rate_overrides`` maps host → requests/sec (e.g. derived from a
-    robots.txt Crawl-delay); hosts not listed use the default rate.
+    A host's rate can be overridden per-row via ``acquire(host, rate)``
+    (the fetch stage passes the robots Crawl-delay joined onto the wave
+    as a column — no driver-side host dict at 10^8-host scale) or via the
+    ``rate_overrides`` dict (small/test configurations). Per-row rate
+    wins; hosts with neither use the default rate.
     """
 
     def __init__(
@@ -86,10 +89,11 @@ class HostPacer:
         self.clock = SimClock() if sim else None
         self._buckets: dict[str, TokenBucket] = {}
 
-    def acquire(self, host: str) -> float:
+    def acquire(self, host: str, rate: float | None = None) -> float:
         b = self._buckets.get(host)
         if b is None:
-            rate = self.overrides.get(host, None)
+            if rate is None:
+                rate = self.overrides.get(host, None)
             rate = (rate / self.salt) if rate is not None else self.rate
             b = TokenBucket(
                 rate=rate,

@@ -49,11 +49,17 @@ def robots_gate(candidates: DataFrame, robots: DataFrame, default_allow: bool = 
     ``robots`` columns: host, rules (JSON array of disallow prefixes),
     allow_all ('allow'|'deny'|'rules'). Missing host → default policy.
     The robots table is tiny relative to the frontier → broadcast join.
+
+    Output carries a ``crawl_delay`` column (null where the host has
+    none) so Crawl-delay rides the SAME join into the fetch stage as a
+    per-row rate override — the robots table is never collected to the
+    driver (at 10^8 hosts that would be a driver OOM).
     """
     r = robots.select(
         F.col("host").alias("__r_host"),
         F.col("allow_all").alias("__r_policy"),
         F.from_json(F.col("rules"), "array<string>").alias("__r_disallow"),
+        F.col("crawl_delay").alias("__r_delay"),
     )
     path = urlkit.path_and_query(F.col("url"))
     joined = candidates.join(
@@ -69,4 +75,8 @@ def robots_gate(candidates: DataFrame, robots: DataFrame, default_allow: bool = 
         .when(F.col("__r_policy") == "deny", F.lit(False))
         .otherwise(~denied_by_rules)
     )
-    return joined.filter(allowed).drop("__r_host", "__r_policy", "__r_disallow")
+    return (
+        joined.filter(allowed)
+        .withColumn("crawl_delay", F.col("__r_delay"))
+        .drop("__r_host", "__r_policy", "__r_disallow", "__r_delay")
+    )

@@ -90,3 +90,76 @@ def test_crawl_delay_becomes_rate_override(spark, tmp_path):
     assert abs(p.acquire("slow.com") - 5.0) < 1e-9   # Crawl-delay: 5
     assert p.acquire("fast.com") == 0.0
     assert abs(p.acquire("fast.com") - 0.01) < 1e-9  # default rate
+
+
+def test_robots_gate_carries_crawl_delay(spark):
+    cands = _cands(spark, ["https://a.com/x", "https://unknown.com/z"])
+    robots = spark.createDataFrame(
+        [("a.com", "2024-08-01 00:00:00", None, "allow", 4.0)],
+        "host string, fetched_ts string, rules string, allow_all string, crawl_delay double",
+    ).withColumn("fetched_ts", F.to_timestamp("fetched_ts"))
+    out = {r.url: r.crawl_delay for r in robots_gate(cands, robots).collect()}
+    assert out == {"https://a.com/x": 4.0, "https://unknown.com/z": None}
+
+
+def _wave_df(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "url string, host string, state string, layout string, emc string, "
+        "family string, depth int, event_seq int, seed_seq int, child_seq int, "
+        "wave int, salted_part int, rate_override double",
+    )
+
+
+def test_fetch_wave_per_row_rate_override(spark):
+    """Crawl-delay joined onto the wave as a column paces the bucket
+    per-row — no driver-side host dict (SCALE.md: 10^8 hosts)."""
+    from outage_data_scraper_spark.frontier.fetch import fetch_wave
+
+    def wave(host, override):
+        rows = [
+            (f"https://{host}/{i}", host, "ga", "1", "e", "ga1",
+             0, 0, 0, i, 1, 0, override)
+            for i in range(3)
+        ]
+        fetched = fetch_wave(
+            _wave_df(spark, rows),
+            lambda: (lambda url, fam: (200, None, b"ok")),
+            num_parts=1, rate_per_host=100.0, salt=1, simulated_clock=True,
+        ).collect()
+        return [r.wait_s for r in sorted(fetched, key=lambda r: r.child_seq)]
+
+    slow = wave("slow.com", 1.0 / 5.0)
+    assert slow[0] == 0.0
+    assert all(abs(w - 5.0) < 1e-9 for w in slow[1:])  # Crawl-delay: 5
+    fast = wave("fast.com", None)
+    assert all(abs(w - 0.01) < 1e-9 for w in fast[1:])  # default rate
+
+
+def test_fetch_wave_ordering_law_across_arrow_batches(spark):
+    """The crawl-ordering law must hold per PARTITION, not per Arrow
+    batch: shrink the batch size so one partition spans several batches
+    and assert the fetch order is still globally sorted."""
+    from outage_data_scraper_spark.frontier.fetch import fetch_wave
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "7")
+    try:
+        rows = [
+            (f"https://h.com/{i:03d}", "h.com", "ga", "1", "e", "ga1",
+             0, 0, 0, (i * 17) % 40, 1, 0, None)
+            for i in range(40)
+        ]
+        fetched = fetch_wave(
+            _wave_df(spark, rows),
+            lambda: (lambda url, fam: (200, None, b"ok")),
+            num_parts=1, rate_per_host=1e9, salt=1, simulated_clock=True,
+        ).collect()
+        got = [r.child_seq for r in fetched]
+        assert got == sorted(got), "fetch order violated the ordering law"
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
