@@ -462,6 +462,36 @@ def q30_session_state_machine(spark, sf_dir):
     )
 
 
+def q35_threshold_merger(spark, sf_dir):
+    """O26 FULL step1_threshold merger: concurrent tracked outages,
+    relative threshold × row_customers_out OR'd with abs_diff, cases
+    A–D incl. D-1 split / D-2 multi-close (step1_threshold.py:37–331).
+    The fold keeps a mutable tracking list whose case-D index resolution
+    is inherently sequential — not ANSI-SQL-expressible, so this is a
+    rows-only query; tests/test_threshold_merger.py proves parity against
+    an independent single-threaded port of the reference pipeline."""
+    from outage_data_scraper_spark.operators.sessionize import threshold_merger
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("UtilityName"),
+        F.lit("tx").alias("StateName"),
+        F.lit("c").alias("CountyName"),
+        F.lit("ci").alias("CityName"),
+        F.lit("0").alias("CountyFIPS"),
+        F.lit(1000).cast("long").alias("CustomersTracked"),
+        F.floor(F.col("value")).cast("long").alias("CustomersOut"),
+        F.date_trunc("second", "ts").alias("RecordDateTime"),
+    )
+    out = threshold_merger(ev, threshold=0.1, abs_diff=5.0)
+    return out.select(
+        F.col("UtilityName").alias("utility"),
+        F.date_format("start_time", _TS_FMT_SPARK).alias("start_ts"),
+        F.date_format("end_time", _TS_FMT_SPARK).alias("end_ts"),
+        F.round("customer_affected_mean", 4).alias("customer_affected_mean"),
+        "duration_s",
+    )
+
+
 def q33_session_properties(spark, sf_dir):
     """O28: per-key scalar report over sessions (step2_property.py:60–94).
 
@@ -529,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_token_explode": q32_token_explode,
         "q33_session_properties": q33_session_properties,
         "q34_ann_ivf_topk": q34_ann_ivf_topk,
+        "q35_threshold_merger": q35_threshold_merger,
     }
 
 

@@ -164,3 +164,220 @@ def sessionize_threshold_state_machine(
         )
 
     return pous.groupBy(*GROUP_KEYS).applyInPandas(fold, _SM_SCHEMA)
+
+
+# -- full step1_threshold merger ------------------------------------------------
+
+_MERGER_SCHEMA = (
+    "UtilityName string, StateName string, CountyName string, CityName string, "
+    "CountyFIPS string, CustomersTracked long, start_time timestamp, "
+    "end_time timestamp, customer_affected_mean double, duration_s long"
+)
+
+
+class _Tracked:
+    """One concurrently-tracked outage (a `tracking` list entry,
+    step1_threshold.py:56–64). Equality spans every mutable field — the
+    reference stores dicts and resolves indices with list.index(), whose
+    first-equal-match semantics we must reproduce; `closed` mirrors the
+    popped entries' removed keys (a closed entry can never equal a live
+    one)."""
+
+    __slots__ = ("start", "end", "rco", "total", "mean", "rdt", "closed")
+
+    def __init__(self, start, end, rco, total, mean, rdt, closed=False):
+        self.start, self.end, self.rco = start, end, rco
+        self.total, self.mean, self.rdt = total, mean, rdt
+        self.closed = closed
+
+    def copy(self):
+        return _Tracked(
+            self.start, self.end, self.rco, self.total, self.mean, self.rdt, self.closed
+        )
+
+    def __eq__(self, other):
+        return (
+            self.start == other.start and self.end == other.end
+            and self.rco == other.rco and self.total == other.total
+            and self.mean == other.mean and self.rdt == other.rdt
+            and self.closed == other.closed
+        )
+
+
+def _first_index(lst, item):
+    """list.index() by equality — the reference's index-resolution quirk:
+    a duplicate-equal entry resolves to its FIRST occurrence."""
+    for i, x in enumerate(lst):
+        if x == item:
+            return i
+    raise ValueError
+
+
+def _merge_segment(rows, threshold, abs_diff):
+    """The concurrent-outage fold over one segment (rows between zero-
+    CustomersOut breaks), re-expressing step1_threshold.py:37–331:
+
+    - empty tracking → open a new tracked outage (case 0)
+    - rise below threshold×rco (or |Δ|<abs_diff) → extend last (case A)
+    - rise at/above both → open a NEW concurrent outage (case B)
+    - fall below threshold×rco (or |Δ|<abs_diff) → shrink last (case C)
+    - fall at/above both → close the tracked outage whose size is nearest
+      the drop (case D); if none is near, either split the nearest in two
+      (D-1, drop ≤ its size) or close a size-descending run whose sizes
+      fit inside the drop (D-2)
+    - end of segment → close everything still tracked, skipping zero-
+      duration entries
+
+    Returns [(start, end, mean, duration_s)] per closed outage.
+    """
+    results = []
+    tracking: list[_Tracked] = []
+    prev_out = None
+    prev_ts = None
+    for ts, out in rows:
+        if not tracking:
+            tracking.append(_Tracked(ts, ts, out, 0.0, float(out), ts))
+            prev_out, prev_ts = out, ts
+            continue
+        last = tracking[-1].copy()
+        delta = out - prev_out
+        rel = threshold * last.rco
+        if (delta < rel or abs(delta) < abs_diff) and out >= prev_out:
+            # case A — absorb the rise into the newest tracked outage
+            cur = tracking[-1]
+            cur.end = ts
+            cur.rco = last.rco + delta
+            cur.total += (ts - last.end).total_seconds() * last.rco
+            cur.mean = cur.total / (cur.end - cur.start).total_seconds()
+        elif (delta >= rel and abs(delta) >= abs_diff) and out >= prev_out:
+            # case B — a distinct new outage rides on top of the tracked ones
+            tracking.append(_Tracked(ts, ts, delta, 0.0, float(delta), ts))
+        elif (-delta < rel or abs(delta) < abs_diff) and out <= prev_out:
+            # case C — absorb the dip into the newest tracked outage
+            cur = tracking[-1]
+            cur.end = ts
+            cur.rco = last.rco + delta
+            cur.total += (ts - last.end).total_seconds() * last.rco
+            cur.mean = cur.total / (cur.end - cur.start).total_seconds()
+        elif (-delta >= rel and abs(delta) >= abs_diff) and out <= prev_out:
+            # case D — restoration: close the best-matching tracked outage(s)
+            drop = prev_out - out
+            closest = 0
+            for o in tracking:
+                if abs(drop - o.rco) < abs(drop - tracking[closest].rco):
+                    closest = _first_index(tracking, o)
+            to_pop = []
+            if abs(drop - tracking[closest].rco) >= max(10, 0.1 * drop):
+                if drop <= tracking[closest].rco:
+                    # D-1: split the nearest outage into (drop, remainder)
+                    c = tracking[closest]
+                    dur = (c.end - c.start).total_seconds()
+                    rem = c.mean - drop
+                    split = c.copy()
+                    split.rco = rem
+                    split.mean = rem
+                    split.total = rem * dur
+                    tracking.append(split)
+                    c.rco = drop
+                    c.mean = drop
+                    c.total = drop * dur
+                    to_pop.append(closest)
+                else:
+                    # D-2: close a size-descending run that fits in the drop
+                    tracking = sorted(tracking, key=lambda o: o.rco, reverse=True)
+                    for o in tracking:
+                        if o.rco < drop:
+                            closest = _first_index(tracking, o)
+                            break
+                    acc = 0.0
+                    for i in range(closest, len(tracking)):
+                        acc += tracking[i].rco
+                        if acc >= drop:
+                            acc -= tracking[i].rco
+                            continue
+                        to_pop.append(i)
+            else:
+                to_pop.append(closest)
+            for i in to_pop:
+                o = tracking[i]
+                o.end = ts
+                o.total += (ts - last.end).total_seconds() * o.rco
+                o.mean = o.total / (o.end - o.start).total_seconds()
+                o.closed = True
+                results.append(
+                    (o.start, o.end, o.mean, int((o.end - o.start).total_seconds()))
+                )
+            tracking = sorted(
+                (o.copy() for o in tracking if _first_index(tracking, o) not in to_pop),
+                key=lambda o: o.start,
+            )
+        # (no else: an impossible-case row is skipped, reference "case E")
+        prev_out, prev_ts = out, ts
+    for o in tracking:
+        o.total += (prev_ts - o.end).total_seconds() * o.rco
+        o.end = prev_ts
+        secs = (o.end - o.start).total_seconds()
+        if secs == 0:
+            continue
+        o.mean = o.total / secs
+        results.append((o.start, o.end, o.mean, int(secs)))
+    return results
+
+
+def threshold_merger(
+    pous: DataFrame, threshold: float = 0.1, abs_diff: float = 0.0
+) -> DataFrame:
+    """The reference's FULL step1_threshold pipeline as one distributed
+    operator (step1_threshold.py:380–420 outer loop + merger above):
+
+    1. dedup exact-duplicate observations per (group, timestamp), keeping
+       the first minimum CustomersOut (groupby idxmin parity),
+    2. split each group's time-ordered series into segments wherever the
+       PREVIOUS row's CustomersOut was 0 (is_new, step1_threshold.py:13),
+    3. run the concurrent-outage merger per segment,
+    4. keep only closed outages with duration > 0.
+
+    Sequential within a (utility, state, county, city) group, parallel
+    across groups — groups are plentiful and cadence-bounded, so one
+    Arrow batch per group holds (see module docstring).
+    """
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("RecordDateTime", kind="stable")
+        pdf = pdf.loc[pdf.groupby("RecordDateTime")["CustomersOut"].idxmin()]
+        pdf = pdf.sort_values("RecordDateTime", kind="stable")
+        keys = pdf.iloc[0][GROUP_KEYS].tolist()
+        fips = pdf.iloc[0]["CountyFIPS"]
+        tracked = int(pdf.iloc[0]["CustomersTracked"])
+        out_rows = []
+        seg: list[tuple] = []
+        prev = None
+        for ts, out in zip(pdf["RecordDateTime"], pdf["CustomersOut"]):
+            out = int(out) if pd.notna(out) else 0
+            if prev is not None and prev == 0 and seg:
+                out_rows += _merge_segment(seg, threshold, abs_diff)
+                seg = []
+            seg.append((ts, out))
+            prev = out
+        if seg:
+            out_rows += _merge_segment(seg, threshold, abs_diff)
+        return pd.DataFrame(
+            [
+                {
+                    "UtilityName": keys[0], "StateName": keys[1],
+                    "CountyName": keys[2], "CityName": keys[3],
+                    "CountyFIPS": fips, "CustomersTracked": tracked,
+                    "start_time": s, "end_time": e,
+                    "customer_affected_mean": m, "duration_s": d,
+                }
+                for s, e, m, d in out_rows
+                if d > 0
+            ],
+            columns=[
+                "UtilityName", "StateName", "CountyName", "CityName",
+                "CountyFIPS", "CustomersTracked", "start_time", "end_time",
+                "customer_affected_mean", "duration_s",
+            ],
+        )
+
+    return pous.groupBy(*GROUP_KEYS).applyInPandas(fold, _MERGER_SCHEMA)
