@@ -35,6 +35,10 @@ def main() -> int:
     p.add_argument("--seen-mode", choices=["exact", "bloom"], default="exact")
     p.add_argument("--simulated-clock", action="store_true",
                    help="virtual politeness clock (fixture/bench mode)")
+    p.add_argument("--fetcher", choices=["fixture", "http"], default="fixture",
+                   help="fixture renderer (offline, default) or real HTTP "
+                        "(UA + 10 s timeout, util.py:63–89 semantics)")
+    p.add_argument("--http-timeout", type=float, default=10.0)
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -51,9 +55,16 @@ def main() -> int:
         synthetic_seeds,
     )
 
+    if args.fetcher == "http":
+        from outage_data_scraper_spark.sources.http import make_http_fetcher
+
+        fetcher_factory = make_http_fetcher(timeout_s=args.http_timeout)
+    else:
+        fetcher_factory = make_fixture_fetcher
+
     cat = SnapshotCatalog(args.catalog)
     crawler = Crawler(
-        spark, cat, make_fixture_fetcher,
+        spark, cat, fetcher_factory,
         per_host_k=args.per_host_k, num_parts=args.num_parts, salt=args.salt,
         rate_per_host=args.rate_per_host, seen_mode=args.seen_mode,
         simulated_clock=args.simulated_clock,
