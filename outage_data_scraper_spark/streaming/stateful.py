@@ -34,8 +34,30 @@ def _track(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
     threshold: int = 0,
+    stale_timeout_ms: int | None = None,
 ) -> Iterator[pd.DataFrame]:
     (emc,) = key
+    if state.hasTimedOut:
+        # stale key: no observations within the processing-time timeout —
+        # close the open session as-is so liveness never depends on the
+        # feed recovering
+        if state.exists:
+            s, last, n, p = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "emc": emc,
+                        "session_start": pd.Timestamp(s, unit="s"),
+                        "session_end": pd.Timestamp(last, unit="s"),
+                        "duration_min": (last - s) / 60.0,
+                        "n_obs": n,
+                        "peak_out": p,
+                        "closed_by": "timeout",
+                    }
+                ]
+            )
+        return
     rows = pd.concat(list(pdfs)).sort_values("ts")
     cur: tuple[int, int, int, int] | None = state.get if state.exists else None
     out: list[dict[str, Any]] = []
@@ -64,6 +86,8 @@ def _track(
             cur = None
     if cur is not None:
         state.update(cur)
+        if stale_timeout_ms is not None:
+            state.setTimeoutDuration(stale_timeout_ms)
     elif state.exists:
         state.remove()
     if out:
@@ -71,22 +95,31 @@ def _track(
 
 
 def streaming_sessionize(
-    observations: DataFrame, threshold: int = 0
+    observations: DataFrame, threshold: int = 0, stale_timeout_ms: int | None = None
 ) -> DataFrame:
-    """observations: streaming DF (emc string, ts timestamp, out long)."""
+    """observations: streaming DF (emc string, ts timestamp, out long).
+
+    ``stale_timeout_ms``: close a key's open session with
+    closed_by='timeout' after that much processing time with no new
+    observations (ProcessingTimeTimeout). None keeps sessions open until
+    the feed recovers — the reference's effective behavior, since its
+    pollers simply stop writing rows when a site goes quiet.
+    """
 
     def fn(key, pdfs, state):
-        yield from _track(key, pdfs, state, threshold=threshold)
+        yield from _track(
+            key, pdfs, state, threshold=threshold, stale_timeout_ms=stale_timeout_ms
+        )
 
-    # NoTimeout: the ProcessingTimeTimeout callback path crashes the
-    # Python worker in this Spark build (timed-out invocations deliver an
-    # empty batch iterator the Arrow protocol here mishandles). Stale
-    # sessions therefore stay open until the feed recovers — acceptable
-    # for the polling cadence; revisit when the timeout path is stable.
+    conf = (
+        GroupStateTimeout.NoTimeout
+        if stale_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return observations.groupBy("emc").applyInPandasWithState(
         fn,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=conf,
     )

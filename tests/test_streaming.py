@@ -169,3 +169,69 @@ def test_stateful_streaming_sessionizer(spark, tmp_path):
     }
     assert ("A", "2024-08-01 10:00:00", 2, 80, "recovered") in got
     assert ("B", "2024-08-01 10:00:00", 1, 7, "recovered") in got
+
+
+def test_stateful_timeout_closes_stale_session(spark, tmp_path):
+    """A key whose feed goes quiet must emit closed_by='timeout' without
+    ever recovering: EMC A opens a session in batch 1, then only EMC B
+    observations arrive; the ProcessingTimeTimeout fires on a later
+    micro-batch and closes A's session as stale."""
+    import time
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType, TimestampType
+
+    from outage_data_scraper_spark.streaming.stateful import streaming_sessionize
+
+    src = str(tmp_path / "obs")
+
+    def wave(rows):
+        df = (
+            spark.createDataFrame(rows, "emc string, ts string, out long")
+            .withColumn("ts", F.to_timestamp("ts"))
+            .select("emc", "ts", "out")
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    wave([("A", "2024-08-01 10:00:00", 50), ("A", "2024-08-01 10:15:00", 80)])
+    for i in range(3):  # keep micro-batches coming; A never recovers
+        wave([("B", f"2024-08-01 10:0{i}:00", 5 + i)])
+
+    stream = (
+        spark.readStream.schema(
+            StructType([
+                StructField("emc", StringType()),
+                StructField("ts", TimestampType()),
+                StructField("out", LongType()),
+            ])
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sessions = streaming_sessionize(stream, threshold=0, stale_timeout_ms=200)
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", str(tmp_path / "sink"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 60
+        closed = set()
+        while time.monotonic() < deadline:
+            time.sleep(2)
+            try:
+                closed = {
+                    (r.emc, str(r.session_start), r.n_obs, r.peak_out, r.closed_by)
+                    for r in spark.read.parquet(str(tmp_path / "sink")).collect()
+                }
+            except Exception:
+                continue
+            if any(c[0] == "A" and c[4] == "timeout" for c in closed):
+                break
+    finally:
+        q.stop()
+    assert ("A", "2024-08-01 10:00:00", 2, 80, "timeout") in closed
+    # B stayed active to the end, then timed out too (feed stopped)
+    assert all(c[4] == "timeout" for c in closed)
