@@ -317,6 +317,19 @@ def q24_embedding_near_dup(spark, sf_dir):
     )
 
 
+def q36_embedding_near_dup_lsh(spark, sf_dir):
+    """LSH-blocked cosine pair mining (similarity.embedding_near_dup_pairs):
+    the SCALE path for q24's semantics — candidates pair only within a
+    random-hyperplane bucket, never O(n²) per label. Approximate (bucket
+    boundaries cost recall) → rows-only; pytest checks recall ≥ 0.9 vs
+    the exact label-blocked pairs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dup_pairs(
+        emb, threshold=0.3, n_planes=2, n_bands=8
+    )
+    return pairs.select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+
+
 def q25_gold_outage_metrics(spark, sf_dir):
     """Flagship: the GA1TX8 standardization pipeline (O18+O19+O20) over
     the events-derived observation table."""
@@ -560,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_session_properties": q33_session_properties,
         "q34_ann_ivf_topk": q34_ann_ivf_topk,
         "q35_threshold_merger": q35_threshold_merger,
+        "q36_embedding_near_dup_lsh": q36_embedding_near_dup_lsh,
     }
 
 

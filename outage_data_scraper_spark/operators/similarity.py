@@ -189,28 +189,63 @@ def ann_topk_ivf(
 def embedding_near_dup_pairs(
     emb: DataFrame, threshold: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    n_planes: int = 8, seed: int = 7,
+    n_planes: int = 8, n_bands: int = 4, seed: int = 7,
 ) -> DataFrame:
-    """Pairs (id_a < id_b) with cosine ≥ threshold, blocked by LSH bucket
-    so candidate pairs are generated per-bucket instead of n²."""
+    """Pairs (id_a < id_b) with cosine ≥ threshold, blocked by BANDED
+    hyperplane LSH: ``n_bands`` independent plane sets of ``n_planes``
+    each; a pair becomes a candidate if it shares ANY band's bucket
+    (OR-of-ANDs, same recall shape as minhash LSH banding). Candidates
+    pair only within a (band, bucket) key, never n²; duplicates across
+    bands collapse on (id_a, id_b).
+
+    Per-band miss for a pair at angle θ is 1−(1−θ/π)^n_planes, so recall
+    = 1−missᴮ: tune n_planes down / n_bands up for low thresholds (the
+    synthetic sf tables top out near cos 0.5 → (2, 8) in q36), keep the
+    defaults for true near-dup mining at τ≥0.9.
+    """
     sample = emb.select(vec_col).first()
     dim = len(sample[0])
-    planes = make_hyperplanes(dim, n_planes, seed)
+    all_planes = make_hyperplanes(dim, n_planes * n_bands, seed)
     v = F.col(vec_col).cast("array<double>")
-    b = emb.select(
-        F.col(id_col), v.alias("v"), lsh_bucket(v, planes).alias("bucket")
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                lsh_bucket(v, all_planes[i * n_planes : (i + 1) * n_planes]).alias("sig"),
+            )
+            for i in range(n_bands)
+        ]
     )
+    # norms ride along so the per-candidate work after the join is ONE
+    # dot product; candidates dedupe across bands BEFORE that dot runs
+    b = emb.select(
+        F.col(id_col), v.alias("v"), _norm(v).alias("nrm"), F.explode(bands).alias("bb")
+    ).select(id_col, "v", "nrm", F.col("bb.band").alias("band"), F.col("bb.sig").alias("sig"))
     l, r = b.alias("l"), b.alias("r")
-    return (
+    cands = (
         l.join(
             r,
-            (F.col("l.bucket") == F.col("r.bucket"))
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cos_sim"),
+            F.col("l.v").alias("va"),
+            F.col("r.v").alias("vb"),
+            F.col("l.nrm").alias("na"),
+            F.col("r.nrm").alias("nb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.select(
+            "id_a",
+            "id_b",
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias(
+                "cos_sim"
+            ),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

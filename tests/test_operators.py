@@ -192,6 +192,43 @@ def test_embedding_near_dup_blocked(spark):
     assert (0, 1) in pairs and (0, 2) not in pairs
 
 
+def test_embedding_near_dup_lsh_recall_vs_exact(spark):
+    """The banded-LSH pair miner (q36's scale path) must recover ≥0.9 of
+    the exact label-blocked q24 pairs on the driver's sf0.01 tables."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    v = F.col("embedding").cast("array<double>")
+    b = emb.select(F.col("vec_id"), v.alias("v"), F.col("label"))
+    l, r = b.alias("l"), b.alias("r")
+    exact = {
+        (x.id_a, x.id_b)
+        for x in (
+            l.join(r, (F.col("l.label") == F.col("r.label")) & (F.col("l.vec_id") < F.col("r.vec_id")))
+            .select(
+                F.col("l.vec_id").alias("id_a"),
+                F.col("r.vec_id").alias("id_b"),
+                similarity.cosine(F.col("l.v"), F.col("r.v")).alias("c"),
+            )
+            .filter(F.col("c") >= 0.3)
+            .collect()
+        )
+    }
+    approx = {
+        (x.id_a, x.id_b)
+        for x in similarity.embedding_near_dup_pairs(
+            emb, threshold=0.3, n_planes=2, n_bands=8
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"banded-LSH recall {recall:.3f} below 0.9 ({len(exact)} exact pairs)"
+    # every emitted pair genuinely clears the threshold (no false accepts)
+    assert all(
+        x.cos_sim >= 0.3
+        for x in similarity.embedding_near_dup_pairs(
+            emb, threshold=0.3, n_planes=2, n_bands=8
+        ).collect()
+    )
+
+
 # -- multimodal --------------------------------------------------------------------
 
 def test_multimodal_plumbing(spark):
