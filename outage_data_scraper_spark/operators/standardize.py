@@ -82,16 +82,72 @@ def compute_outage_metrics(obs: DataFrame) -> DataFrame:
     )
 
 
+ZIP_GUARD_SENTINEL = "Outage scale too large to extract zipcodes"
+ZIP_UNKNOWN = "unknown"
+
+
+def reverse_geocode_zip(
+    points: DataFrame,
+    geo_dim: DataFrame,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    out_col: str = "zipcode",
+    precision: int = 2,
+    guard_count: int = 10,
+    group_keys: list[str] | None = None,
+) -> DataFrame:
+    """O16 reverse-geocode enrichment, the engine's Nominatim stand-in
+    (ga_scraper.py:107–116 extract_zipcode + the :240–249 scale guard).
+
+    ``geo_dim``: (lat_r, lng_r, zipcode) — coordinates rounded to
+    ``precision`` decimals (≈1.1 km cells at 2 dp, the resolution a
+    postcode lookup needs). It is a bounded dimension (one row per
+    inhabited cell) → broadcast join; misses get 'unknown' exactly like
+    the reference's failed Nominatim calls.
+
+    Guard parity: the reference only geocodes batches with fewer than 10
+    points and writes a sentinel otherwise. ``group_keys`` scopes that
+    count (per parse batch ≈ per (emc, wave)); None applies no guard.
+    """
+    lat_r = F.round(F.col(lat_col), precision).alias("lat_r")
+    lng_r = F.round(F.col(lng_col), precision).alias("lng_r")
+    dim = geo_dim.select(
+        F.col("lat_r"), F.col("lng_r"), F.col("zipcode").alias("__geo_zip")
+    )
+    joined = (
+        points.withColumn("lat_r", lat_r)
+        .withColumn("lng_r", lng_r)
+        .join(F.broadcast(dim), ["lat_r", "lng_r"], "left")
+        .drop("lat_r", "lng_r")
+    )
+    looked_up = F.coalesce(F.col("__geo_zip"), F.lit(ZIP_UNKNOWN))
+    if group_keys:
+        n = F.count(F.lit(1)).over(Window.partitionBy(*group_keys))
+        looked_up = F.when(n < guard_count, looked_up).otherwise(
+            F.lit(ZIP_GUARD_SENTINEL)
+        )
+    return joined.withColumn(out_col, looked_up).drop("__geo_zip")
+
+
 def standardize_ga1tx8(
     obs: DataFrame,
     zip_county: DataFrame,
     utility_provider: str,
     state: str,
+    geo_dim: DataFrame | None = None,
 ) -> DataFrame:
     """Full GA1TX8 standardization → the 16-column gold schema
     (pipeline.py:64–68). ``obs`` columns: outage_id, timestamp,
     start_time, customer_affected, lat, lng, zipcode.
-    ``zip_county``: (zipcode, county) dimension (ga_mapping.json)."""
+    ``zip_county``: (zipcode, county) dimension (ga_mapping.json).
+    ``geo_dim``: optional (lat_r, lng_r, zipcode) broadcast dimension —
+    rows whose zipcode is missing resolve through it (O16); payload zips
+    and the scale-guard sentinel pass through untouched."""
+    if geo_dim is not None:
+        resolved = reverse_geocode_zip(
+            obs.filter(F.col("zipcode").isNull()), geo_dim
+        )
+        obs = obs.filter(F.col("zipcode").isNotNull()).unionByName(resolved)
     metrics = compute_outage_metrics(obs)
     joined = metrics.join(
         obs.select("outage_id", "timestamp", "lat", "lng", "zipcode"),

@@ -57,6 +57,58 @@ def test_crawl_to_gold_pipeline(spark, crawled_records):
         assert r.duration_max == pytest.approx(r.duration + 15, abs=0.01)
 
 
+def _geo_dim(spark):
+    return spark.createDataFrame(
+        [(33.75, -84.39, "30303"), (30.27, -97.74, "78701")],
+        "lat_r double, lng_r double, zipcode string",
+    )
+
+
+def test_reverse_geocode_zip_guard_and_lookup(spark):
+    """O16: broadcast geo-dim lookup below the <10-point guard, sentinel
+    above it, 'unknown' on cell miss (ga_scraper.py:107–116, 240–249)."""
+    from outage_data_scraper_spark.operators.standardize import (
+        ZIP_GUARD_SENTINEL,
+        ZIP_UNKNOWN,
+        reverse_geocode_zip,
+    )
+
+    rows = [("small", 33.751, -84.392)] * 3 + [("small", 0.0, 0.0)] + [
+        ("big", 33.749, -84.388)
+    ] * 12
+    pts = spark.createDataFrame(rows, "emc string, lat double, lng double")
+    out = reverse_geocode_zip(pts, _geo_dim(spark), group_keys=["emc"]).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.emc, set()).add(r.zipcode)
+    assert got["small"] == {"30303", ZIP_UNKNOWN}  # lookup + cell miss
+    assert got["big"] == {ZIP_GUARD_SENTINEL}      # ≥10 points → sentinel
+
+
+def test_standardize_resolves_missing_zip_through_geo_dim(spark):
+    from outage_data_scraper_spark.operators.standardize import ZIP_GUARD_SENTINEL
+
+    obs = spark.createDataFrame(
+        [
+            ("o1", "2024-08-01 10:00:00", "2024-08-01 09:30:00", 5, 33.748, -84.391, None),
+            ("o2", "2024-08-01 10:00:00", "2024-08-01 09:30:00", 7, 30.266, -97.743, "78799"),
+            ("o3", "2024-08-01 10:00:00", "2024-08-01 09:30:00", 9, 30.266, -97.743, ZIP_GUARD_SENTINEL),
+        ],
+        "outage_id string, timestamp string, start_time string, "
+        "customer_affected long, lat double, lng double, zipcode string",
+    ).withColumn("timestamp", F.to_timestamp("timestamp")).withColumn(
+        "start_time", F.to_timestamp("start_time")
+    )
+    dim = spark.createDataFrame([("30303", "Fulton")], "zipcode string, county string")
+    gold = standardize_ga1tx8(obs, dim, "EMC", "ga", geo_dim=_geo_dim(spark))
+    zips = {r.outage_id: r.zipcode for r in gold.collect()}
+    assert zips["o1"] == "30303"            # null resolved through the dim
+    assert zips["o2"] == "78799"            # payload zip untouched
+    assert zips["o3"] == ZIP_GUARD_SENTINEL  # guard sentinel untouched
+    counties = {r.outage_id: r.county for r in gold.collect()}
+    assert counties["o1"] == "Fulton"       # resolved zip joins the county dim
+
+
 def test_tn7_rollups_from_real_seed(spark, tmp_path):
     rows = [
         r for r in load_seed_events("/root/reference/events")
