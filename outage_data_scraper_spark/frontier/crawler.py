@@ -212,6 +212,25 @@ class Crawler:
 
         wave_ts = datetime.now(timezone.utc).replace(tzinfo=None, microsecond=0)
         run_ts = F.lit(wave_ts).cast("timestamp")
+
+        # ONE action over the cached parse output yields every per-kind
+        # count the wave needs (records/pages emptiness gates + ok/failed
+        # stats) — three separate counting jobs otherwise dominate the
+        # per-wave fixed cost at small wave sizes.
+        kind_stats = (
+            parsed.groupBy("kind", (F.col("status") == 200).alias("ok"))
+            .count()
+            .collect()
+        )
+        n_records = sum(r["count"] for r in kind_stats if r["kind"] == "record")
+        n_pages = sum(r["count"] for r in kind_stats if r["kind"] == "text")
+        ok = sum(
+            r["count"] for r in kind_stats if r["kind"] in ("error", "text") and r["ok"]
+        )
+        failed = sum(
+            r["count"] for r in kind_stats if r["kind"] in ("error", "text") and not r["ok"]
+        )
+
         # records PARTITIONED BY (state, layout) — the engine analog of
         # the reference's {state}/layout_{id}/ CSV path (app/main.py:29)
         records = parsed.filter(F.col("kind") == "record").select(
@@ -219,7 +238,6 @@ class Crawler:
             F.lit(None).cast("string").alias("text"),
             run_ts.alias("run_ts"), F.col("wave"),
         )
-        n_records = records.count()
         if n_records:
             self.cat.write("records", records, wave=wave, partition_by=["state", "layout"])
 
@@ -232,7 +250,7 @@ class Crawler:
             F.pmod(F.xxhash64("url"), F.lit(16)).cast("string").alias("url_bucket"),
             F.date_format(run_ts, "yyyy-MM-dd").alias("warc_day"),
         )
-        if pages.limit(1).count():
+        if n_pages:
             self.cat.write(
                 "pages", pages, wave=wave, partition_by=["url_bucket", "warc_day"]
             )
@@ -243,9 +261,6 @@ class Crawler:
             F.lit(None).cast("int").alias("partition_id"),
             "emc", "state", "layout",
         )
-        stats = log.groupBy((F.col("status") == 200).alias("ok")).count().collect()
-        ok = sum(r["count"] for r in stats if r["ok"])
-        failed = sum(r["count"] for r in stats if not r["ok"])
         self.cat.write("fetch_log", log, wave=wave)
 
         # children: keep first discovery per URL (visited semantics), then
