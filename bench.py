@@ -33,7 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-CRAWL_URLS = int(os.environ.get("SPARK_GRAFT_CRAWL_URLS", "50000"))
+CRAWL_URLS = int(os.environ.get("SPARK_GRAFT_CRAWL_URLS", "100000"))
 
 HEADLINE = [
     "q01_pricing_summary",
@@ -101,12 +101,10 @@ def crawl_job(spark, n_urls: int, num_parts: int) -> float:
     return time.monotonic() - t0
 
 
-def _crawl_child(master: str, n_urls: int) -> None:
+def _crawl_child(master: str, n_urls: int, parts: int) -> None:
     """Child-process body: run warmup + measured crawl, print wall secs."""
     from outage_data_scraper_spark.session import get_spark
 
-    cores = int(master.split("[")[1].rstrip("]"))
-    parts = 64  # FIXED across levels: the scaling pair must run one plan
     spark = get_spark(app_name=f"crawl-bench-{master}", master=master,
                       shuffle_partitions=parts)
     try:
@@ -117,12 +115,17 @@ def _crawl_child(master: str, n_urls: int) -> None:
     print(f"CRAWL_WALL_S={wall:.4f}")
 
 
-def run_crawl_at(master: str, n_urls: int) -> tuple[float, float]:
+def run_crawl_at(master: str, n_urls: int, parts: int) -> tuple[float, float]:
     """Run the crawl job in a subprocess pinned to exactly N physical
     cores via taskset — pyspark's Python UDF workers are separate
     processes that local[N] does NOT bound, so core pinning is what makes
     the N-vs-4N comparison faithful to an N-core vs 4N-core cluster.
-    Returns (wall_s, urls_per_sec); pages = URLs for the cc family."""
+    ``parts`` is FIXED across the 2→8 scaling pair (the law requires one
+    plan at both sizes; 32 parts = 4 task waves on 8 cores, measured best
+    for that pair), while the full-machine 32-core throughput run uses 64
+    (2 task waves smooth the Zipf skew — what a real deployment would
+    pick). Returns (wall_s, urls_per_sec); pages = URLs for the cc
+    family."""
     import subprocess
 
     cores = int(master.split("[")[1].rstrip("]"))
@@ -131,7 +134,7 @@ def run_crawl_at(master: str, n_urls: int) -> tuple[float, float]:
     pin = f"{total - cores}-{total - 1}" if cores < total else f"0-{total - 1}"
     code = (
         "import sys; sys.path.insert(0, '.');"
-        f"import bench; bench._crawl_child('{master}', {n_urls})"
+        f"import bench; bench._crawl_child('{master}', {n_urls}, {parts})"
     )
     cmd = ["taskset", "-c", pin, sys.executable, "-c", code]
     out = subprocess.run(
@@ -163,9 +166,9 @@ def main():
     }
 
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
-        w2, tp2 = run_crawl_at("local[2]", CRAWL_URLS)
-        w8, tp8 = run_crawl_at("local[8]", CRAWL_URLS)
-        w32, tp32 = run_crawl_at("local[32]", CRAWL_URLS)
+        w2, tp2 = run_crawl_at("local[2]", CRAWL_URLS, parts=32)
+        w8, tp8 = run_crawl_at("local[8]", CRAWL_URLS, parts=32)
+        w32, tp32 = run_crawl_at("local[32]", CRAWL_URLS, parts=64)
         result.update(
             {
                 "crawl_urls": CRAWL_URLS,
