@@ -505,6 +505,40 @@ def q35_threshold_merger(spark, sf_dir):
     )
 
 
+def q37_merger_monthly_property(spark, sf_dir):
+    """step2_grower_property.py:70–105 over the q35 merger output: the
+    per-utility monthly grower report (frequency, avg duration, avg mean,
+    Σ mean×duration). Rows-only: the input derives from the non-SQL
+    threshold merger; the aggregation itself is unit-tested against a
+    hand computation."""
+    from outage_data_scraper_spark.operators.sessionize import (
+        merger_monthly_property,
+        threshold_merger,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("UtilityName"),
+        F.lit("tx").alias("StateName"),
+        F.lit("c").alias("CountyName"),
+        F.lit("ci").alias("CityName"),
+        F.lit("0").alias("CountyFIPS"),
+        F.lit(1000).cast("long").alias("CustomersTracked"),
+        F.floor(F.col("value")).cast("long").alias("CustomersOut"),
+        F.date_trunc("second", "ts").alias("RecordDateTime"),
+    )
+    merged = threshold_merger(ev, threshold=0.1, abs_diff=5.0)
+    rep = merger_monthly_property(merged, "2024-01-01 00:00:00", "2024-02-01 00:00:00")
+    return rep.select(
+        F.col("UtilityName").alias("utility"),
+        "frequency",
+        F.round("avg_duration_min", 4).alias("avg_duration_min"),
+        F.round("avg_customer_affected_mean", 4).alias("avg_customer_affected_mean"),
+        F.round("total_customer_affected_x_duration", 2).alias(
+            "total_customer_affected_x_duration"
+        ),
+    )
+
+
 def q33_session_properties(spark, sf_dir):
     """O28: per-key scalar report over sessions (step2_property.py:60–94).
 
@@ -574,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_ann_ivf_topk": q34_ann_ivf_topk,
         "q35_threshold_merger": q35_threshold_merger,
         "q36_embedding_near_dup_lsh": q36_embedding_near_dup_lsh,
+        "q37_merger_monthly_property": q37_merger_monthly_property,
     }
 
 

@@ -324,6 +324,35 @@ def _merge_segment(rows, threshold, abs_diff):
     return results
 
 
+def merger_monthly_property(
+    merged: DataFrame, month_start: str, month_end: str
+) -> DataFrame:
+    """Monthly grower report over threshold-merger output
+    (step2_grower_property.py:70–105): per utility, the outage frequency,
+    average duration, average customer_affected_mean, and the
+    customer_affected_mean × duration total/average for outages STARTING
+    inside [month_start, month_end). Durations in minutes (the reference
+    sums Timedeltas)."""
+    win = merged.filter(
+        (F.col("start_time") >= F.lit(month_start))
+        & (F.col("start_time") <= F.lit(month_end))
+    )
+    dur_min = F.col("duration_s") / 60.0
+    return win.groupBy("UtilityName").agg(
+        F.count(F.lit(1)).alias("frequency"),
+        (F.sum(dur_min) / F.count(F.lit(1))).alias("avg_duration_min"),
+        (F.sum("customer_affected_mean") / F.count(F.lit(1))).alias(
+            "avg_customer_affected_mean"
+        ),
+        F.sum(F.col("customer_affected_mean") * dur_min).alias(
+            "total_customer_affected_x_duration"
+        ),
+        (
+            F.sum(F.col("customer_affected_mean") * dur_min) / F.count(F.lit(1))
+        ).alias("avg_customer_affected_x_duration"),
+    )
+
+
 def threshold_merger(
     pous: DataFrame, threshold: float = 0.1, abs_diff: float = 0.0
 ) -> DataFrame:

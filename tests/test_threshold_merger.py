@@ -211,6 +211,36 @@ def test_randomized_parity_vs_port(spark):
         _check(spark, _mins(*outs), threshold=0.25, abs_diff=20.0)
 
 
+def test_merger_monthly_property_report(spark):
+    """step2_grower_property semantics: window on start_time, frequency,
+    avg duration, avg mean, Σ mean×duration — checked by hand."""
+    from outage_data_scraper_spark.operators.sessionize import merger_monthly_property
+
+    merged = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                ("u1", pd.Timestamp("2024-01-05"), pd.Timestamp("2024-01-06"), 10.0, 3600),
+                ("u1", pd.Timestamp("2024-01-20"), pd.Timestamp("2024-01-21"), 20.0, 7200),
+                ("u1", pd.Timestamp("2024-02-02"), pd.Timestamp("2024-02-03"), 99.0, 60),
+                ("u2", pd.Timestamp("2024-01-10"), pd.Timestamp("2024-01-11"), 5.0, 600),
+            ],
+            columns=["UtilityName", "start_time", "end_time", "customer_affected_mean", "duration_s"],
+        )
+    )
+    rep = {
+        r.UtilityName: r
+        for r in merger_monthly_property(
+            merged, "2024-01-01 00:00:00", "2024-02-01 00:00:00"
+        ).collect()
+    }
+    u1 = rep["u1"]
+    assert u1.frequency == 2
+    assert u1.avg_duration_min == pytest.approx((60 + 120) / 2)
+    assert u1.avg_customer_affected_mean == pytest.approx(15.0)
+    assert u1.total_customer_affected_x_duration == pytest.approx(10 * 60 + 20 * 120)
+    assert rep["u2"].frequency == 1
+
+
 def test_multiple_groups_fold_independently(spark):
     pdf = pd.DataFrame(
         [
