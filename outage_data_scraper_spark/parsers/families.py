@@ -121,6 +121,44 @@ def parse_kubra_report(payload: bytes) -> ParseOut:
     return {level: rows}, []
 
 
+# -- TX5: kubra-variant report flow (tx_scraper.py:117–228; SC Dominion
+# twin via sc_scraper.py:50–51). Same anchor → report-link discovery as
+# kubra, but the report parse keeps EVERY area column (dropping only
+# gotoMap), unwraps the {val:…} dicts, filters `cust_a != 0 or n_out != 0`
+# (ints after unwrap — a REAL filter here, unlike the DOM-string families),
+# and routes the record level by ORDER-SENSITIVE keyword probes over the
+# raw payload text (zip/Zip → county → city/Cities → region/Region,
+# tx_scraper.py:216–224); an unmatched report is dropped entirely.
+
+_TX5_LEVELS = [
+    ("per_zipcode", ("zip", "Zip")),
+    ("per_county", ("county",)),
+    ("per_city", ("city", "Cities")),
+    ("per_region", ("region", "Region")),
+]
+
+
+def parse_tx5_report(payload: bytes) -> ParseOut:
+    text = payload.decode()
+    level = None
+    for lvl, kws in _TX5_LEVELS:
+        if any(k in text for k in kws):
+            level = lvl
+            break
+    if level is None:
+        return {}, []
+    doc = json.loads(text)
+    rows = []
+    for a in doc["file_data"]["areas"]:
+        rec = {k: v for k, v in a.items() if k != "gotoMap"}
+        for k in ("cust_a", "percent_cust_a"):
+            if isinstance(rec.get(k), dict):
+                rec[k] = rec[k].get("val")
+        if rec.get("cust_a") != 0 or rec.get("n_out") != 0:
+            rows.append(rec)
+    return {level: rows}, []
+
+
 # -- GA9: landing page discovers dropdown levels; one table per level
 # (ga_scraper.py:597–689, dropdown discovery at 680–688) -----------------------
 
@@ -600,6 +638,7 @@ PARSERS: dict[str, callable] = {
     "ga3": parse_ga3,
     "kubra_anchor": parse_kubra_anchor,
     "kubra_report": parse_kubra_report,
+    "tx5_report": parse_tx5_report,
     "ga5": parse_ga5,
     "ga6": parse_ga6,
     "ga7": parse_ga7,

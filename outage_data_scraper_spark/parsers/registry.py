@@ -77,6 +77,9 @@ FAMILY_BY_STATE_LAYOUT: dict[tuple[str, str], str] = {
     # TX singles
     ("tx", "1"): "tx1",
     ("la", "7"): "tx1",
+    ("tx", "5"): "tx5",  # kubra-variant, keeps all columns (tx_scraper.py:117)
+    ("sc", "4"): "tx5",  # Dominion SC (sc_scraper.py:50–51 → TX_Scraper5)
+    ("tn", "3"): "ga1",  # tn_scraper.py:236–237 → GA_Scraper1 (13 EMCs)
     ("tx", "6"): "tx6",
     ("tx", "7"): "tx7",
     ("tx", "10"): "tx10",

@@ -825,6 +825,9 @@ FAMILY_RENDERERS: dict[str, callable] = {
     "tn2": render_tn2,
     "nc7": render_nc7,
     "nc6": render_nc6,
+    # tx5 reports share the kubra payload shape; the file_title keyword is
+    # what parse_tx5_report's content probes classify on
+    "tx5_report": render_kubra_report,
     "il1": render_il1,
     "ny3_county": render_ny3_county,
     "ny3_town": render_ny3_town,
@@ -839,6 +842,9 @@ def endpoint_kind(url: str, family: str) -> str:
         return "ga1_boundaries" if url.endswith("boundaries.json") else "ga1_outages"
     if family == "kubra":
         return "kubra_report" if "report-" in url else "kubra_anchor"
+    if family == "tx5":
+        # same two-hop anchor page as kubra; only the report parse differs
+        return "tx5_report" if "report-" in url else "kubra_anchor"
     if family == "ga11":
         for suffix in ("subs", "county", "outages"):
             if url.endswith(f"{suffix}.json"):

