@@ -314,6 +314,19 @@ class Crawler:
             allowed.unpersist()
         return ws
 
+    def compact(self) -> None:
+        """Long-crawl maintenance: rewrite every table's live state as one
+        snapshot (Iceberg rewrite_data_files analog). Appends are one
+        snapshot per wave per table, so a 10^4-wave crawl would otherwise
+        union 10^4 snapshot dirs per read — compaction keeps the read-side
+        union shallow and the `pending` anti-join scanning one compacted
+        fetch_log instead of the whole append history. Safe at any wave
+        boundary: compact() stamps the snapshot with the table's last
+        committed wave, so resume() keeps it."""
+        for table in ("records", "pages", "fetch_log", "frontier", "waves"):
+            if self.cat.exists(table):
+                self.cat.compact(self.spark, table)
+
     def run(self, max_waves: int = 10) -> list[WaveStats]:
         out = []
         wave = self.last_committed_wave() + 1 if self.cat.exists("waves") else 1

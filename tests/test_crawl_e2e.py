@@ -132,6 +132,35 @@ def test_kill_and_resume_no_refetch(spark, tmp_path_factory):
     assert cat.read(spark, "records").count() >= before
 
 
+def test_compact_mid_crawl_then_resume(spark, tmp_path_factory):
+    """Compaction at a wave boundary must be invisible to the crawl: state
+    identical, snapshot count collapsed, and a subsequent resume() keeps
+    the compacted snapshots (regression for the wave=None rollback bug)."""
+    root = str(tmp_path_factory.mktemp("crawl-compact"))
+    cat = SnapshotCatalog(root)
+    c = Crawler(spark, cat, make_fixture_fetcher, per_host_k=2, num_parts=8,
+                salt=1, rate_per_host=100.0)
+    c.bootstrap(fixture_miniweb_seeds(spark))
+    c.run_wave(1)
+    c.run_wave(2)
+    before = {
+        "records": cat.read(spark, "records").count(),
+        "fetch_log": c.fetch_log().count(),
+        "frontier": c.frontier().count(),
+    }
+    c.compact()
+    assert len(cat.snapshots("fetch_log")) == 1
+    assert c.resume() == 3  # compacted snapshots survive the rollback
+    assert cat.read(spark, "records").count() == before["records"]
+    assert c.fetch_log().count() == before["fetch_log"]
+    assert c.frontier().count() == before["frontier"]
+    # crawl continues normally after compaction + resume
+    c.run(max_waves=30)
+    assert c.fetch_log().groupBy("url").count().filter(F.col("count") > 1).count() == 0
+    fetched = {r.url for r in c.fetch_log().select("url").collect()}
+    assert fetched == set(reference_order(spark))
+
+
 def test_bloom_seen_mode_crawl(spark, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("crawl-bloom"))
     cat = SnapshotCatalog(root)

@@ -60,6 +60,40 @@ def test_whole_stage_codegen_on_relational_path(spark):
     assert_whole_stage_codegen(e.q01_pricing_summary(spark, SF))
 
 
+def test_ngram_jaccard_plan_shape(spark):
+    """q19's rewritten plan: the shingle projection must sit ABOVE the
+    spreading repartition (a pushed-down filter once forced a serial
+    pre-pass on the unsplit input), pair counting must not materialize
+    unbounded per-shingle lists before the DF filter (window count first),
+    and the whole plan stays within 3 exchanges (spread, shingle hash,
+    pair key)."""
+    import __spark_entry__ as e
+
+    q = e.q19_ngram_jaccard(spark, SF)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    n = count_exchanges(q)
+    assert n <= 3, f"jaccard plans {n} exchanges"
+    # the Window (df count) must appear below the collect_list aggregate
+    w = plan.find("Window")
+    agg = plan.find("ObjectHashAggregate")
+    assert w != -1 and agg != -1
+    assert agg < w, "collect_list runs before the DF-cap window filter"
+    # only doc_id + text leave the scan
+    assert_column_pruned(q, "lang")
+    assert_column_pruned(q, "source")
+
+
+def test_embedding_near_dup_lsh_no_cartesian(spark):
+    """q36: banded LSH blocking must plan an equi-join on (band, sig) —
+    never a cartesian/broadcast-nested-loop over the vectors."""
+    import __spark_entry__ as e
+
+    q = e.q36_embedding_near_dup_lsh(spark, SF)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_frontier_pop_single_shuffle(spark):
     """O2: the per-host window pop must cost exactly one hash exchange."""
     from outage_data_scraper_spark.frontier.priority import pop_wave, seeds_to_frontier
