@@ -444,10 +444,13 @@ def q29_bloom_seen_filter(spark, sf_dir):
 
 
 def q30_session_state_machine(spark, sf_dir):
-    """O26 full threshold-merger state machine via applyInPandas
-    (sequential within group, parallel across groups). Although the fold
-    is imperative, its semantics are SQL-expressible, so the driver
-    cross-checks it value-exact against a gaps-and-islands + lag oracle."""
+    """O26 SIMPLIFIED threshold state machine via applyInPandas
+    (sequential within group, parallel across groups): one session per
+    active run plus a case-D split counter — deliberately collapsed so
+    the semantics stay ANSI-SQL-expressible and the driver cross-checks
+    the fold value-exact against a gaps-and-islands + lag oracle. The
+    reference's FULL concurrent-outage merger is q35 (rows-only + pytest
+    parity vs an independent port)."""
     from outage_data_scraper_spark.operators.sessionize import (
         sessionize_threshold_state_machine,
     )
