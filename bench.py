@@ -109,7 +109,10 @@ def _crawl_child(master: str, n_urls: int, parts: int) -> None:
                       shuffle_partitions=parts)
     try:
         crawl_job(spark, min(n_urls, 4000), num_parts=parts)  # warmup (JIT, workers)
-        wall = min(crawl_job(spark, n_urls, num_parts=parts) for _ in range(2))
+        # min-of-3: single runs show ±10% wall noise (JIT tail, GC, turbo
+        # transitions), which is enough to swing the 2→8 efficiency ratio
+        # across the 0.8 line in either direction
+        wall = min(crawl_job(spark, n_urls, num_parts=parts) for _ in range(3))
     finally:
         spark.stop()
     print(f"CRAWL_WALL_S={wall:.4f}")
