@@ -71,9 +71,15 @@ def fetch_wave(
         )
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else -1
-        # Materialize the WHOLE partition before sorting: the ordering law
-        # is per-partition, and a wave partition larger than one Arrow
-        # batch (~10k rows) must not fall back to batch-local order.
+        # Materialize the WHOLE partition's metadata rows before sorting:
+        # the ordering law is per-partition, and a wave partition larger
+        # than one Arrow batch (~10k rows) must not fall back to
+        # batch-local order. Metadata rows are ~100 bytes — cheap. The
+        # FETCHED PAYLOADS are not partition-buffered: the sorted frame is
+        # walked in 10k-row chunks, each fetched and yielded before the
+        # next starts, so peak task memory is O(chunk payloads), not
+        # O(partition payloads) (one pacer spans the chunks, keeping
+        # politeness exact across the whole partition).
         chunks = list(batches)
         if not chunks:
             return
@@ -82,28 +88,26 @@ def fetch_wave(
         pdf = pdf.sort_values(
             ["event_seq", "seed_seq", "depth", "child_seq", "url"]
         ).reset_index(drop=True)
-        rates = pdf["rate_override"] if has_rate_col else [None] * len(pdf)
-        out = {"status": [], "reason": [], "bytes": [], "html": [], "wait_s": []}
-        for url, h, fam, rate in zip(pdf["url"], pdf["host"], pdf["family"], rates):
-            wait = pacer.acquire(h, None if rate is None or pd.isna(rate) else float(rate))
-            try:
-                status, reason, payload = fetcher(url, fam)
-            except Exception as e:  # failure-capture side output (O23)
-                status, reason, payload = 599, str(e), None
-            out["status"].append(status)
-            out["reason"].append(reason)
-            out["bytes"].append(len(payload) if payload is not None else 0)
-            out["html"].append(payload)
-            out["wait_s"].append(wait)
-        for k, v in out.items():
-            pdf[k] = v
-        pdf["partition_id"] = pid
-        res = pdf[
-            _IN_COLS + ["status", "reason", "bytes", "html", "partition_id", "wait_s"]
-        ]
-        # Re-chunk the output so one partition's payloads never ride in a
-        # single oversized Arrow batch.
-        for lo in range(0, len(res), 10_000):
-            yield res.iloc[lo : lo + 10_000]
+        for lo in range(0, len(pdf), 10_000):
+            chunk = pdf.iloc[lo : lo + 10_000].reset_index(drop=True)
+            rates = chunk["rate_override"] if has_rate_col else [None] * len(chunk)
+            out = {"status": [], "reason": [], "bytes": [], "html": [], "wait_s": []}
+            for url, h, fam, rate in zip(chunk["url"], chunk["host"], chunk["family"], rates):
+                wait = pacer.acquire(h, None if rate is None or pd.isna(rate) else float(rate))
+                try:
+                    status, reason, payload = fetcher(url, fam)
+                except Exception as e:  # failure-capture side output (O23)
+                    status, reason, payload = 599, str(e), None
+                out["status"].append(status)
+                out["reason"].append(reason)
+                out["bytes"].append(len(payload) if payload is not None else 0)
+                out["html"].append(payload)
+                out["wait_s"].append(wait)
+            for k, v in out.items():
+                chunk[k] = v
+            chunk["partition_id"] = pid
+            yield chunk[
+                _IN_COLS + ["status", "reason", "bytes", "html", "partition_id", "wait_s"]
+            ]
 
     return part.mapInPandas(run, FETCH_RESULT_SCHEMA)

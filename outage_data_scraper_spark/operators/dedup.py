@@ -83,10 +83,23 @@ def minhash_lsh_candidates(
     near-dup clusters we want, and AQE's skew-join handles the residue.
     """
     rows_per_band = num_perm // bands
-    sig = _spread(docs).select(
-        F.col(id_col),
-        minhash_signature(F.col(text_col), k_shingle, num_perm).alias("sig"),
-    ).filter(F.size("sig") > 0)
+    # Guard docs that produce NO shingles (null text or < k_shingle
+    # tokens): their signature would be [null × num_perm], and since
+    # concat_ws skips nulls every such doc would land in ONE universal
+    # bucket per band — quadratic junk pairs at crawl scale. The guard is
+    # the cheap token-count predicate (size(sig) > 0 was dead code: the
+    # signature array always has num_perm entries).
+    has_shingles = (
+        F.size(F.split(textkit.normalized(F.col(text_col)), " ")) >= k_shingle
+    )
+    sig = (
+        _spread(docs)
+        .filter(has_shingles)
+        .select(
+            F.col(id_col),
+            minhash_signature(F.col(text_col), k_shingle, num_perm).alias("sig"),
+        )
+    )
 
     banded = sig.select(
         id_col,
@@ -168,7 +181,13 @@ def simhash_candidates(
     """Near-dup pairs with hamming(simhash) ≤ max_hamming, found by
     banding the 64-bit hash into 8×8-bit chunks (pigeonhole: ≤7 bit
     diffs ⇒ ≥1 identical chunk) and verifying with native bit_count."""
-    sh = _spread(docs).select(F.col(id_col), simhash64(F.col(text_col)).alias("sh"))
+    # Same empty-doc guard as minhash: zero tokens → zero votes → sh = 0
+    # for EVERY empty doc, i.e. one hamming-0 mega-cluster of blanks.
+    sh = (
+        _spread(docs)
+        .filter(F.size(textkit.tokens(textkit.normalized(F.col(text_col)))) >= 1)
+        .select(F.col(id_col), simhash64(F.col(text_col)).alias("sh"))
+    )
     chunks = sh.select(
         id_col,
         "sh",

@@ -316,7 +316,12 @@ def _merge_segment(rows, threshold, abs_diff):
                 (o.copy() for o in tracking if _first_index(tracking, o) not in to_pop),
                 key=lambda o: o.start,
             )
-        # (no else: an impossible-case row is skipped, reference "case E")
+        else:
+            # reference "case E": a row matching no case (only possible
+            # with NaN CustomersOut, which fails every comparison) is
+            # skipped WITHOUT updating prev — tracked outages persist
+            # across it and the next row diffs against the pre-NaN value
+            continue
         prev_out, prev_ts = out, ts
     for o in tracking:
         o.total += (prev_ts - o.end) * o.rco
@@ -336,8 +341,10 @@ def merger_monthly_property(
     (step2_grower_property.py:70–105): per utility, the outage frequency,
     average duration, average customer_affected_mean, and the
     customer_affected_mean × duration total/average for outages STARTING
-    inside [month_start, month_end). Durations in minutes (the reference
-    sums Timedeltas)."""
+    inside [month_start, month_end] — both bounds INCLUSIVE, matching the
+    reference's `<=` on the next month's first instant (an outage starting
+    exactly at the boundary lands in both adjacent reports there too).
+    Durations in minutes (the reference sums Timedeltas)."""
     win = merged.filter(
         (F.col("start_time") >= F.lit(month_start))
         & (F.col("start_time") <= F.lit(month_end))
@@ -377,9 +384,12 @@ def threshold_merger(
     """
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("RecordDateTime", kind="stable")
-        pdf = pdf.loc[pdf.groupby("RecordDateTime")["CustomersOut"].idxmin()]
-        pdf = pdf.sort_values("RecordDateTime", kind="stable")
+        # dedup (ts → first occurrence of the min reading): stable sort +
+        # drop_duplicates ≡ groupby idxmin, but survives all-NaN groups
+        # (idxmin yields NaN there and the .loc lookup would KeyError)
+        pdf = pdf.sort_values(
+            ["RecordDateTime", "CustomersOut"], kind="stable"
+        ).drop_duplicates("RecordDateTime", keep="first")
         keys = pdf.iloc[0][GROUP_KEYS].tolist()
         fips = pdf.iloc[0]["CountyFIPS"]
         tracked = int(pdf.iloc[0]["CustomersTracked"])
@@ -395,7 +405,14 @@ def threshold_merger(
         seg: list[tuple] = []
         prev = None
         for ts, out in zip(ts_s.tolist(), outs.tolist()):
-            out = int(out) if out == out and out is not None else 0
+            # null/NaN stays NaN: it must flow into the fold as the
+            # reference's case-E row (skipped, prev untouched) — coercing
+            # to 0 would wrongly CLOSE every tracked outage and split the
+            # segment. (One divergence, documented: a segment-OPENING NaN
+            # poisons the reference's tracking list so the whole segment
+            # emits nothing; the fold reproduces that too, since every
+            # subsequent row fails the NaN comparisons.)
+            out = int(out) if out == out and out is not None else float("nan")
             if prev is not None and prev == 0 and seg:
                 out_rows += _merge_segment(seg, threshold, abs_diff)
                 seg = []

@@ -108,8 +108,9 @@ def kmeans_centroids(
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> np.ndarray:
     """Deterministic mini k-means, DataFrame-native: initial centroids are
-    the k lowest-id vectors spread by id order; each Lloyd step is one
-    assign pass (argmin over broadcast centroid literals) + one
+    the k rows with the smallest xxhash64(id) (a deterministic
+    pseudo-random sample, always exactly min(k, n) rows); each Lloyd step
+    is one assign pass (argmin over broadcast centroid literals) + one
     elementwise-mean aggregation via posexplode. Everything JVM-side; the
     driver only holds k×dim floats."""
     # Deterministic pseudo-random init: the k rows with the smallest

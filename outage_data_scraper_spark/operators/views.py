@@ -30,6 +30,7 @@ RECORD_SCHEMAS: dict[tuple[str, str], str] = {
     ("tx5", "per_county"): "name string, cust_a long, percent_cust_a double, n_out long",
     ("tx5", "per_zipcode"): "name string, cust_a long, percent_cust_a double, n_out long",
     ("tx5", "per_city"): "name string, cust_a long, percent_cust_a double, n_out long",
+    ("tx5", "per_region"): "name string, cust_a long, percent_cust_a double, n_out long",
     ("tx4", "per_county"): "name string, customersAffected long, lastUpdatedTime string",
     ("tn7", "per_outage"): (
         "id string, county string, zipcode string, customerCount long, "

@@ -88,6 +88,8 @@ def _port_merger(rows, threshold, abs_diff):
                 [dict(o) for o in trk if trk.index(o) not in pops],
                 key=lambda o: o["st"],
             )
+        else:
+            continue  # case E: row matches no case; prev stays untouched
         prev = (ts, out)
     for o in trk:
         o["tot"] += (prev[0] - o["en"]).total_seconds() * o["rco"]
@@ -104,14 +106,16 @@ def _port_pipeline(series, threshold, abs_diff):
     """Outer loop: dedup (ts → min out, first occurrence), split segments
     after zero rows, merge each segment."""
     df = pd.DataFrame(series, columns=["ts", "out"])
-    df = df.loc[df.groupby("ts")["out"].idxmin()].sort_values("ts", kind="stable")
+    df["out"] = pd.to_numeric(df["out"])  # None → NaN (sortable)
+    df = df.sort_values(["ts", "out"], kind="stable").drop_duplicates("ts", keep="first")
     out_rows, seg, prev = [], [], None
     for ts, out in zip(df["ts"], df["out"]):
+        out = float("nan") if out is None or out != out else int(out)
         if prev is not None and prev == 0 and seg:
             out_rows += _port_merger(seg, threshold, abs_diff)
             seg = []
-        seg.append((ts, int(out)))
-        prev = int(out)
+        seg.append((ts, out))
+        prev = out
     if seg:
         out_rows += _port_merger(seg, threshold, abs_diff)
     return sorted(out_rows)
@@ -128,6 +132,7 @@ def _spark_rows(spark, series, threshold, abs_diff):
             "CountyFIPS", "CustomersTracked", "CustomersOut", "RecordDateTime",
         ],
     )
+    pdf["CustomersOut"] = pd.to_numeric(pdf["CustomersOut"])
     df = spark.createDataFrame(pdf)
     got = threshold_merger(df, threshold=threshold, abs_diff=abs_diff).collect()
     return sorted(
@@ -194,6 +199,23 @@ def test_duplicate_timestamps_dedup_to_min(spark):
 def test_abs_diff_floors_small_jumps(spark):
     # |Δ| < abs_diff forces case A/C even for large relative jumps
     _check(spark, _mins(10, 30, 12, 12), threshold=0.1, abs_diff=25.0)
+
+
+def test_nan_observation_is_case_e_skip(spark):
+    """A null CustomersOut mid-segment is the reference's case E: skipped
+    with prev untouched — it must NOT close tracked outages or split the
+    segment (coercing null→0 would do both)."""
+    got = _check(spark, _mins(100, None, 105, 108))
+    # one continuous outage spanning the NaN row, closed at segment end
+    assert len(got) == 1
+    assert got[0][3] == 2700  # 3 × 15-min steps: the NaN row's slot counts
+
+
+def test_nan_opening_a_segment_poisons_it(spark):
+    # reference parity: case 0 tracks the NaN itself; every later row
+    # fails the NaN comparisons (case E), so the segment emits nothing
+    got = _check(spark, _mins(0, None, 50, 80, 90))
+    assert got == []
 
 
 def test_randomized_parity_vs_port(spark):
