@@ -542,6 +542,40 @@ def q37_merger_monthly_property(spark, sf_dir):
     )
 
 
+def q38_threshold_merger_single_track(spark, sf_dir):
+    """The threshold merger in its SQL-expressible regime: with abs_diff
+    above every observed jump, |Δ| < abs_diff forces case A/C for every
+    row, so exactly ONE outage is tracked per zero-separated segment and
+    its running size equals the current reading (rco₁ = out₁, rco += Δ ⇒
+    rco_t = out_t). The fold then reduces to: per segment, end = last ts,
+    customer_affected_total = Σ (ts_t − ts_{t−1}) × out_{t−1} (the
+    left-Riemann time-weighted integral), mean = total / duration,
+    zero-duration segments dropped — all window algebra, giving the SAME
+    operator code a value-exact DuckDB oracle over cases 0/A/C + dedup +
+    segmentation + final close (the case B/D half is exercised by q35 and
+    its pytest parity suite)."""
+    from outage_data_scraper_spark.operators.sessionize import threshold_merger
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("UtilityName"),
+        F.lit("tx").alias("StateName"),
+        F.lit("c").alias("CountyName"),
+        F.lit("ci").alias("CityName"),
+        F.lit("0").alias("CountyFIPS"),
+        F.lit(1000).cast("long").alias("CustomersTracked"),
+        F.floor(F.col("value")).cast("long").alias("CustomersOut"),
+        F.date_trunc("second", "ts").alias("RecordDateTime"),
+    )
+    out = threshold_merger(ev, threshold=0.1, abs_diff=1_000_000_000.0)
+    return out.select(
+        F.col("UtilityName").alias("utility"),
+        F.date_format("start_time", _TS_FMT_SPARK).alias("start_ts"),
+        F.date_format("end_time", _TS_FMT_SPARK).alias("end_ts"),
+        F.round("customer_affected_mean", 4).alias("customer_affected_mean"),
+        "duration_s",
+    )
+
+
 def q33_session_properties(spark, sf_dir):
     """O28: per-key scalar report over sessions (step2_property.py:60–94).
 
@@ -612,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_threshold_merger": q35_threshold_merger,
         "q36_embedding_near_dup_lsh": q36_embedding_near_dup_lsh,
         "q37_merger_monthly_property": q37_merger_monthly_property,
+        "q38_threshold_merger_single_track": q38_threshold_merger_single_track,
     }
 
 
@@ -908,6 +943,47 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(peak)::DOUBLE / count(*), 2) AS avg_peak,
                    round(sum(cm_s)::DOUBLE / 60.0, 2) AS total_customer_minutes
             FROM sessions GROUP BY 1
+        """,
+        "q38_threshold_merger_single_track": """
+            WITH ev AS (
+              SELECT user_id::VARCHAR AS utility, date_trunc('second', ts) AS ts,
+                     CAST(floor(value) AS BIGINT) AS out
+              FROM events
+            ),
+            -- dedup: one reading per (utility, ts), minimum wins
+            dedup AS (
+              SELECT utility, ts, min(out) AS out FROM ev GROUP BY 1, 2
+            ),
+            -- segments split AFTER a zero reading (is_new semantics)
+            marked AS (
+              SELECT *, CASE WHEN coalesce(lag(out) OVER (PARTITION BY utility ORDER BY ts), -1) = 0
+                             THEN 1 ELSE 0 END AS brk
+              FROM dedup
+            ),
+            seg AS (
+              SELECT *, sum(brk) OVER (PARTITION BY utility ORDER BY ts) AS seg_id
+              FROM marked
+            ),
+            -- left-Riemann time-weighted integral: rco_t = out_t in the
+            -- single-tracked regime, so total = sum (ts_t - ts_{t-1}) * out_{t-1}
+            gaps AS (
+              SELECT *, coalesce(epoch(lead(ts) OVER (PARTITION BY utility, seg_id ORDER BY ts))
+                                  - epoch(ts), 0)::BIGINT AS gap_s
+              FROM seg
+            ),
+            outages AS (
+              SELECT utility,
+                     min(ts) AS start_time, max(ts) AS end_time,
+                     (epoch(max(ts)) - epoch(min(ts)))::BIGINT AS duration_s,
+                     sum(gap_s * out)::BIGINT AS total
+              FROM gaps GROUP BY utility, seg_id
+            )
+            SELECT utility,
+                   strftime(start_time, '%Y-%m-%d %H:%M:%S') AS start_ts,
+                   strftime(end_time, '%Y-%m-%d %H:%M:%S') AS end_ts,
+                   round(total::DOUBLE / duration_s, 4) AS customer_affected_mean,
+                   duration_s
+            FROM outages WHERE duration_s > 0
         """,
         "q31_json_extract": """
             SELECT event_id, CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS k
