@@ -263,6 +263,43 @@ def test_merger_monthly_property_report(spark):
     assert rep["u2"].frequency == 1
 
 
+def test_hypothesis_segment_parity_operator_vs_port():
+    """Property fuzz of the two independent merger implementations at the
+    segment level (pure Python — no Spark session): any bounded series of
+    readings must produce identical closed outages under both, across a
+    grid of (threshold, abs_diff) settings."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from outage_data_scraper_spark.operators.sessionize import _merge_segment
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        outs=st.lists(st.integers(min_value=0, max_value=800), min_size=1, max_size=60),
+        threshold=st.sampled_from([0.0, 0.1, 0.25, 0.5]),
+        abs_diff=st.sampled_from([0.0, 5.0, 25.0, 120.0]),
+    )
+    def check(outs, threshold, abs_diff):
+        seconds = [(TS0 + pd.Timedelta(minutes=15 * i)) for i in range(len(outs))]
+        int_rows = [
+            (int(t.value // 10**9), o) for t, o in zip(seconds, outs)
+        ]
+        got = sorted(
+            (s, e, round(m, 9), d)
+            for s, e, m, d in _merge_segment(int_rows, threshold, abs_diff)
+            if d > 0
+        )
+        want = sorted(
+            (int(s.value // 10**9), int(e.value // 10**9), round(m, 9), d)
+            for s, e, m, d in _port_merger(
+                list(zip(seconds, outs)), threshold, abs_diff
+            )
+        )
+        assert got == want
+
+    check()
+
+
 def test_multiple_groups_fold_independently(spark):
     pdf = pd.DataFrame(
         [
