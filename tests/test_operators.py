@@ -242,11 +242,62 @@ def test_multimodal_plumbing(spark):
     assert all(again[r.asset_id] == r.feat for r in rows)
 
 
-def test_decode_stub_raises():
+def test_decode_stub_raises_for_compressed_only():
     import pytest as _pytest
 
     with _pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"xx")
+        multimodal.decode_image(b"\x89PNG....")  # compressed: still stubbed
+
+
+def test_ppm_roundtrip_and_real_decode():
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+    payload = multimodal.encode_ppm(img)
+    back = multimodal.decode_image(payload)  # REAL decode, no codec libs
+    assert back.shape == (17, 23, 3) and (back == img).all()
+
+
+def test_real_image_features_from_pixels(spark):
+    """fake=False: P6 image payloads decode for real (decoder ppm-numpy,
+    features from actual pixel means); audio/video fall back to the
+    labeled fake."""
+    assets = multimodal.synth_assets(spark, 30)
+    rows = multimodal.extract_features(assets, dim=16, fake=False).collect()
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r.kind, set()).add(r.decoder)
+    assert by_kind["image"] == {"ppm-numpy"}
+    assert by_kind["audio"] == by_kind["video"] == {"fake-blake2b"}
+    img_feats = {r.asset_id: r.feat for r in rows if r.kind == "image"}
+    # real features: bounded, deterministic, and not the digest fake
+    assert all(-1.0 <= x <= 1.0 for f in img_feats.values() for x in f)
+    again = {
+        r.asset_id: r.feat
+        for r in multimodal.extract_features(assets, dim=16, fake=False).collect()
+        if r.kind == "image"
+    }
+    assert again == img_feats
+    fakes = {
+        r.asset_id: r.feat
+        for r in multimodal.extract_features(assets, dim=16, fake=True).collect()
+        if r.kind == "image"
+    }
+    assert any(fakes[a] != img_feats[a] for a in img_feats)
+
+
+def test_resize_images_real(spark):
+    assets = multimodal.synth_assets(spark, 12)
+    resized = multimodal.resize_images(assets, 8, 6).collect()
+    kinds = {r.asset_id: r for r in resized}
+    imgs = [r for r in resized if r.payload is not None]
+    assert len(imgs) == 4  # every third asset is an image
+    for r in imgs:
+        arr = multimodal.decode_image(bytes(r.payload))
+        assert arr.shape == (6, 8, 3)
+    # non-image payloads pass through as null (no native decoder)
+    assert all(r.payload is None for r in resized if r.asset_id % 3 != 0)
 
 
 def test_frame_sample_plan(spark):
