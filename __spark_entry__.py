@@ -580,6 +580,40 @@ def q38_threshold_merger_single_track(spark, sf_dir):
     )
 
 
+def q39_monthly_property_single_track(spark, sf_dir):
+    """merger_monthly_property (step2_grower_property) composed over the
+    single-tracked merger regime of q38 — the whole pipeline is window
+    algebra there, so the monthly report aggregation itself gets a
+    value-exact DuckDB oracle (q37 runs the same report over the full
+    merger, rows-only)."""
+    from outage_data_scraper_spark.operators.sessionize import (
+        merger_monthly_property,
+        threshold_merger,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("UtilityName"),
+        F.lit("tx").alias("StateName"),
+        F.lit("c").alias("CountyName"),
+        F.lit("ci").alias("CityName"),
+        F.lit("0").alias("CountyFIPS"),
+        F.lit(1000).cast("long").alias("CustomersTracked"),
+        F.floor(F.col("value")).cast("long").alias("CustomersOut"),
+        F.date_trunc("second", "ts").alias("RecordDateTime"),
+    )
+    merged = threshold_merger(ev, threshold=0.1, abs_diff=1_000_000_000.0)
+    rep = merger_monthly_property(merged, "2024-01-01 00:00:00", "2024-02-01 00:00:00")
+    return rep.select(
+        F.col("UtilityName").alias("utility"),
+        "frequency",
+        F.round("avg_duration_min", 4).alias("avg_duration_min"),
+        F.round("avg_customer_affected_mean", 4).alias("avg_customer_affected_mean"),
+        F.round("total_customer_affected_x_duration", 2).alias(
+            "total_customer_affected_x_duration"
+        ),
+    )
+
+
 def q33_session_properties(spark, sf_dir):
     """O28: per-key scalar report over sessions (step2_property.py:60–94).
 
@@ -651,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_embedding_near_dup_lsh": q36_embedding_near_dup_lsh,
         "q37_merger_monthly_property": q37_merger_monthly_property,
         "q38_threshold_merger_single_track": q38_threshold_merger_single_track,
+        "q39_monthly_property_single_track": q39_monthly_property_single_track,
     }
 
 
@@ -988,6 +1023,53 @@ def oracle_sql() -> dict[str, str]:
                    round(total::DOUBLE / duration_s, 4) AS customer_affected_mean,
                    duration_s
             FROM outages WHERE duration_s > 0
+        """,
+        "q39_monthly_property_single_track": """
+            WITH ev AS (
+              SELECT user_id::VARCHAR AS utility, date_trunc('second', ts) AS ts,
+                     CAST(floor(value) AS BIGINT) AS out
+              FROM events
+            ),
+            dedup AS (
+              SELECT utility, ts, min(out) AS out FROM ev GROUP BY 1, 2
+            ),
+            marked AS (
+              SELECT *, CASE WHEN coalesce(lag(out) OVER (PARTITION BY utility ORDER BY ts), -1) = 0
+                             THEN 1 ELSE 0 END AS brk
+              FROM dedup
+            ),
+            seg AS (
+              SELECT *, sum(brk) OVER (PARTITION BY utility ORDER BY ts) AS seg_id
+              FROM marked
+            ),
+            gaps AS (
+              SELECT *, coalesce(epoch(lead(ts) OVER (PARTITION BY utility, seg_id ORDER BY ts))
+                                  - epoch(ts), 0)::BIGINT AS gap_s
+              FROM seg
+            ),
+            outages AS (
+              SELECT utility,
+                     min(ts) AS start_time,
+                     (epoch(max(ts)) - epoch(min(ts)))::BIGINT AS duration_s,
+                     sum(gap_s * out)::BIGINT AS total
+              FROM gaps GROUP BY utility, seg_id
+            ),
+            merged AS (
+              SELECT utility, start_time, duration_s,
+                     total::DOUBLE / duration_s AS mean
+              FROM outages WHERE duration_s > 0
+            ),
+            win AS (
+              SELECT * FROM merged
+              WHERE start_time BETWEEN TIMESTAMP '2024-01-01 00:00:00'
+                                   AND TIMESTAMP '2024-02-01 00:00:00'
+            )
+            SELECT utility,
+                   count(*)::BIGINT AS frequency,
+                   round(sum(duration_s / 60.0) / count(*), 4) AS avg_duration_min,
+                   round(sum(mean) / count(*), 4) AS avg_customer_affected_mean,
+                   round(sum(mean * (duration_s / 60.0)), 2) AS total_customer_affected_x_duration
+            FROM win GROUP BY 1
         """,
         "q31_json_extract": """
             SELECT event_id, CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS k
