@@ -447,6 +447,21 @@ def q29_bloom_seen_filter(spark, sf_dir):
     return filter_unseen_bloom(fr.select("url"), bloom)
 
 
+def q40_cuckoo_seen_filter(spark, sf_dir):
+    """O32 cuckoo fast path (approximate — rows-only): same probe
+    contract as the Bloom path (q29) plus deletability for re-crawl
+    scheduling (tests prove delete → refetch passes)."""
+    from outage_data_scraper_spark.frontier.seen import (
+        cuckoo_from_df,
+        filter_unseen_cuckoo,
+    )
+
+    fr = _frontier_from_documents(_t(spark, sf_dir, "documents"))
+    seen = fr.filter(F.pmod(F.col("doc_id"), F.lit(7)) == 0).select("url")
+    cf = cuckoo_from_df(seen)
+    return filter_unseen_cuckoo(fr.select("url"), cf)
+
+
 def q30_session_state_machine(spark, sf_dir):
     """O26 SIMPLIFIED threshold state machine via applyInPandas
     (sequential within group, parallel across groups): one session per
@@ -686,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_merger_monthly_property": q37_merger_monthly_property,
         "q38_threshold_merger_single_track": q38_threshold_merger_single_track,
         "q39_monthly_property_single_track": q39_monthly_property_single_track,
+        "q40_cuckoo_seen_filter": q40_cuckoo_seen_filter,
     }
 
 
