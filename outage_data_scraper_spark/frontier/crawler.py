@@ -133,8 +133,39 @@ class Crawler:
         return self.cat.read(self.spark, "fetch_log", schema=schemas.FETCH_LOG)
 
     def pending(self) -> DataFrame:
-        done = self.fetch_log().select("url")
-        return filter_unseen_exact(self.frontier(), done)
+        """frontier ⟕̸ done. A URL is done once fetched — UNLESS a
+        re-crawl was requested after its latest fetch: requests live in
+        the wave-stamped `recrawl` table, and a fetch from a LATER wave
+        than the newest request satisfies it (each request triggers
+        exactly one refetch, idempotently across resume). The recrawl
+        table is a refresh batch (≪ frontier), so the extra join is
+        broadcast-sized at any scale."""
+        done = self.fetch_log().select("url", "wave")
+        if self.cat.exists("recrawl"):
+            req = (
+                self.cat.read(self.spark, "recrawl")
+                .groupBy("url")
+                .agg(F.max("wave").alias("__req_w"))
+            )
+            done = (
+                done.groupBy("url")
+                .agg(F.max("wave").alias("__f_w"))
+                .join(F.broadcast(req), "url", "left")
+                .filter(F.col("__req_w").isNull() | (F.col("__f_w") > F.col("__req_w")))
+            )
+        return filter_unseen_exact(self.frontier(), done.select("url"))
+
+    def request_recrawl(self, urls: DataFrame) -> None:
+        """Schedule already-fetched URLs for one refetch on the next
+        wave(s): appends them to the `recrawl` table stamped with the
+        last committed wave, so pending() re-opens them until a newer
+        fetch lands. (The cuckoo seen-set variant is the matching
+        library piece when enqueue-dedup must also forget — see
+        frontier/seen.py:unsee_urls.)"""
+        marker = urls.select("url").withColumn(
+            "wave", F.lit(self.last_committed_wave())
+        )
+        self.cat.write("recrawl", marker, wave=self.last_committed_wave())
 
     def last_committed_wave(self) -> int:
         w = self.cat.last_wave("waves")
@@ -144,7 +175,7 @@ class Crawler:
         """Roll back any partial wave so all tables agree with the last
         committed wave marker; returns the next wave id to run."""
         last = self.last_committed_wave()
-        for table in ("records", "pages", "fetch_log", "frontier", "seen_bloom"):
+        for table in ("records", "pages", "fetch_log", "frontier", "seen_bloom", "recrawl"):
             snaps = [
                 s["id"]
                 for s in self.cat.snapshots(table)
@@ -323,7 +354,7 @@ class Crawler:
         fetch_log instead of the whole append history. Safe at any wave
         boundary: compact() stamps the snapshot with the table's last
         committed wave, so resume() keeps it."""
-        for table in ("records", "pages", "fetch_log", "frontier", "waves"):
+        for table in ("records", "pages", "fetch_log", "frontier", "waves", "recrawl"):
             if self.cat.exists(table):
                 self.cat.compact(self.spark, table)
 

@@ -161,6 +161,35 @@ def test_compact_mid_crawl_then_resume(spark, tmp_path_factory):
     assert fetched == set(reference_order(spark))
 
 
+def test_request_recrawl_refetches_exactly_once(spark, tmp_path_factory):
+    """Refresh crawl: a recrawl request re-opens fetched URLs for exactly
+    one refetch (idempotent across resume), everything else stays done."""
+    root = str(tmp_path_factory.mktemp("crawl-recrawl"))
+    cat = SnapshotCatalog(root)
+    c = Crawler(spark, cat, make_fixture_fetcher, per_host_k=10, num_parts=8,
+                salt=1, rate_per_host=100.0)
+    c.bootstrap(fixture_miniweb_seeds(spark))
+    c.run(max_waves=30)
+    assert c.pending().limit(1).count() == 0  # crawl drained
+    baseline = {r.url: r["count"] for r in c.fetch_log().groupBy("url").count().collect()}
+
+    refresh = c.fetch_log().select("url").distinct().limit(5)
+    refresh_urls = {r.url for r in refresh.collect()}
+    c.request_recrawl(refresh)
+    reopened = {r.url for r in c.pending().select("url").collect()}
+    assert reopened == refresh_urls
+
+    c.run(max_waves=5)
+    counts = {r.url: r["count"] for r in c.fetch_log().groupBy("url").count().collect()}
+    for url, n in counts.items():
+        expect = baseline[url] + (1 if url in refresh_urls else 0)
+        assert n == expect, f"{url}: {n} != {expect}"
+    assert c.pending().limit(1).count() == 0  # request satisfied, done again
+    # resume-safe: the satisfied request never re-opens
+    c.resume()
+    assert c.pending().limit(1).count() == 0
+
+
 def test_bloom_seen_mode_crawl(spark, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("crawl-bloom"))
     cat = SnapshotCatalog(root)
