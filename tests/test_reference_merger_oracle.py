@@ -1,0 +1,159 @@
+"""Parity of the distributed threshold merger against the ACTUAL reference
+code, executed as the oracle.
+
+The round-2 parity suite (tests/test_threshold_merger.py) checks
+``_merge_segment`` against a same-author port — structurally the same
+algorithm, so a shared misreading of the reference would pass both.  Here
+the function definitions from /root/reference/scripts/bluefire/
+step1_threshold.py (the ``merger`` fold, lines 37–331) are exec'd directly
+(read-only, up to the module-level argparse block, which would otherwise
+consume pytest's argv) and run as the ground truth on the same randomized
+and property-fuzzed inputs.
+"""
+
+import logging
+import pathlib
+
+import pandas as pd
+import pytest
+
+from outage_data_scraper_spark.operators.sessionize import _merge_segment
+
+REF_PATH = pathlib.Path("/root/reference/scripts/bluefire/step1_threshold.py")
+TS0 = pd.Timestamp("2024-01-01 00:00:00")
+
+
+@pytest.fixture(scope="module")
+def ref_merger():
+    """Exec the reference source up to (not including) its argparse block
+    and hand back the real ``merger`` function object."""
+    src = REF_PATH.read_text()
+    cut = src.index("parser = argparse.ArgumentParser()")
+    ns: dict = {}
+    exec(compile(src[:cut], str(REF_PATH), "exec"), ns)
+    return ns["merger"]
+
+
+def _ref_rows(series):
+    """(Timestamp, out) pairs → the dict rows the reference merger expects."""
+    return [
+        {
+            "UtilityName": "u1",
+            "StateName": "ga",
+            "CountyName": "cty",
+            "CityName": "city",
+            "CountyFIPS": "0",
+            "CustomersTracked": 1000,
+            "CustomersOut": out,
+            "RecordDateTime": ts,
+        }
+        for ts, out in series
+    ]
+
+
+def _run_reference(ref_merger, series, threshold, abs_diff):
+    """Run the actual reference merger; normalize to sorted
+    (start_epoch, end_epoch, mean, duration_s) tuples.  Case D-1/D-2 hit
+    logging.warning on the root logger — silenced around the call only."""
+    logging.disable(logging.CRITICAL)
+    try:
+        res = ref_merger(_ref_rows(series), threshold=threshold, abs_diff=abs_diff)
+    finally:
+        logging.disable(logging.NOTSET)
+    return sorted(
+        (
+            int(r["start_time"].value // 10**9),
+            int(r["end_time"].value // 10**9),
+            round(float(r["customer_affected_mean"]), 9),
+            int(r["duration"].total_seconds()),
+        )
+        for r in res
+    )
+
+
+def _run_ours(series, threshold, abs_diff):
+    int_rows = [(int(ts.value // 10**9), out) for ts, out in series]
+    return sorted(
+        (s, e, round(m, 9), d)
+        for s, e, m, d in _merge_segment(int_rows, threshold, abs_diff)
+        if d > 0
+    )
+
+
+def _mins(*outs):
+    return [(TS0 + pd.Timedelta(minutes=15 * i), o) for i, o in enumerate(outs)]
+
+
+def _check(ref_merger, series, threshold=0.1, abs_diff=0.0):
+    want = _run_reference(ref_merger, series, threshold, abs_diff)
+    got = _run_ours(series, threshold, abs_diff)
+    assert got == want
+    return got
+
+
+def test_reference_case_0_a_final_close(ref_merger):
+    got = _check(ref_merger, _mins(100, 105, 108))
+    assert len(got) == 1 and got[0][3] == 1800
+
+
+def test_reference_case_b_and_d_exact_close(ref_merger):
+    assert len(_check(ref_merger, _mins(100, 200, 100, 100))) == 2
+
+
+def test_reference_case_d1_split(ref_merger):
+    _check(ref_merger, _mins(500, 380, 380))
+
+
+def test_reference_case_d2_multi_pop(ref_merger):
+    _check(ref_merger, _mins(100, 250, 450, 120, 120))
+
+
+def test_reference_abs_diff_floor(ref_merger):
+    _check(ref_merger, _mins(10, 30, 12, 12), threshold=0.1, abs_diff=25.0)
+
+
+def test_reference_boundary_rise_exactly_threshold_times_rco(ref_merger):
+    # Δ == θ×rco lands in case B (>= crossing), not case A — the one
+    # boundary a shared misreading would most plausibly flip.
+    _check(ref_merger, _mins(100, 110, 110), threshold=0.1, abs_diff=0.0)
+
+
+def test_reference_randomized_parity(ref_merger):
+    """The same randomized walks the port-parity suite uses, judged by the
+    reference code itself.  Zero rows are excluded: segment splitting is
+    the OUTER loop's job in the reference; the merger fold is fed zero-free
+    segments there, and that is the regime being checked here."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(8):
+        outs = []
+        cur = rng.randint(50, 150)
+        for _ in range(40):
+            step = rng.choice([-120, -60, -15, -5, 5, 15, 60, 120])
+            cur = max(cur + step, 1)
+            outs.append(cur)
+        _check(ref_merger, _mins(*outs), threshold=0.1, abs_diff=0.0)
+        _check(ref_merger, _mins(*outs), threshold=0.25, abs_diff=20.0)
+
+
+def test_reference_hypothesis_fuzz(ref_merger):
+    """Property fuzz: any bounded positive series must produce identical
+    closed outages from _merge_segment and the exec'd reference merger
+    across a grid of (threshold, abs_diff)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        outs=st.lists(st.integers(min_value=1, max_value=800), min_size=1, max_size=50),
+        threshold=st.sampled_from([0.0, 0.1, 0.25, 0.5]),
+        abs_diff=st.sampled_from([0.0, 5.0, 25.0, 120.0]),
+    )
+    def check(outs, threshold, abs_diff):
+        series = _mins(*outs)
+        assert _run_ours(series, threshold, abs_diff) == _run_reference(
+            ref_merger, series, threshold, abs_diff
+        )
+
+    check()
