@@ -19,8 +19,11 @@ from pyspark.sql import functions as F
 
 from outage_data_scraper_spark.functions import textkit, urlkit
 from outage_data_scraper_spark.operators import dedup, multimodal, similarity
-from outage_data_scraper_spark.operators.sessionize import sessionize_sql
-from outage_data_scraper_spark.operators.standardize import compute_outage_metrics
+from outage_data_scraper_spark.operators.sessionize import ganz_events, sessionize_sql
+from outage_data_scraper_spark.operators.standardize import (
+    compute_outage_metrics,
+    standardize_ga1tx8,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -629,6 +632,62 @@ def q39_monthly_property_single_track(spark, sf_dir):
     )
 
 
+def q41_gold_eastern(spark, sf_dir):
+    """The FULL standardize_ga1tx8 gold pipeline with the reference's
+    UTC→US/Eastern conversion (pipeline.py:108–111): metrics computed on
+    UTC instants, output wall clocks rendered Eastern — including the
+    zip→county broadcast-dim join. The month bucket proves day-boundary
+    rows land in the reference's month (−5 h EST / −4 h EDT)."""
+    obs = _events_obs(spark, sf_dir).withColumns(
+        {
+            "lat": (33.0 + (F.col("outage_id").cast("long") % 10) / 100.0),
+            "lng": F.lit(-84.0),
+            "zipcode": F.lpad(
+                (F.col("outage_id").cast("long") % 50).cast("string"), 5, "0"
+            ),
+        }
+    )
+    dim = spark.range(50).select(
+        F.lpad(F.col("id").cast("string"), 5, "0").alias("zipcode"),
+        F.concat(F.lit("county_"), F.col("id")).alias("county"),
+    )
+    gold = standardize_ga1tx8(obs, dim, "Events EMC", "ga", tz="US/Eastern")
+    return gold.select(
+        "outage_id",
+        "county",
+        "zipcode",
+        F.date_format("start_time", _TS_FMT_SPARK).alias("start_est"),
+        F.date_format("end_time", _TS_FMT_SPARK).alias("end_est"),
+        F.date_format("start_time", "yyyy-MM").alias("start_month_est"),
+        F.round("duration", 2).alias("duration"),
+    )
+
+
+def q42_ganz_relative_threshold(spark, sf_dir):
+    """O26 in its exact step1_ganz form: relative θ×CustomersTracked
+    threshold with the >= crossing, terminating-row-inclusive events,
+    unclosed runs dropped (ganz_events; reference-exec parity in
+    tests/test_ganz_events.py). Integer-exact: floored readings ×
+    whole-second gaps, one division at the end."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("UtilityName"),
+        F.lit("tx").alias("StateName"),
+        F.lit("c").alias("CountyName"),
+        F.lit("ci").alias("CityName"),
+        F.lit(1000).cast("long").alias("CustomersTracked"),
+        F.floor("value").cast("long").alias("CustomersOut"),
+        F.date_trunc("second", "ts").alias("RecordDateTime"),
+    )
+    events = ganz_events(ev, threshold=0.05)
+    return events.select(
+        F.col("UtilityName").alias("utility"),
+        F.date_format("start_time", _TS_FMT_SPARK).alias("start_ts"),
+        F.date_format("end_time", _TS_FMT_SPARK).alias("end_ts"),
+        "duration_s",
+        F.round("customer_affected_mean", 4).alias("customer_affected_mean"),
+    )
+
+
 def q33_session_properties(spark, sf_dir):
     """O28: per-key scalar report over sessions (step2_property.py:60–94).
 
@@ -702,6 +761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_threshold_merger_single_track": q38_threshold_merger_single_track,
         "q39_monthly_property_single_track": q39_monthly_property_single_track,
         "q40_cuckoo_seen_filter": q40_cuckoo_seen_filter,
+        "q41_gold_eastern": q41_gold_eastern,
+        "q42_ganz_relative_threshold": q42_ganz_relative_threshold,
     }
 
 
@@ -1086,6 +1147,85 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(mean) / count(*), 4) AS avg_customer_affected_mean,
                    round(sum(mean * (duration_s / 60.0)), 2) AS total_customer_affected_x_duration
             FROM win GROUP BY 1
+        """,
+        "q41_gold_eastern": f"""
+            WITH obs AS ({_EVENTS_OBS_SQL}),
+            g AS (
+              SELECT outage_id,
+                     lpad((outage_id::BIGINT % 50)::VARCHAR, 5, '0') AS zipcode,
+                     min(start_time) AS start_time, max(timestamp) AS end_time
+              FROM obs GROUP BY 1, 2
+            ),
+            est AS (
+              SELECT outage_id, zipcode,
+                     timezone('US/Eastern', timezone('UTC', start_time)) AS start_est_ts,
+                     timezone('US/Eastern', timezone('UTC', end_time)) AS end_est_ts,
+                     (epoch(end_time) - epoch(start_time)) / 60.0 AS duration
+              FROM g
+            )
+            SELECT outage_id,
+                   'county_' || (outage_id::BIGINT % 50)::VARCHAR AS county,
+                   zipcode,
+                   strftime(start_est_ts, '%Y-%m-%d %H:%M:%S') AS start_est,
+                   strftime(end_est_ts, '%Y-%m-%d %H:%M:%S') AS end_est,
+                   strftime(start_est_ts, '%Y-%m') AS start_month_est,
+                   round(duration, 2) AS duration
+            FROM est
+        """,
+        "q42_ganz_relative_threshold": """
+            WITH ev AS (
+              SELECT user_id::VARCHAR AS utility, date_trunc('second', ts) AS ts,
+                     CAST(floor(value) AS BIGINT) AS out, 1000::BIGINT AS tracked
+              FROM events
+            ),
+            dedup AS (
+              SELECT utility, ts, min(out) AS out, min(tracked) AS tracked
+              FROM ev GROUP BY 1, 2
+            ),
+            brk AS (
+              SELECT *, CASE WHEN coalesce(lag(out) OVER (PARTITION BY utility ORDER BY ts), -1) = 0
+                             THEN 1 ELSE 0 END AS is_brk
+              FROM dedup
+            ),
+            seg AS (
+              SELECT *, sum(is_brk) OVER (PARTITION BY utility ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS seg_id
+              FROM brk
+            ),
+            marked AS (
+              SELECT *, (out >= 0.05 * tracked) AS above,
+                     coalesce(lag(out >= 0.05 * tracked)
+                              OVER (PARTITION BY utility, seg_id ORDER BY ts), FALSE) AS prev_above
+              FROM seg
+            ),
+            starts AS (
+              SELECT *, CASE WHEN above AND NOT prev_above THEN 1 ELSE 0 END AS is_start
+              FROM marked
+            ),
+            runs AS (
+              SELECT *, sum(is_start) OVER (PARTITION BY utility, seg_id ORDER BY ts
+                                            ROWS UNBOUNDED PRECEDING) AS run_id
+              FROM starts
+            ),
+            in_event AS (
+              SELECT *, epoch(lead(ts) OVER (PARTITION BY utility, seg_id, run_id ORDER BY ts))::BIGINT
+                          - epoch(ts)::BIGINT AS gap_s
+              FROM runs WHERE above OR prev_above
+            ),
+            evts AS (
+              SELECT utility, seg_id, run_id,
+                     min(ts) AS start_time, max(ts) AS end_time,
+                     max(CASE WHEN NOT above THEN 1 ELSE 0 END) AS closed,
+                     sum(gap_s * out)::BIGINT AS weighted_s
+              FROM in_event GROUP BY 1, 2, 3
+            )
+            SELECT utility,
+                   strftime(start_time, '%Y-%m-%d %H:%M:%S') AS start_ts,
+                   strftime(end_time, '%Y-%m-%d %H:%M:%S') AS end_ts,
+                   (epoch(end_time) - epoch(start_time))::BIGINT AS duration_s,
+                   round(weighted_s::DOUBLE / (epoch(end_time) - epoch(start_time)), 4) AS customer_affected_mean
+            FROM evts
+            WHERE closed = 1 AND epoch(end_time) - epoch(start_time) > 0
         """,
         "q31_json_extract": """
             SELECT event_id, CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS k

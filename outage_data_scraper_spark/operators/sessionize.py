@@ -440,3 +440,86 @@ def threshold_merger(
         )
 
     return pous.groupBy(*GROUP_KEYS).applyInPandas(fold, _MERGER_SCHEMA)
+
+
+def ganz_events(
+    pous: DataFrame,
+    threshold: float = 0.05,
+    keys: list[str] = GROUP_KEYS,
+    ts_col: str = "RecordDateTime",
+    out_col: str = "CustomersOut",
+    tracked_col: str = "CustomersTracked",
+) -> DataFrame:
+    """The EXACT step1_ganz event detector (step1_ganz.py:61–89 merger +
+    :150–166 outer loop) as pure window algebra — the relative-threshold,
+    inclusive-boundary semantics ``sessionize_sql`` approximates with an
+    absolute ``val > threshold``.
+
+    Reference semantics, re-derived declaratively:
+
+    - dedup per (group, ts) keeping the min reading (the groupby-idxmin
+      at step1_ganz.py:140–143; ``tracked`` is constant within a group —
+      it's read from ``outage_rows[0]`` there — so min() is exact),
+    - segments split AFTER zero-reading rows (is_new, :13–25),
+    - a row is "above" iff reading >= threshold × tracked — the ``>=``
+      crossing at :72–75: a reading exactly at θ×tracked OPENS an event,
+    - an event is a maximal run of consecutive above rows PLUS the single
+      below row that terminates it (:79–85 sets the end index at the
+      first below row and slices start:end+1); an above-run still open at
+      segment end is DROPPED (flag never cleared → no event appended),
+    - time-weighted mean = Σ gapᵢ·readingᵢ over consecutive in-event row
+      pairs / duration (helper, :49–57: the last row's reading is unused),
+    - zero-duration events are dropped (:44–45 and the :173 filter).
+
+    Everything stays in whole-stage codegen: three windows sharing the
+    (keys) hash partitioning plus one aggregate — at 100 TB this is one
+    shuffle on the group keys, reused across all four steps.
+    """
+    evt_keys = [*keys, "seg_id", "run_id"]
+    wk = Window.partitionBy(*keys).orderBy(ts_col)
+    wseg = Window.partitionBy(*keys, "seg_id").orderBy(ts_col)
+    wevt = Window.partitionBy(*evt_keys).orderBy(ts_col)
+
+    dedup = pous.groupBy(*keys, ts_col).agg(
+        F.min(out_col).alias("out"), F.min(tracked_col).alias("tracked")
+    )
+    segmented = dedup.withColumn(
+        "seg_id",
+        F.sum(
+            F.when(F.lag("out", 1).over(wk) == 0, 1).otherwise(0)
+        ).over(wk.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    marked = (
+        segmented.withColumn("above", F.col("out") >= threshold * F.col("tracked"))
+        .withColumn("prev_above", F.coalesce(F.lag("above", 1).over(wseg), F.lit(False)))
+        .withColumn(
+            "run_id",
+            F.sum(
+                F.when(F.col("above") & ~F.col("prev_above"), 1).otherwise(0)
+            ).over(wseg.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    in_event = marked.filter(F.col("above") | F.col("prev_above"))
+    gapped = in_event.withColumn(
+        "gap_s",
+        F.unix_timestamp(F.lead(ts_col, 1).over(wevt)) - F.unix_timestamp(ts_col),
+    )
+    events = gapped.groupBy(*evt_keys).agg(
+        F.min(ts_col).alias("start_time"),
+        F.max(ts_col).alias("end_time"),
+        F.max(F.when(~F.col("above"), 1).otherwise(0)).alias("closed"),
+        F.max("tracked").alias("CustomersTracked"),
+        F.sum(F.col("gap_s") * F.col("out")).alias("weighted_s"),
+    )
+    dur = F.unix_timestamp("end_time") - F.unix_timestamp("start_time")
+    return (
+        events.filter((F.col("closed") == 1) & (dur > 0))
+        .select(
+            *keys,
+            "CustomersTracked",
+            "start_time",
+            "end_time",
+            dur.alias("duration_s"),
+            (F.col("weighted_s") / dur).alias("customer_affected_mean"),
+        )
+    )

@@ -135,6 +135,7 @@ def standardize_ga1tx8(
     utility_provider: str,
     state: str,
     geo_dim: DataFrame | None = None,
+    tz: str | None = "US/Eastern",
 ) -> DataFrame:
     """Full GA1TX8 standardization → the 16-column gold schema
     (pipeline.py:64–68). ``obs`` columns: outage_id, timestamp,
@@ -142,7 +143,15 @@ def standardize_ga1tx8(
     ``zip_county``: (zipcode, county) dimension (ga_mapping.json).
     ``geo_dim``: optional (lat_r, lng_r, zipcode) broadcast dimension —
     rows whose zipcode is missing resolve through it (O16); payload zips
-    and the scale-guard sentinel pass through untouched."""
+    and the scale-guard sentinel pass through untouched.
+    ``tz``: the reference converts timestamps UTC→US/Eastern before
+    anything else (pipeline.py:108–111, ``tz_convert(eastern)``); since
+    its timestamps stay tz-aware, every duration/total there is an
+    absolute-time difference — so computing the metrics on the UTC
+    instants and rendering only the OUTPUT wall-clock columns
+    (start_time/end_time) in ``tz`` is exactly equivalent, and avoids
+    the 1-hour error naive-then-subtract arithmetic would pick up on
+    outages spanning a DST transition. ``tz=None`` keeps raw UTC."""
     if geo_dim is not None:
         resolved = reverse_geocode_zip(
             obs.filter(F.col("zipcode").isNull()), geo_dim
@@ -156,14 +165,19 @@ def standardize_ga1tx8(
     )
     with_county = joined.join(F.broadcast(zip_county), ["zipcode"], "left")
     r2 = lambda c: F.round(F.col(c), 2).alias(c)  # noqa: E731  (pipeline.py:57 .round(2))
+    local = (
+        (lambda c: F.from_utc_timestamp(F.col(c), tz).alias(c))
+        if tz
+        else (lambda c: F.col(c))
+    )
     return with_county.select(
         F.lit(utility_provider).alias("utility_provider"),
         F.lit(state).alias("state"),
         "county",
         "zipcode",
         "outage_id",
-        "start_time",
-        "end_time",
+        local("start_time"),
+        local("end_time"),
         "lat",
         "lng",
         r2("duration"),

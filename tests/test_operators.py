@@ -364,3 +364,36 @@ def test_token_bucket_real_clock_delays():
     for _ in range(3):
         tb.acquire()
     assert _t.monotonic() - t0 >= 0.099
+
+
+def test_standardize_ga1tx8_eastern_day_boundary(spark):
+    """pipeline.py:108–111 parity: gold start/end render in US/Eastern by
+    default — a UTC timestamp just past midnight on Aug 1 lands in JULY
+    Eastern (−4 h EDT), and a January one shifts −5 h (EST). Durations are
+    instant-based and must not change."""
+    obs = spark.createDataFrame(
+        [
+            ("O1", "2024-08-01 02:00:00", "2024-08-01 01:00:00", 100, 33.0, -84.0, "30301"),
+            ("O2", "2024-01-15 03:00:00", "2024-01-15 02:30:00", 40, 34.0, -85.0, "30301"),
+        ],
+        "outage_id string, timestamp string, start_time string, "
+        "customer_affected long, lat double, lng double, zipcode string",
+    ).withColumns(
+        {"timestamp": F.to_timestamp("timestamp"), "start_time": F.to_timestamp("start_time")}
+    )
+    dim = spark.createDataFrame([("30301", "Fulton")], "zipcode string, county string")
+    gold = {
+        r.outage_id: r
+        for r in standardize_ga1tx8(obs, dim, "EMC", "ga").collect()
+    }
+    assert str(gold["O1"].start_time) == "2024-07-31 21:00:00"  # EDT −4 h, July
+    assert str(gold["O1"].end_time) == "2024-07-31 22:00:00"
+    assert gold["O1"].duration == 60.0
+    assert str(gold["O2"].start_time) == "2024-01-14 21:30:00"  # EST −5 h
+    assert gold["O2"].duration == 30.0
+    # tz=None keeps raw UTC
+    raw = {
+        r.outage_id: r
+        for r in standardize_ga1tx8(obs, dim, "EMC", "ga", tz=None).collect()
+    }
+    assert str(raw["O1"].start_time) == "2024-08-01 01:00:00"
