@@ -320,17 +320,43 @@ def q24_embedding_near_dup(spark, sf_dir):
     )
 
 
+def _twin_corpus(spark, sf_dir):
+    """Embeddings ∪ deterministic near-dup twins (odd dims scaled ×1.02 →
+    cos ≈ 0.99995, twin id = vec_id + 10⁶). The synthetic embeddings top
+    out near cos 0.5, so true near-dups must be planted for a τ ≥ 0.9
+    operating point to have anything to find."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    base = emb.select("vec_id", v.alias("embedding"), "label")
+    twin = base.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x * (F.lit(1.0) + (i % F.lit(2)).cast("double") * F.lit(0.02)),
+        ).alias("embedding"),
+        "label",
+    )
+    return base.unionByName(twin)
+
+
 def q36_embedding_near_dup_lsh(spark, sf_dir):
     """LSH-blocked cosine pair mining (similarity.embedding_near_dup_pairs):
     the SCALE path for q24's semantics — candidates pair only within a
-    random-hyperplane bucket, never O(n²) per label. Approximate (bucket
-    boundaries cost recall) → rows-only; pytest checks recall ≥ 0.9 vs
-    the exact label-blocked pairs."""
-    emb = _t(spark, sf_dir, "embeddings")
+    (band, bucket) key, never O(n²). Registered at the scale-honest
+    operating point: τ = 0.9 with the 8-plane / 4-band defaults (256
+    possible buckets per band, so candidate sets stay ≪ n² as the corpus
+    grows — tests/test_plans.py asserts occupied-bucket cardinality). Run
+    over the twin-augmented corpus, the expected output is exactly the
+    (vec, twin) pairs: per-pair LSH miss ≈ (θ/π·8)⁴ ≈ 4·10⁻⁷ at θ ≈ 0.01
+    rad and the plane set is seed-deterministic, so the exact all-pairs
+    DuckDB oracle matches value-exact. The low-τ recall regime (τ = 0.3,
+    2 planes × 8 bands) stays a pytest-only case."""
     pairs = similarity.embedding_near_dup_pairs(
-        emb, threshold=0.3, n_planes=2, n_bands=8
+        _twin_corpus(spark, sf_dir), threshold=0.9
     )
-    return pairs.select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+    # 3 dp: twin cosines live in [0.99995, 1.0], a 4-dp rounding boundary —
+    # 3 dp keeps the cross-engine hash immune to float-vs-double noise
+    return pairs.select("id_a", "id_b", F.round("cos_sim", 3).alias("cos_sim"))
 
 
 def q25_gold_outage_metrics(spark, sf_dir):
@@ -919,6 +945,24 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(embedding::DOUBLE[],
                          (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS cos_sim
             FROM embeddings ORDER BY cos_sim DESC, vec_id LIMIT 10
+        """,
+        "q36_embedding_near_dup_lsh": """
+            WITH base AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            corpus AS (
+              SELECT vec_id, v FROM base
+              UNION ALL
+              SELECT vec_id + 1000000 AS vec_id,
+                     list_transform(v, (x, i) -> (x * (1.0 + ((i - 1) % 2) * 0.02))::DOUBLE) AS v
+              FROM base
+            ),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_cosine_similarity(a.v, b.v), 6) AS c
+              FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, round(c, 3) AS cos_sim FROM pairs WHERE c >= 0.9
         """,
         "q24_embedding_near_dup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -201,8 +201,10 @@ def embedding_near_dup_pairs(
 
     Per-band miss for a pair at angle θ is 1−(1−θ/π)^n_planes, so recall
     = 1−missᴮ: tune n_planes down / n_bands up for low thresholds (the
-    synthetic sf tables top out near cos 0.5 → (2, 8) in q36), keep the
-    defaults for true near-dup mining at τ≥0.9.
+    synthetic sf tables top out near cos 0.5 → the (2, 8) pytest-only
+    recall case), keep the defaults for true near-dup mining at τ≥0.9 —
+    q36 registers the defaults over a twin-augmented corpus, since 2
+    planes means 4 buckets/band → ~n²/4 candidates per band at scale.
     """
     sample = emb.select(vec_col).first()
     dim = len(sample[0])

@@ -94,6 +94,33 @@ def test_embedding_near_dup_lsh_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_embedding_near_dup_lsh_bucket_cardinality(spark):
+    """The registered q36 operating point (8 planes × 4 bands) must keep
+    candidate sets ≪ n²: most of the 2⁸ buckets per band occupied and no
+    bucket holding more than a sliver of the corpus — the no-cartesian
+    plan check alone would pass a degenerate 4-bucket parameterization
+    that still explodes to ~n²/4 candidates at scale."""
+    import __spark_entry__ as e
+    from outage_data_scraper_spark.operators import similarity
+
+    corpus = e._twin_corpus(spark, SF)
+    n = corpus.count()
+    dim = len(corpus.select("embedding").first()[0])
+    planes = similarity.make_hyperplanes(dim, 8 * 4, 7)
+    v = F.col("embedding").cast("array<double>")
+    for band in range(4):
+        sig = similarity.lsh_bucket(v, planes[band * 8 : (band + 1) * 8]).alias("sig")
+        stats = (
+            corpus.select(sig)
+            .groupBy("sig")
+            .count()
+            .agg(F.count("*").alias("n_buckets"), F.max("count").alias("max_bucket"))
+            .collect()[0]
+        )
+        assert stats.n_buckets >= 128, f"band {band}: {stats.n_buckets} buckets"
+        assert stats.max_bucket <= n / 10, f"band {band}: max bucket {stats.max_bucket}"
+
+
 def test_frontier_pop_single_shuffle(spark):
     """O2: the per-host window pop must cost exactly one hash exchange."""
     from outage_data_scraper_spark.frontier.priority import pop_wave, seeds_to_frontier
