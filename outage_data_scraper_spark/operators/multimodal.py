@@ -5,14 +5,16 @@ Image/audio/video assets travel as ``binary`` columns with typed metadata
 Arrow-batched ``mapInPandas`` stages with real schemas, partitioning and
 batch shapes.
 
-Decode is REAL for raw-bitmap images: PPM (P6) needs no codec library —
-header parse + numpy frombuffer — so the image path exercises genuine
-pixel math end-to-end (decode → mean-pool features, nearest-neighbor
-resize). Compressed formats (JPEG/PNG) and audio/video decode stay
-honestly stubbed behind NotImplementedError (this container ships no
-codec libraries); ``decoder='auto'`` dispatches per payload and falls
-back to a clearly-marked deterministic fake for undecodable kinds so the
-distributed plumbing stays testable everywhere.
+Decode is REAL for raw-bitmap PPM (P6: header parse + numpy frombuffer)
+AND for 8-bit PNG (IDAT is stdlib-zlib deflate over per-scanline-filtered
+samples — decode_png unfilters all five PNG filters in numpy), so the
+image path exercises genuine pixel math end-to-end (decode → mean-pool
+features, nearest-neighbor resize) for both containers. JPEG/WebP and
+audio/video decode stay honestly stubbed behind NotImplementedError
+(this container ships no codec libraries); dispatch is per payload with
+a clearly-marked deterministic fake fallback for undecodable kinds so
+the distributed plumbing stays testable everywhere; malformed payloads
+fall back per row (O23 design), never aborting a task.
 """
 
 from __future__ import annotations
@@ -54,14 +56,159 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return data.reshape(h, w, 3)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(arr: np.ndarray, filter_mode: str = "none") -> bytes:
+    """uint8 HxWx3 array → 8-bit truecolor PNG (stdlib zlib deflate).
+
+    ``filter_mode='none'`` writes filter byte 0 on every scanline;
+    ``'cycle'`` cycles filters 0–4 row by row (None/Sub/Up/Average/Paeth)
+    so a decoder roundtrip exercises every unfilter path."""
+    import struct
+    import zlib
+
+    h, w, c = arr.shape
+    assert c == 3 and arr.dtype == np.uint8
+    rows = []
+    prev = np.zeros((w, 3), dtype=np.uint8)
+    for y in range(h):
+        row = arr[y]
+        f = 0 if filter_mode == "none" else y % 5
+        left = np.vstack([np.zeros((1, 3), np.uint8), row[:-1]])
+        ul = np.vstack([np.zeros((1, 3), np.uint8), prev[:-1]])
+        if f == 0:
+            filt = row
+        elif f == 1:
+            filt = row.astype(np.int16) - left
+        elif f == 2:
+            filt = row.astype(np.int16) - prev
+        elif f == 3:
+            filt = row.astype(np.int16) - (
+                (left.astype(np.int16) + prev.astype(np.int16)) // 2
+            )
+        else:
+            filt = row.astype(np.int16) - _paeth(left, prev, ul)
+        rows.append(bytes([f]) + (filt % 256).astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"".join(rows))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def _paeth(left: np.ndarray, up: np.ndarray, ul: np.ndarray) -> np.ndarray:
+    """Paeth predictor (PNG spec §9.4), vectorized over a scanline."""
+    a = left.astype(np.int16)
+    b = up.astype(np.int16)
+    c = ul.astype(np.int16)
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """8-bit PNG → uint8 HxWx3 array, pure stdlib-zlib + numpy: IDAT is
+    zlib deflate over per-scanline-filtered samples, so no codec library
+    is needed. Supports bit depth 8, color types 0 (gray), 2 (RGB) and
+    6 (RGBA, alpha dropped), non-interlaced — all five scanline filters.
+    Raises ValueError on anything else (captured per-row upstream)."""
+    import struct
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("only 8-bit non-interlaced PNG supported")
+    channels = {0: 1, 2: 3, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG deflate stream: {e}") from e
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    out = np.zeros((h, w, channels), dtype=np.uint8)
+    prev = np.zeros((w, channels), dtype=np.int16)
+    for y in range(h):
+        off = y * (stride + 1)
+        f = raw[off]
+        row = (
+            np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1)
+            .reshape(w, channels)
+            .astype(np.int16)
+        )
+        if f == 0:
+            cur = row
+        elif f == 2:
+            cur = (row + prev) % 256
+        elif f in (1, 3, 4):
+            # left-dependent filters are sequential along the scanline
+            cur = np.zeros_like(row)
+            for x in range(w):
+                left = cur[x - 1] if x else np.zeros(channels, np.int16)
+                up = prev[x]
+                ul = prev[x - 1] if x else np.zeros(channels, np.int16)
+                if f == 1:
+                    cur[x] = (row[x] + left) % 256
+                elif f == 3:
+                    cur[x] = (row[x] + (left + up) // 2) % 256
+                else:
+                    cur[x] = (row[x] + _paeth(left, up, ul)) % 256
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    if channels == 1:
+        out = np.repeat(out, 3, axis=2)
+    elif channels == 4:
+        out = out[:, :, :3]
+    return out
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Decode an image payload. P6 PPM decodes for real; compressed
-    formats require a codec library absent from this container."""
+    """Decode an image payload. P6 PPM and 8-bit PNG decode for real
+    (pure numpy / stdlib zlib); other compressed formats require a codec
+    library absent from this container."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(
-        "compressed image decode requires a codec library not present in "
-        "this container; raw P6 PPM payloads decode natively"
+        "JPEG/WebP/… decode requires a codec library not present in this "
+        "container; P6 PPM and 8-bit PNG payloads decode natively"
     )
 
 
@@ -102,7 +249,12 @@ def synth_assets(spark: SparkSession, n: int = 100) -> DataFrame:
                     [(base + k * 37 + rng.integers(0, 8)) % 256 for k in range(3)],
                     axis=2,
                 ).astype(np.uint8)
-                out.append(encode_ppm(img))
+                # alternate container formats: raw PPM and zlib-deflate
+                # PNG (filters cycled), both real-decodable downstream
+                if (int(i) // 3) % 2:
+                    out.append(encode_png(img, filter_mode="cycle"))
+                else:
+                    out.append(encode_ppm(img))
             else:
                 out.append(hashlib.sha256(str(int(i)).encode()).digest())
         return pd.Series(out)
@@ -158,9 +310,21 @@ def extract_features(assets: DataFrame, dim: int = 32, fake: bool = True) -> Dat
                     decoders.append(None)
                     continue
                 raw = bytes(payload)
-                if not fake and raw[:2] == b"P6":
-                    feats.append(_mean_pool_features(decode_ppm(raw), dim).tolist())
-                    decoders.append("ppm-numpy")
+                decoded, label = None, None
+                if not fake:
+                    # malformed bytes that happen to carry a magic number
+                    # are a per-row fallback (O23 design), never a task
+                    # abort
+                    try:
+                        if raw[:2] == b"P6":
+                            decoded, label = decode_ppm(raw), "ppm-numpy"
+                        elif raw[: len(_PNG_SIG)] == _PNG_SIG:
+                            decoded, label = decode_png(raw), "png-zlib"
+                    except ValueError:
+                        decoded = None
+                if decoded is not None:
+                    feats.append(_mean_pool_features(decoded, dim).tolist())
+                    decoders.append(label)
                 else:
                     feats.append(_fake_features(raw, dim).tolist())
                     decoders.append("fake-blake2b")
@@ -190,8 +354,15 @@ def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
             payloads = []
             for payload in b["payload"]:
                 raw = bytes(payload) if payload is not None else b""
-                if raw[:2] == b"P6":
-                    img = decode_ppm(raw)
+                img = None
+                try:
+                    if raw[:2] == b"P6":
+                        img = decode_ppm(raw)
+                    elif raw[: len(_PNG_SIG)] == _PNG_SIG:
+                        img = decode_png(raw)
+                except ValueError:
+                    img = None  # malformed payload → null row, not a task abort
+                if img is not None:
                     h, w = img.shape[:2]
                     yi = (np.arange(height) * h // height).clip(0, h - 1)
                     xi = (np.arange(width) * w // width).clip(0, w - 1)

@@ -39,15 +39,35 @@ def make_http_fetcher(
     POST with ``Content-Type: application/json`` (the util.py:82–84
     path); everything else is a GET.
     """
-    headers = {"User-Agent": user_agent, **(extra_headers or {})}
+    headers = {
+        "User-Agent": user_agent,
+        # the reference transparently receives decoded bodies through
+        # seleniumwire (seleniumwire.utils.decode, ga_scraper.py:412–415);
+        # urllib does NOT auto-decompress, so advertise and decode by hand
+        "Accept-Encoding": "gzip, deflate",
+        **(extra_headers or {}),
+    }
     post_json = post_json or {}
 
     def factory():
         # imported inside the factory: the closure ships to executors via
         # cloudpickle, and a module-level `urllib` reference deserializes
         # as the bare package without its submodules loaded
+        import gzip
         import urllib.error
         import urllib.request
+        import zlib
+
+        def decode_body(resp, raw: bytes) -> bytes:
+            enc = (resp.headers.get("Content-Encoding") or "").strip().lower()
+            if enc == "gzip":
+                return gzip.decompress(raw)
+            if enc == "deflate":
+                try:
+                    return zlib.decompress(raw)  # RFC 1950 zlib-wrapped
+                except zlib.error:
+                    return zlib.decompress(raw, -zlib.MAX_WBITS)  # raw deflate
+            return raw
 
         def fetch(url: str, family: str) -> tuple[int, str | None, bytes | None]:
             body = post_json.get(family)
@@ -62,7 +82,13 @@ def make_http_fetcher(
                 req = urllib.request.Request(url, headers=headers, method="GET")
             try:
                 with urllib.request.urlopen(req, timeout=timeout_s) as resp:
-                    return resp.status, None, resp.read()
+                    raw = resp.read()
+                    try:
+                        return resp.status, None, decode_body(resp, raw)
+                    except (OSError, zlib.error, EOFError) as e:
+                        # corrupt compressed body: a per-URL failure row
+                        # (O23), never a task abort
+                        return 590, f"content-decode-error: {e}", None
             except urllib.error.HTTPError as e:
                 return e.code, str(e.reason), None
             except urllib.error.URLError as e:

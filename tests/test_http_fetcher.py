@@ -15,6 +15,9 @@ import pytest
 from outage_data_scraper_spark.sources.http import make_http_fetcher
 
 
+PLAIN_BODY = json.dumps({"outages": [{"id": 1, "customersAffected": 7}]}).encode()
+
+
 class _Handler(BaseHTTPRequestHandler):
     def log_message(self, *a):  # silence
         pass
@@ -25,9 +28,32 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    def _reply_encoded(self, body: bytes, encoding: str, wire: bytes):
+        self.send_response(200)
+        self.send_header("Content-Encoding", encoding)
+        self.send_header("Content-Length", str(len(wire)))
+        self.end_headers()
+        self.wfile.write(wire)
+
     def do_GET(self):
+        import gzip as _gzip
+        import zlib as _zlib
+
         if self.path == "/ok":
             self._reply(200, b"payload:" + self.headers["User-Agent"].encode())
+        elif self.path == "/gz":
+            self._reply_encoded(PLAIN_BODY, "gzip", _gzip.compress(PLAIN_BODY))
+        elif self.path == "/defl":
+            self._reply_encoded(PLAIN_BODY, "deflate", _zlib.compress(PLAIN_BODY))
+        elif self.path == "/defl-raw":
+            co = _zlib.compressobj(wbits=-_zlib.MAX_WBITS)
+            self._reply_encoded(
+                PLAIN_BODY, "deflate", co.compress(PLAIN_BODY) + co.flush()
+            )
+        elif self.path == "/gz-corrupt":
+            self._reply_encoded(PLAIN_BODY, "gzip", b"\x1f\x8bgarbage-not-gzip")
+        elif self.path == "/plain":
+            self._reply(200, PLAIN_BODY)
         elif self.path == "/slow":
             import time
 
@@ -118,3 +144,22 @@ def test_fetch_wave_end_to_end_over_local_http(spark, server):
     }
     assert got["ok"][0] == 200 and got["ok"][1].startswith(b"payload:")
     assert got["missing"] == (404, None)
+
+
+def test_gzip_and_deflate_bodies_decode_to_identical_bytes(server):
+    """ga_scraper.py:412–415 parity: compressed utility endpoints must
+    hand the parsers the SAME bytes as the uncompressed path."""
+    fetch = make_http_fetcher()()
+    _, _, plain = fetch(f"{server}/plain", "ga1")
+    assert plain == PLAIN_BODY
+    for path in ("/gz", "/defl", "/defl-raw"):
+        status, reason, payload = fetch(f"{server}{path}", "ga1")
+        assert (status, reason) == (200, None), path
+        assert payload == plain, path
+
+
+def test_corrupt_gzip_is_structured_failure_not_crash(server):
+    fetch = make_http_fetcher()()
+    status, reason, payload = fetch(f"{server}/gz-corrupt", "ga1")
+    assert status == 590 and payload is None
+    assert "content-decode-error" in reason

@@ -246,7 +246,7 @@ def test_decode_stub_raises_for_compressed_only():
     import pytest as _pytest
 
     with _pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG....")  # compressed: still stubbed
+        multimodal.decode_image(b"\xff\xd8\xffJPEG....")  # no JPEG codec libs
 
 
 def test_ppm_roundtrip_and_real_decode():
@@ -268,7 +268,7 @@ def test_real_image_features_from_pixels(spark):
     by_kind = {}
     for r in rows:
         by_kind.setdefault(r.kind, set()).add(r.decoder)
-    assert by_kind["image"] == {"ppm-numpy"}
+    assert by_kind["image"] == {"ppm-numpy", "png-zlib"}
     assert by_kind["audio"] == by_kind["video"] == {"fake-blake2b"}
     img_feats = {r.asset_id: r.feat for r in rows if r.kind == "image"}
     # real features: bounded, deterministic, and not the digest fake
@@ -397,3 +397,79 @@ def test_standardize_ga1tx8_eastern_day_boundary(spark):
         for r in standardize_ga1tx8(obs, dim, "EMC", "ga", tz=None).collect()
     }
     assert str(raw["O1"].start_time) == "2024-08-01 01:00:00"
+
+
+def test_png_roundtrip_all_filters():
+    """encode_png(filter_mode='cycle') writes one scanline per PNG filter
+    type (None/Sub/Up/Average/Paeth) — decode must invert every one."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (10, 13, 3), dtype=np.uint8)
+    for mode in ("none", "cycle"):
+        back = multimodal.decode_image(multimodal.encode_png(img, filter_mode=mode))
+        assert back.shape == (10, 13, 3) and (back == img).all(), mode
+
+
+def test_png_gray_and_rgba_color_types():
+    """decode_png handles color types 0 (gray→replicated RGB) and 6
+    (RGBA→alpha dropped), built chunk-by-chunk here."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(typ, data):
+        return struct.pack(">I", len(data)) + typ + data + struct.pack(
+            ">I", zlib.crc32(typ + data)
+        )
+
+    def png(w, h, ctype, samples):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        stride = w * {0: 1, 6: 4}[ctype]
+        raw = b"".join(
+            b"\x00" + samples[y * stride : (y + 1) * stride] for y in range(h)
+        )
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    gray = bytes(range(12))  # 4x3 gray
+    g = multimodal.decode_png(png(4, 3, 0, gray))
+    assert g.shape == (3, 4, 3) and (g[:, :, 0] == g[:, :, 2]).all()
+    assert g[0, 1, 0] == 1
+    rgba = bytes((i * 7) % 256 for i in range(4 * 3 * 4))
+    r = multimodal.decode_png(png(4, 3, 6, rgba))
+    assert r.shape == (3, 4, 3) and r[0, 0, 2] == 14  # alpha dropped
+
+
+def test_malformed_magic_payloads_fall_back_per_row(spark):
+    """ADVICE r2: bytes that start with a decoder magic but are malformed
+    must produce the labeled fake (features) / null (resize) for THAT
+    row — never abort the Spark task (O23 design)."""
+    import pandas as pd
+
+    assets = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "asset_id": [0, 1, 2],
+                "kind": ["image", "image", "image"],
+                "payload": [
+                    b"P6\nnot really a ppm",
+                    b"\x89PNG\r\n\x1a\ngarbage",
+                    multimodal.encode_ppm(
+                        __import__("numpy").zeros((4, 4, 3), dtype="uint8")
+                    ),
+                ],
+            }
+        )
+    )
+    rows = {r.asset_id: r for r in multimodal.extract_features(assets, dim=8, fake=False).collect()}
+    assert rows[0].decoder == rows[1].decoder == "fake-blake2b"
+    assert rows[2].decoder == "ppm-numpy"
+    resized = {r.asset_id: r for r in multimodal.resize_images(assets, 2, 2).collect()}
+    assert resized[0].payload is None and resized[1].payload is None
+    assert resized[2].payload is not None
