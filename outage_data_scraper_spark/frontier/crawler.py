@@ -198,6 +198,7 @@ class Crawler:
         # per-row rate_override column (req/s) — the robots table is never
         # collected driver-side (10^8 hosts ≈ 10 GB at target scale).
         allowed = None
+        denied = None
         if self.cat.exists("robots"):
             from .robots import robots_gate
 
@@ -211,18 +212,10 @@ class Crawler:
                 .drop("crawl_delay")
                 .cache()
             )
+            # denied rows ride the wave's single fetch_log write below —
+            # a standalone emptiness probe would add one Spark action per
+            # wave even with zero denials
             denied = popped.join(allowed.select("url"), "url", "left_anti")
-            denied_log = denied.select(
-                "url", F.lit(wave).alias("wave"),
-                F.current_timestamp().alias("ts"),
-                F.lit(451).alias("status"),
-                F.lit("robots disallow").alias("reason"),
-                F.lit(None).cast("long").alias("bytes"),
-                F.lit(None).cast("int").alias("partition_id"),
-                "emc", "state", "layout",
-            )
-            if denied_log.limit(1).count():
-                self.cat.write("fetch_log", denied_log, wave=wave)
             popped = allowed
 
         fetched = fetch_wave(
@@ -292,6 +285,17 @@ class Crawler:
             F.lit(None).cast("int").alias("partition_id"),
             "emc", "state", "layout",
         )
+        if denied is not None:
+            log = log.unionByName(
+                denied.select(
+                    "url", F.lit(wave).alias("wave"), run_ts.alias("ts"),
+                    F.lit(451).alias("status"),
+                    F.lit("robots disallow").alias("reason"),
+                    F.lit(None).cast("long").alias("bytes"),
+                    F.lit(None).cast("int").alias("partition_id"),
+                    "emc", "state", "layout",
+                )
+            )
         self.cat.write("fetch_log", log, wave=wave)
 
         # children: keep first discovery per URL (visited semantics), then

@@ -28,9 +28,44 @@ def _spread(df: DataFrame) -> DataFrame:
     CPU-heavy projection. Small parquet inputs arrive as one or two file
     splits (maxPartitionBytes ≫ file size), which would serialize the
     shingle/hash projections; at real scale the scan already yields more
-    splits than cores and this is a no-op."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    splits than cores and this is a no-op.
+
+    Split count is ESTIMATED from the scan's input files using Spark's own
+    packing formula (FilePartition.maxSplitBytes) — ``df.rdd`` would build
+    the whole RDD conversion lineage just to probe parallelism. Non-file
+    inputs (createDataFrame, post-shuffle plans) fall back to the RDD
+    probe; anything un-stat-able skips the repartition (a wide scan never
+    needs it)."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = None
+    if not files:
+        if df.rdd.getNumPartitions() < target:
+            return df.repartition(target)
+        return df
+    import os
+
+    sizes = []
+    for f in files:
+        if f.startswith("file:"):
+            path = f[len("file:") :]
+        elif "://" not in f:
+            path = f
+        else:
+            return df  # remote store: scan splitting already ≈ target at scale
+        try:
+            sizes.append(os.stat(path).st_size)
+        except OSError:
+            return df
+    max_part = int(str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")).rstrip("b"))
+    open_cost = int(str(spark.conf.get("spark.sql.files.openCostInBytes", "4194304")).rstrip("b"))
+    padded = sum(sizes) + open_cost * len(sizes)
+    max_split = min(max_part, max(open_cost, padded // max(target, 1)))
+    est_splits = max(1, -(-padded // max(max_split, 1)))
+    if est_splits < target:
         return df.repartition(target)
     return df
 
@@ -83,42 +118,41 @@ def minhash_lsh_candidates(
     near-dup clusters we want, and AQE's skew-join handles the residue.
     """
     rows_per_band = num_perm // bands
-    # Guard docs that produce NO shingles (null text or < k_shingle
-    # tokens): their signature would be [null × num_perm], and since
-    # concat_ws skips nulls every such doc would land in ONE universal
-    # bucket per band — quadratic junk pairs at crawl scale. The guard is
-    # the cheap token-count predicate (size(sig) > 0 was dead code: the
-    # signature array always has num_perm entries).
-    has_shingles = (
-        F.size(F.split(textkit.normalized(F.col(text_col)), " ")) >= k_shingle
-    )
-    sig = (
-        _spread(docs)
-        .filter(has_shingles)
-        .select(
-            F.col(id_col),
-            minhash_signature(F.col(text_col), k_shingle, num_perm).alias("sig"),
-        )
+    sig = _spread(docs).select(
+        F.col(id_col),
+        minhash_signature(F.col(text_col), k_shingle, num_perm).alias("sig"),
     )
 
+    # Guard docs that produce NO shingles (null text or < k_shingle
+    # tokens): their signature is [null × num_perm], and since concat_ws
+    # skips nulls every such doc would land in ONE universal bucket per
+    # band — quadratic junk pairs at crawl scale. The guard lives INSIDE
+    # the exploded array (empty array → explode drops the doc), NOT as a
+    # filter() above this projection: a deterministic predicate filter
+    # gets pushed below _spread's repartition by Catalyst, re-running the
+    # tokenizer serially on an unsplit input — the exact trap
+    # ngram_jaccard_pairs documents. sig[1] is null iff no shingles
+    # existed (array_min over an empty transform).
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",", *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                    )
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    guarded = F.when(F.element_at("sig", 1).isNotNull(), band_structs).otherwise(
+        F.array().cast("array<struct<band:int,bh:bigint>>")
+    )
     banded = sig.select(
         id_col,
         "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",", *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
-                            )
-                        ).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        F.explode(guarded).alias("bb"),
     ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
     left = banded.alias("l")

@@ -109,10 +109,22 @@ def fused_fetch_parse(
         pacer = HostPacer(rate_per_host, salt=salt, sim=simulated_clock)
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else -1
-        for batch in batches:
-            batch = batch.sort_values(
-                ["event_seq", "seed_seq", "depth", "child_seq", "url"]
-            ).reset_index(drop=True)
+        # The ordering law is per-PARTITION: buffer the whole partition's
+        # metadata rows (input rows here are ~100 bytes — no payloads yet)
+        # and sort once, exactly like fetch_wave — a partition larger than
+        # one Arrow batch must not fall back to batch-local order. Fetched
+        # payloads are still bounded: the sorted frame is walked in
+        # 10k-row chunks, each fetched, parsed and yielded before the next
+        # starts, so peak task memory is O(chunk payloads).
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        pdf = pdf.sort_values(
+            ["event_seq", "seed_seq", "depth", "child_seq", "url"]
+        ).reset_index(drop=True)
+        for lo in range(0, len(pdf), 10_000):
+            batch = pdf.iloc[lo : lo + 10_000].reset_index(drop=True).copy()
             status, reason, html = [], [], []
             for url, h, fam in zip(batch["url"], batch["host"], batch["family"]):
                 pacer.acquire(h)

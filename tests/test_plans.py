@@ -172,3 +172,38 @@ def test_crawl_wave_two_shuffle_budget(spark):
                                rate_per_host=1e9, salt=4)
     n = count_exchanges(parsed)
     assert n == 2, f"crawl wave plans {n} shuffles (budget: 2)"
+
+
+def test_minhash_lsh_plan_spreads_before_signature(spark):
+    """ADVICE r2: the empty-doc guard must not be a filter Catalyst can
+    push below _spread's repartition (which would evaluate the tokenizer
+    serially on a 1-split input). The guard now lives inside the exploded
+    band array, so the plan has NO tokenizer predicate below the
+    round-robin exchange and the heavy Generate sits above it."""
+    from outage_data_scraper_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = dedup.minhash_lsh_candidates(docs)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    filter_lines = [ln for ln in plan.splitlines() if "Filter " in ln]
+    assert not any(
+        "split(" in ln for ln in filter_lines
+    ), "tokenizer predicate pushed below repartition"
+    gen = plan.find("Generate explode")
+    rr = plan.find("RoundRobinPartitioning")
+    assert gen != -1 and rr != -1
+    assert gen < rr, "signature projection planned below the spread repartition"
+
+
+def test_minhash_empty_docs_skip_banding(spark):
+    """Null/short docs must emit NO banded rows (an all-null signature
+    would otherwise land every empty doc in one universal bucket per
+    band — quadratic junk pairs at crawl scale)."""
+    import pandas as pd
+
+    from outage_data_scraper_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": ["tiny", None, "also tiny"]})
+    )
+    assert dedup.minhash_lsh_candidates(docs).count() == 0

@@ -163,3 +163,33 @@ def test_fetch_wave_ordering_law_across_arrow_batches(spark):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def test_fused_fetch_parse_ordering_law_across_arrow_batches(spark):
+    """ADVICE r2: the FUSED fetch+parse path (the one bench uses) must
+    apply the same whole-partition sort as fetch_wave — a partition
+    spanning several Arrow batches must not fall back to batch-local
+    order."""
+    from outage_data_scraper_spark.parsers.parse import fused_fetch_parse
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "7")
+    try:
+        rows = [
+            (f"https://h.com/{i:03d}", "h.com", "ga", "1", "e", "ga1",
+             0, 0, 0, (i * 17) % 40, 1, 0, None)
+            for i in range(40)
+        ]
+        parsed = fused_fetch_parse(
+            _wave_df(spark, rows).drop("rate_override"),
+            lambda: (lambda url, fam: (404, "nope", None)),
+            num_parts=1, rate_per_host=1e9, salt=1, simulated_clock=True,
+        ).collect()
+        got = [r.child_seq for r in parsed]
+        assert got == sorted(got), "fused path violated the ordering law"
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
