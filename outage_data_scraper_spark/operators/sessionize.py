@@ -102,14 +102,50 @@ _SM_SCHEMA = (
 )
 
 
+def _bucketed_apply(pous, fold, schema, group_buckets, empty):
+    """Run a per-(utility…city)-group pandas fold with MANY groups per
+    Arrow exchange. groupBy(keys).applyInPandas pays one Arrow round trip
+    per group, and AQE's byte-targeting coalescer merges the small
+    grouping shuffle into one task — serializing a CPU-heavy Python fold.
+    Grouping by xxhash64(keys) % group_buckets behind an explicit
+    repartition (exempt from AQE coalescing; already satisfies the
+    applyInPandas partitioning requirement, so the plan keeps ONE
+    exchange) restores both amortization and parallelism. Memory per task
+    is bounded by |input|/group_buckets. ``empty`` builds a dtyped empty
+    output frame (a bucket whose groups all fold to zero rows must not
+    hand Arrow object-dtyped columns)."""
+    if group_buckets is None:
+        return pous.groupBy(*GROUP_KEYS).applyInPandas(fold, schema)
+
+    def fold_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = [
+            fold(g) for _, g in pdf.groupby(GROUP_KEYS, sort=False, dropna=False)
+        ]
+        outs = [o for o in outs if len(o)]
+        return pd.concat(outs, ignore_index=True) if outs else empty()
+
+    bucketed = pous.withColumn(
+        "__bucket", F.pmod(F.xxhash64(*GROUP_KEYS), F.lit(group_buckets))
+    )
+    n_tasks = min(group_buckets, pous.sparkSession.sparkContext.defaultParallelism)
+    return (
+        bucketed.repartition(n_tasks, "__bucket")
+        .groupBy("__bucket")
+        .applyInPandas(fold_bucket, schema)
+    )
+
+
 def sessionize_threshold_state_machine(
-    pous: DataFrame, threshold: int = 0, abs_diff: int = 50
+    pous: DataFrame,
+    threshold: int = 0,
+    abs_diff: int = 50,
+    group_buckets: int | None = 1024,
 ) -> DataFrame:
     """step1_threshold merger semantics (step1_threshold.py:37–200) as a
     per-group ordered fold: a new session opens when customers-out rises
     from ≤threshold; within a session, a jump |Δ| > abs_diff splits a new
     tracked outage (case D); the session closes when customers-out falls
-    to ≤threshold."""
+    to ≤threshold. ``group_buckets``: see _bucketed_apply."""
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("RecordDateTime")
@@ -163,7 +199,24 @@ def sessionize_threshold_state_machine(
             ],
         )
 
-    return pous.groupBy(*GROUP_KEYS).applyInPandas(fold, _SM_SCHEMA)
+    def empty():
+        return pd.DataFrame(
+            {
+                "UtilityName": pd.Series(dtype=object),
+                "StateName": pd.Series(dtype=object),
+                "CountyName": pd.Series(dtype=object),
+                "CityName": pd.Series(dtype=object),
+                "session_id": pd.Series(dtype="int32"),
+                "session_start_ts": pd.Series(dtype="datetime64[ns]"),
+                "session_end_ts": pd.Series(dtype="datetime64[ns]"),
+                "duration_min": pd.Series(dtype="float64"),
+                "n_obs": pd.Series(dtype="int64"),
+                "peak_customers_out": pd.Series(dtype="int64"),
+                "case_d_splits": pd.Series(dtype="int32"),
+            }
+        )
+
+    return _bucketed_apply(pous, fold, _SM_SCHEMA, group_buckets, empty)
 
 
 # -- full step1_threshold merger ------------------------------------------------
@@ -451,46 +504,23 @@ def threshold_merger(
             }
         )
 
-    if group_buckets is None:
-        return pous.groupBy(*GROUP_KEYS).applyInPandas(fold, _MERGER_SCHEMA)
+    def empty():
+        return pd.DataFrame(
+            {
+                "UtilityName": pd.Series(dtype=object),
+                "StateName": pd.Series(dtype=object),
+                "CountyName": pd.Series(dtype=object),
+                "CityName": pd.Series(dtype=object),
+                "CountyFIPS": pd.Series(dtype=object),
+                "CustomersTracked": pd.Series(dtype="int64"),
+                "start_time": pd.Series(dtype="datetime64[ns]"),
+                "end_time": pd.Series(dtype="datetime64[ns]"),
+                "customer_affected_mean": pd.Series(dtype="float64"),
+                "duration_s": pd.Series(dtype="int64"),
+            }
+        )
 
-    def fold_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        outs = [
-            fold(g) for _, g in pdf.groupby(GROUP_KEYS, sort=False, dropna=False)
-        ]
-        outs = [o for o in outs if len(o)]
-        if not outs:
-            return pd.DataFrame(
-                {
-                    "UtilityName": pd.Series(dtype=object),
-                    "StateName": pd.Series(dtype=object),
-                    "CountyName": pd.Series(dtype=object),
-                    "CityName": pd.Series(dtype=object),
-                    "CountyFIPS": pd.Series(dtype=object),
-                    "CustomersTracked": pd.Series(dtype="int64"),
-                    "start_time": pd.Series(dtype="datetime64[ns]"),
-                    "end_time": pd.Series(dtype="datetime64[ns]"),
-                    "customer_affected_mean": pd.Series(dtype="float64"),
-                    "duration_s": pd.Series(dtype="int64"),
-                }
-            )
-        return pd.concat(outs, ignore_index=True)
-
-    bucketed = pous.withColumn(
-        "__bucket", F.pmod(F.xxhash64(*GROUP_KEYS), F.lit(group_buckets))
-    )
-    # explicit repartition on the bucket key: the grouping shuffle is tiny
-    # in BYTES but heavy in Python CPU, and AQE's coalescer (which targets
-    # shuffle bytes) would merge it into one task — serializing the fold.
-    # A user-specified repartition is exempt from AQE coalescing and
-    # already satisfies applyInPandas's hash-partitioning requirement, so
-    # no second exchange is planned.
-    n_tasks = min(group_buckets, pous.sparkSession.sparkContext.defaultParallelism)
-    return (
-        bucketed.repartition(n_tasks, "__bucket")
-        .groupBy("__bucket")
-        .applyInPandas(fold_bucket, _MERGER_SCHEMA)
-    )
+    return _bucketed_apply(pous, fold, _MERGER_SCHEMA, group_buckets, empty)
 
 
 def ganz_events(
