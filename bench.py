@@ -46,6 +46,16 @@ HEADLINE = [
     "q26_sessionize",
 ]
 
+# Timed and reported alongside, NOT in the headline total (the 8-query
+# total stays comparable across rounds): the Python-fold mergers after
+# the round-3 group-bucketing fix, and the round-3 queries.
+EXTENDED = [
+    "q30_session_state_machine",
+    "q35_threshold_merger",
+    "q41_gold_eastern",
+    "q42_ganz_relative_threshold",
+]
+
 
 def _noop_materialize(df) -> int:
     df.write.format("noop").mode("overwrite").save()
@@ -61,7 +71,7 @@ def run_headline(spark) -> dict[str, float]:
     # standard suite. The session itself is also pre-warmed once.
     _noop_materialize(qs[HEADLINE[0]](spark, SF_DIR))
     out = {}
-    for name in HEADLINE:
+    for name in HEADLINE + EXTENDED:
         best = float("inf")
         df = qs[name](spark, SF_DIR)
         for _ in range(2):
@@ -158,14 +168,16 @@ def main():
     from outage_data_scraper_spark.session import get_spark
 
     spark = get_spark(app_name="bench-headline", master=f"local[{CPUS}]")
-    queries = run_headline(spark)
+    timings = run_headline(spark)
     spark.stop()
 
+    queries = {k: v for k, v in timings.items() if k in HEADLINE}
     result = {
         "metric": "headline_queries_total",
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "queries": queries,
+        "queries_extended": {k: v for k, v in timings.items() if k in EXTENDED},
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
     }
 
