@@ -457,11 +457,13 @@ def q34_ann_ivf_topk(spark, sf_dir):
 
 def q28_multimodal_features(spark, sf_dir):
     """Multimodal feature extraction (rows-only check): image assets
-    alternate raw P6 PPM and zlib-deflate PNG containers, both decoding
-    FOR REAL (pure-numpy bitmap parse / stdlib-zlib inflate + unfilter →
-    mean-pooled pixel features, decoder='ppm-numpy' / 'png-zlib');
-    audio/video payloads have no native decoder in this container and
-    fall back to the clearly-labeled deterministic fake."""
+    alternate raw P6 PPM and zlib-deflate PNG containers, audio assets
+    carry 16-bit PCM WAV — all decoding FOR REAL (pure-numpy bitmap
+    parse / stdlib-zlib inflate + unfilter / RIFF chunk walk → mean-pooled
+    pixel features and per-window RMS audio features; decoder=
+    'ppm-numpy' / 'png-zlib' / 'wav-pcm'); video payloads have no native
+    decoder in this container and fall back to the clearly-labeled
+    deterministic fake."""
     assets = multimodal.synth_assets(spark, 200)
     feats = multimodal.extract_features(assets, dim=16, fake=False)
     return feats.groupBy("kind", "feat_dim", "decoder").agg(F.count(F.lit(1)).alias("n"))

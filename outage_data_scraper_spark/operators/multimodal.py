@@ -5,11 +5,13 @@ Image/audio/video assets travel as ``binary`` columns with typed metadata
 Arrow-batched ``mapInPandas`` stages with real schemas, partitioning and
 batch shapes.
 
-Decode is REAL for raw-bitmap PPM (P6: header parse + numpy frombuffer)
-AND for 8-bit PNG (IDAT is stdlib-zlib deflate over per-scanline-filtered
-samples — decode_png unfilters all five PNG filters in numpy), so the
-image path exercises genuine pixel math end-to-end (decode → mean-pool
-features, nearest-neighbor resize) for both containers. JPEG/WebP and
+Decode is REAL wherever stdlib + numpy suffice: raw-bitmap PPM (P6
+header parse + frombuffer), 8-bit PNG (IDAT is stdlib-zlib deflate over
+per-scanline-filtered samples — decode_png unfilters all five PNG
+filters in numpy), and PCM WAV (RIFF chunk walk + frombuffer →
+per-window RMS features). So the image path exercises genuine pixel
+math end-to-end (decode → mean-pool features, nearest-neighbor resize)
+and the audio path genuine sample math. JPEG/WebP and compressed
 audio/video decode stay honestly stubbed behind NotImplementedError
 (this container ships no codec libraries); dispatch is per payload with
 a clearly-marked deterministic fake fallback for undecodable kinds so
@@ -198,6 +200,76 @@ def decode_png(payload: bytes) -> np.ndarray:
     return out
 
 
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 PCM samples, shape (n,) mono or (n, ch) → RIFF/WAVE bytes
+    (format 1, 16-bit little-endian) — pure struct, no codec library."""
+    import struct
+
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    assert samples.dtype == np.int16
+    n, ch = samples.shape
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM (format 1, 8- or 16-bit) → (float32 samples in
+    [−1, 1] shaped (n, ch), sample_rate). Pure struct + numpy — PCM WAV
+    needs no codec library, so audio decodes for REAL here. Raises
+    ValueError on anything else (captured per-row upstream)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        chunk = payload[pos + 8 : pos + 8 + length]
+        if len(chunk) < length:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            if length < 16:
+                raise ValueError("short fmt chunk")
+            fmt = struct.unpack("<HHIIHH", chunk[:16])
+        elif cid == b"data":
+            data = chunk
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, ch, rate, _, _, bits = fmt
+    if audio_format != 1 or bits not in (8, 16) or ch == 0:
+        raise ValueError(f"only 8/16-bit PCM WAV supported (fmt={audio_format})")
+    if bits == 16:
+        arr = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    else:
+        arr = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    n = len(arr) // ch
+    return arr[: n * ch].reshape(n, ch), rate
+
+
+def _audio_features(samples: np.ndarray, dim: int) -> np.ndarray:
+    """Real audio features: per-window RMS energy over ``dim`` equal
+    windows of the mono mix, mapped to [−1, 1]."""
+    mono = samples.mean(axis=1)
+    n = len(mono)
+    edges = np.linspace(0, n, dim + 1).astype(int)
+    rms = np.asarray(
+        [
+            np.sqrt(np.mean(np.square(mono[edges[i] : max(edges[i + 1], edges[i] + 1)])))
+            if edges[i] < n
+            else 0.0
+            for i in range(dim)
+        ],
+        dtype=np.float32,
+    )
+    return rms * 2.0 - 1.0
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload. P6 PPM and 8-bit PNG decode for real
     (pure numpy / stdlib zlib); other compressed formats require a codec
@@ -233,9 +305,10 @@ def _mean_pool_features(img: np.ndarray, dim: int) -> np.ndarray:
 
 def synth_assets(spark: SparkSession, n: int = 100) -> DataFrame:
     """Deterministic synthetic asset table, generated distributed via
-    spark.range. Image assets carry REAL P6 PPM payloads (pixels are a
-    deterministic gradient+hash pattern, built executor-side in a pandas
-    UDF); audio/video assets carry opaque digest bytes."""
+    spark.range. Image assets carry REAL P6 PPM / PNG payloads (pixels
+    are a deterministic gradient+hash pattern, built executor-side in a
+    pandas UDF); audio assets carry REAL 16-bit PCM WAV (tone + hash
+    noise); video assets carry opaque digest bytes."""
 
     @F.pandas_udf(BinaryType())
     def payload_for(ids: pd.Series, kinds: pd.Series) -> pd.Series:
@@ -255,6 +328,17 @@ def synth_assets(spark: SparkSession, n: int = 100) -> DataFrame:
                     out.append(encode_png(img, filter_mode="cycle"))
                 else:
                     out.append(encode_ppm(img))
+            elif kind == "audio":
+                # real 16-bit PCM WAV: deterministic tone + hash noise,
+                # 0.2 s at 8 kHz — decodes natively downstream
+                rng = np.random.default_rng(int(i))
+                t = np.arange(1600, dtype=np.float32) / 8000.0
+                freq = 200.0 + (int(i) * 37) % 1800
+                wave = 0.6 * np.sin(2 * np.pi * freq * t)
+                wave += 0.1 * rng.standard_normal(1600).astype(np.float32)
+                out.append(
+                    encode_wav((np.clip(wave, -1, 1) * 32767).astype(np.int16), 8000)
+                )
             else:
                 out.append(hashlib.sha256(str(int(i)).encode()).digest())
         return pd.Series(out)
@@ -274,6 +358,7 @@ def synth_assets(spark: SparkSession, n: int = 100) -> DataFrame:
         "kind",
         payload_for(F.col("asset_id"), F.col("kind")).alias("payload"),
         F.when(F.col("kind") == "image", F.lit("image/x-portable-pixmap"))
+        .when(F.col("kind") == "audio", F.lit("audio/wav"))
         .otherwise(F.lit("application/octet-stream"))
         .alias("mime"),
         "width",
@@ -310,20 +395,25 @@ def extract_features(assets: DataFrame, dim: int = 32, fake: bool = True) -> Dat
                     decoders.append(None)
                     continue
                 raw = bytes(payload)
-                decoded, label = None, None
+                feat, label = None, None
                 if not fake:
                     # malformed bytes that happen to carry a magic number
                     # are a per-row fallback (O23 design), never a task
                     # abort
                     try:
                         if raw[:2] == b"P6":
-                            decoded, label = decode_ppm(raw), "ppm-numpy"
+                            feat = _mean_pool_features(decode_ppm(raw), dim)
+                            label = "ppm-numpy"
                         elif raw[: len(_PNG_SIG)] == _PNG_SIG:
-                            decoded, label = decode_png(raw), "png-zlib"
+                            feat = _mean_pool_features(decode_png(raw), dim)
+                            label = "png-zlib"
+                        elif raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+                            feat = _audio_features(decode_wav(raw)[0], dim)
+                            label = "wav-pcm"
                     except ValueError:
-                        decoded = None
-                if decoded is not None:
-                    feats.append(_mean_pool_features(decoded, dim).tolist())
+                        feat = None
+                if feat is not None:
+                    feats.append(feat.tolist())
                     decoders.append(label)
                 else:
                     feats.append(_fake_features(raw, dim).tolist())

@@ -269,7 +269,8 @@ def test_real_image_features_from_pixels(spark):
     for r in rows:
         by_kind.setdefault(r.kind, set()).add(r.decoder)
     assert by_kind["image"] == {"ppm-numpy", "png-zlib"}
-    assert by_kind["audio"] == by_kind["video"] == {"fake-blake2b"}
+    assert by_kind["audio"] == {"wav-pcm"}
+    assert by_kind["video"] == {"fake-blake2b"}
     img_feats = {r.asset_id: r.feat for r in rows if r.kind == "image"}
     # real features: bounded, deterministic, and not the digest fake
     assert all(-1.0 <= x <= 1.0 for f in img_feats.values() for x in f)
@@ -473,3 +474,37 @@ def test_malformed_magic_payloads_fall_back_per_row(spark):
     resized = {r.asset_id: r for r in multimodal.resize_images(assets, 2, 2).collect()}
     assert resized[0].payload is None and resized[1].payload is None
     assert resized[2].payload is not None
+
+
+def test_wav_roundtrip_and_real_audio_features():
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    mono = (rng.uniform(-0.9, 0.9, 4000) * 32767).astype(np.int16)
+    back, rate = multimodal.decode_wav(multimodal.encode_wav(mono, 8000))
+    assert rate == 8000 and back.shape == (4000, 1)
+    assert np.allclose(back[:, 0], mono / 32768.0, atol=1e-4)
+    stereo = np.stack([mono, -mono], axis=1)
+    back2, _ = multimodal.decode_wav(multimodal.encode_wav(stereo, 16000))
+    assert back2.shape == (4000, 2)
+    # silence has minimal RMS in every window; a loud tone does not
+    quiet = multimodal._audio_features(np.zeros((1000, 1), np.float32), 8)
+    assert (quiet == -1.0).all()
+    loud = multimodal._audio_features(np.ones((1000, 1), np.float32) * 0.8, 8)
+    assert (loud > -0.2).all()
+
+
+def test_malformed_wav_falls_back_per_row(spark):
+    import pandas as pd
+
+    assets = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "asset_id": [0],
+                "kind": ["audio"],
+                "payload": [b"RIFF\x10\x00\x00\x00WAVEgarbage"],
+            }
+        )
+    )
+    rows = multimodal.extract_features(assets, dim=8, fake=False).collect()
+    assert rows[0].decoder == "fake-blake2b"
