@@ -717,6 +717,25 @@ def q42_ganz_relative_threshold(spark, sf_dir):
     )
 
 
+def q43_gopher_quality_rules(spark, sf_dir):
+    """Gopher-style document-quality filter (Rae et al. 2021 §A1.1 family,
+    token-level form): per-doc rule metrics + the frozen keep verdict.
+    Tokens are hoisted into one projection (HOF lambdas re-evaluate their
+    subtrees per element); everything stays whole-stage codegen."""
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", "text", textkit.tokens(F.col("text")).alias("toks"))
+    return toked.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.round(textkit.mean_token_len(F.col("text")), 4).alias("mean_tok_len"),
+        F.round(textkit.alpha_token_ratio(F.col("toks")), 4).alias("alpha_frac"),
+        F.round(textkit.stopword_ratio(F.col("text")), 4).alias("stop_ratio"),
+        F.round(textkit.type_token_ratio(F.col("toks")), 4).alias("ttr"),
+        F.round(textkit.top_token_ratio(F.col("toks")), 4).alias("top_tok_frac"),
+        textkit.gopher_keep(F.col("text"), F.col("toks")).alias("keep"),
+    )
+
+
 def q33_session_properties(spark, sf_dir):
     """O28: per-key scalar report over sessions (step2_property.py:60–94).
 
@@ -792,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_cuckoo_seen_filter": q40_cuckoo_seen_filter,
         "q41_gold_eastern": q41_gold_eastern,
         "q42_ganz_relative_threshold": q42_ganz_relative_threshold,
+        "q43_gopher_quality_rules": q43_gopher_quality_rules,
     }
 
 
@@ -966,6 +986,41 @@ def oracle_sql() -> dict[str, str]:
               FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
             )
             SELECT id_a, id_b, round(c, 3) AS cos_sim FROM pairs WHERE c >= 0.9
+        """,
+        "q43_gopher_quality_rules": f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     CASE WHEN length(trim(text)) = 0
+                          THEN []::VARCHAR[] ELSE {_RAW_TOKS} END AS l
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id,
+                     len(l) AS n_tokens,
+                     CASE WHEN len(l) = 0 THEN 0.0 ELSE
+                       length(regexp_replace(trim(text), '\\s+', '', 'g'))::DOUBLE / len(l) END AS mean_tok_len,
+                     CASE WHEN len(l) = 0 THEN 0.0 ELSE
+                       len(list_filter(l, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(l) END AS alpha_frac,
+                     {_SW_RATIO} AS stop_ratio,
+                     CASE WHEN len(l) = 0 THEN 0.0 ELSE
+                       len(list_distinct(l))::DOUBLE / len(l) END AS ttr,
+                     CASE WHEN len(l) = 0 THEN 0.0 ELSE
+                       list_max(list_transform(list_distinct(l), d -> len(list_filter(l, x -> x = d))))::DOUBLE / len(l) END AS top_tok_frac
+              FROM t
+            )
+            SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+                   round(mean_tok_len, 4) AS mean_tok_len,
+                   round(alpha_frac, 4) AS alpha_frac,
+                   round(stop_ratio, 4) AS stop_ratio,
+                   round(ttr, 4) AS ttr,
+                   round(top_tok_frac, 4) AS top_tok_frac,
+                   (n_tokens BETWEEN 20 AND 10000
+                    AND mean_tok_len BETWEEN 3.0 AND 10.0
+                    AND alpha_frac >= 0.9
+                    AND stop_ratio >= 0.02
+                    AND ttr >= 0.35
+                    AND top_tok_frac <= 0.2) AS keep
+            FROM m
         """,
         "q24_embedding_near_dup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -119,3 +119,60 @@ def word_shingles(text: Column, k: int = 5) -> Column:
 def shingle_hashes(text: Column, k: int = 5) -> Column:
     """md5 of each shingle (string hashes match DuckDB's md5)."""
     return F.transform(word_shingles(text, k), F.md5)
+
+
+# -- Gopher-style document-quality rules ----------------------------------------
+# Token-level re-statement of the Gopher/C4 web-corpus filter family
+# (Rae et al. 2021 §A1.1), frozen so the DuckDB oracle can mirror each
+# rule exactly. All take an ALREADY-TOKENIZED array column: callers hoist
+# tokens(text) into a projection once — expressions inside HOF lambdas
+# re-evaluate per element, so passing raw text here would re-tokenize
+# O(n·distinct) times.
+
+def type_token_ratio(toks: Column) -> Column:
+    """|distinct tokens| / |tokens| — low values flag repetitive docs."""
+    n = F.size(toks)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(F.size(F.array_distinct(toks)) / n)
+
+
+def alpha_token_ratio(toks: Column) -> Column:
+    """Fraction of tokens containing at least one ASCII letter."""
+    n = F.size(toks)
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    return F.when(n <= 0, F.lit(0.0)).otherwise(alpha / n)
+
+
+def top_token_ratio(toks: Column) -> Column:
+    """Frequency share of the single most common token (dominance)."""
+    n = F.size(toks)
+    counts = F.transform(
+        F.array_distinct(toks),
+        lambda d: F.size(F.filter(toks, lambda t: t == d)),
+    )
+    return F.when(n <= 0, F.lit(0.0)).otherwise(F.array_max(counts) / n)
+
+
+# Frozen rule thresholds (mirrored verbatim in the q43 oracle).
+GOPHER_MIN_TOKENS = 20
+GOPHER_MAX_TOKENS = 10_000
+GOPHER_MEAN_LEN_LO = 3.0
+GOPHER_MEAN_LEN_HI = 10.0
+GOPHER_MIN_ALPHA = 0.9
+GOPHER_MIN_STOPWORD = 0.02
+GOPHER_MIN_TTR = 0.35
+GOPHER_MAX_TOP = 0.2
+
+
+def gopher_keep(text: Column, toks: Column) -> Column:
+    """AND of the six frozen rules; callers wanting per-rule flags use
+    the individual functions (q43 exposes both)."""
+    n = F.size(toks)
+    return (
+        (n >= GOPHER_MIN_TOKENS)
+        & (n <= GOPHER_MAX_TOKENS)
+        & mean_token_len(text).between(GOPHER_MEAN_LEN_LO, GOPHER_MEAN_LEN_HI)
+        & (alpha_token_ratio(toks) >= GOPHER_MIN_ALPHA)
+        & (stopword_ratio(text) >= GOPHER_MIN_STOPWORD)
+        & (type_token_ratio(toks) >= GOPHER_MIN_TTR)
+        & (top_token_ratio(toks) <= GOPHER_MAX_TOP)
+    )

@@ -508,3 +508,36 @@ def test_malformed_wav_falls_back_per_row(spark):
     )
     rows = multimodal.extract_features(assets, dim=8, fake=False).collect()
     assert rows[0].decoder == "fake-blake2b"
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    """q43's frozen Gopher-style rule set: one crafted doc per rule
+    violation, one clean doc that passes all six."""
+    from pyspark.sql import functions as F
+
+    from outage_data_scraper_spark.functions import textkit
+
+    clean = "the a " + " ".join(f"word{i}" for i in range(28))
+    docs = spark.createDataFrame(
+        [
+            (0, clean),                                     # keep
+            (1, "too short a doc"),                         # n_tokens < 20
+            (2, "aa " * 30),                                # ttr: 1 distinct / 30
+            (3, ("x1 " * 5 + "the and a of to is ") * 4),   # dominance x1 > 0.2
+            (4, "1 2 3 4 5 6 7 8 9 10 " * 3),               # alpha_frac = 0
+            (5, ("zz qq ww ee rr tt yy uu ii oo pp ll kk jj hh gg ff dd ss "
+                 "mm nn bb vv cc xx")),                     # no stopwords
+        ],
+        "doc_id long, text string",
+    )
+    toked = docs.select(
+        "doc_id", "text", textkit.tokens(F.col("text")).alias("toks")
+    )
+    keep = {
+        r.doc_id: r.k
+        for r in toked.select(
+            "doc_id", textkit.gopher_keep(F.col("text"), F.col("toks")).alias("k")
+        ).collect()
+    }
+    assert keep[0] is True
+    assert all(keep[i] is False for i in range(1, 6)), keep
