@@ -274,9 +274,20 @@ def q19_ngram_jaccard(spark, sf_dir):
 
 
 def q20_minhash_lsh(spark, sf_dir):
-    """Banded minhash LSH candidates (sketch — rows-only check)."""
+    """Banded minhash LSH candidates. Registered in the md5 hash-family
+    mode (minhash_signature hash_fn='md5'): md5 is the only hash DuckDB
+    shares, so the FULL sketch pipeline — shingle → per-permutation min →
+    band hash → bucket self-join → signature-estimated Jaccard — is
+    mirrored exactly and checked value-exact (it was rows-only while the
+    hash family was xxhash64). The xxhash64 default remains the scale
+    path; both run the identical plan."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_candidates(docs, k_shingle=3, num_perm=16, bands=4)
+    pairs = dedup.minhash_lsh_candidates(
+        docs, k_shingle=3, num_perm=16, bands=4, hash_fn="md5"
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
 
 
 def q21_simhash(spark, sf_dir):
@@ -939,6 +950,34 @@ def oracle_sql() -> dict[str, str]:
             FROM fp JOIN (SELECT fp, min(doc_id) AS canonical_id FROM fp GROUP BY 1) c USING (fp)
         """,
         "q18_fingerprint": f"SELECT doc_id, md5({_NORM}) AS fp FROM documents",
+        "q20_minhash_lsh": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     [array_to_string(w[i:i+2], ' ') for i in generate_series(1, len(w) - 2)] AS shingles
+              FROM toks WHERE len(w) >= 3
+            ),
+            sig AS (
+              SELECT doc_id,
+                     [list_min(list_transform(shingles, s -> md5(i || ',' || s)))
+                      for i in generate_series(0, 15)] AS sig
+              FROM sh
+            ),
+            banded AS (
+              SELECT doc_id, sig, b AS band,
+                     md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS bh
+              FROM sig, generate_series(0, 3) AS t(b)
+            ),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.sig AS sa, b.sig AS sb
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b,
+                   round(len([i for i in generate_series(1, 16) if sa[i] = sb[i]])::DOUBLE / 16, 6) AS est_jaccard
+            FROM pairs
+        """,
         "q19_ngram_jaccard": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
             sh AS (

@@ -85,9 +85,17 @@ def exact_dedup_map(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
 
 # -- minhash + LSH -----------------------------------------------------------
 
-def minhash_signature(text_col, k_shingle: int = 5, num_perm: int = 32):
-    """Column: array<long> minhash signature. Permutation i is the
-    independent hash family xxhash64(shingle, i) — min over shingles.
+def minhash_signature(
+    text_col, k_shingle: int = 5, num_perm: int = 32, hash_fn: str = "xxhash64"
+):
+    """Column: minhash signature (array<long> for xxhash64, array<string>
+    for md5). Permutation i is the independent hash family
+    hash(shingle, i) — min over shingles.
+
+    ``hash_fn='xxhash64'`` is the scale default (fastest JVM hash);
+    ``'md5'`` (hash of "i,shingle", min over hex strings) exists because
+    md5 is the only hash DuckDB shares — it makes the banded-LSH output
+    value-exact against the q20 oracle without changing any semantics.
 
     The permutation index is bound via a closure factory, NOT a default
     arg on the transform lambda: pyspark introspects lambda arity, so a
@@ -97,6 +105,10 @@ def minhash_signature(text_col, k_shingle: int = 5, num_perm: int = 32):
     shingles = textkit.word_shingles(text_col, k_shingle)
 
     def _perm(i: int):
+        if hash_fn == "md5":
+            return F.array_min(
+                F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i},"), s)))
+            )
         return F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
 
     return F.array(*[_perm(i) for i in range(num_perm)])
@@ -109,6 +121,7 @@ def minhash_lsh_candidates(
     k_shingle: int = 5,
     num_perm: int = 32,
     bands: int = 8,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) from banded minhash LSH,
     with the signature-estimated Jaccard attached.
@@ -116,11 +129,15 @@ def minhash_lsh_candidates(
     Scale shape: explode to (band_id, band_hash) keys → self-join per
     bucket. Bucket sizes are data-dependent; hot buckets are exactly the
     near-dup clusters we want, and AQE's skew-join handles the residue.
+
+    ``hash_fn``: see minhash_signature — 'md5' makes the whole pipeline
+    DuckDB-mirrorable (q20's value-exact oracle); 'xxhash64' is the
+    scale default.
     """
     rows_per_band = num_perm // bands
     sig = _spread(docs).select(
         F.col(id_col),
-        minhash_signature(F.col(text_col), k_shingle, num_perm).alias("sig"),
+        minhash_signature(F.col(text_col), k_shingle, num_perm, hash_fn).alias("sig"),
     )
 
     # Guard docs that produce NO shingles (null text or < k_shingle
@@ -137,7 +154,7 @@ def minhash_lsh_candidates(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(
+                (F.md5 if hash_fn == "md5" else F.xxhash64)(
                     F.concat_ws(
                         ",", *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
                     )
@@ -146,8 +163,9 @@ def minhash_lsh_candidates(
             for b in range(bands)
         ]
     )
+    bh_type = "string" if hash_fn == "md5" else "bigint"
     guarded = F.when(F.element_at("sig", 1).isNotNull(), band_structs).otherwise(
-        F.array().cast("array<struct<band:int,bh:bigint>>")
+        F.array().cast(f"array<struct<band:int,bh:{bh_type}>>")
     )
     banded = sig.select(
         id_col,
