@@ -291,9 +291,15 @@ def q20_minhash_lsh(spark, sf_dir):
 
 
 def q21_simhash(spark, sf_dir):
-    """Simhash near-dup candidates (sketch — rows-only check)."""
+    """Simhash near-dup candidates. Registered in the md5 hash-family
+    mode (60-bit simhash from md5(token) hex, 6×10-bit pigeonhole bands,
+    hamming ≤ 5): md5 + BIGINT bit ops are shared with DuckDB, so the
+    whole sketch — per-bit majority vote → banded bucket join →
+    bit_count verify — is mirrored exactly and checked value-exact (it
+    was rows-only while the hash family was xxhash64, which stays the
+    64-bit scale default)."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash_candidates(docs, max_hamming=6)
+    return dedup.simhash_candidates(docs, max_hamming=5, hash_fn="md5")
 
 
 def _query_vec(spark, sf_dir):
@@ -950,6 +956,35 @@ def oracle_sql() -> dict[str, str]:
             FROM fp JOIN (SELECT fp, min(doc_id) AS canonical_id FROM fp GROUP BY 1) c USING (fp)
         """,
         "q18_fingerprint": f"SELECT doc_id, md5({_NORM}) AS fp FROM documents",
+        "q21_simhash": f"""
+            WITH toks AS (
+              SELECT doc_id, ({_TOKS})[1:512] AS tk FROM documents
+            ),
+            hs AS (
+              SELECT doc_id, len(tk) AS n,
+                     list_transform(tk, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS h
+              FROM toks
+            ),
+            sim AS (
+              SELECT doc_id, n,
+                     list_sum([CASE WHEN 2 * len(list_filter(h, x -> (x >> b) & 1 = 1)) > len(h)
+                                    THEN (1::BIGINT << b) ELSE 0 END
+                               for b in generate_series(0, 59)])::BIGINT AS sh
+              FROM hs
+            ),
+            chunks AS (
+              SELECT doc_id, sh, c AS chunk, (sh >> (c * 10)) & 1023 AS cv
+              FROM sim, generate_series(0, 5) AS t(c)
+              WHERE n >= 1
+            ),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sa, b.sh AS sb
+              FROM chunks a JOIN chunks b
+                ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, bit_count(xor(sa, sb))::INT AS hamming
+            FROM pairs WHERE bit_count(xor(sa, sb)) <= 5
+        """,
         "q20_minhash_lsh": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
             sh AS (

@@ -202,13 +202,26 @@ def minhash_lsh_candidates(
 
 # -- simhash ------------------------------------------------------------------
 
-def simhash64(text_col, n_tokens_cap: int = 512):
-    """Column: 64-bit simhash of the token stream, built natively:
-    per bit b, sign = Σ_tokens (bit b of xxhash64(token) ? +1 : −1).
-    Implemented as 64 aggregate expressions over the token array —
-    heavy but JVM-side and codegen'd; cap tokens for bound cost."""
+def simhash64(text_col, n_tokens_cap: int = 512, hash_fn: str = "xxhash64"):
+    """Column: simhash of the token stream, built natively: per bit b,
+    sign = Σ_tokens (bit b of hash(token) ? +1 : −1). Implemented as one
+    aggregate expression per bit over the token array — heavy but
+    JVM-side and codegen'd; cap tokens for bound cost.
+
+    ``hash_fn='xxhash64'``: 64-bit simhash (scale default). ``'md5'``:
+    60-bit simhash from the first 15 hex chars of md5(token) — md5 is
+    the only hash DuckDB shares, and 15 hex chars (60 bits) is the
+    widest slice that fits a signed BIGINT in both engines, so q21's
+    oracle can mirror the sketch value-exact."""
     toks = F.slice(textkit.tokens(textkit.normalized(text_col)), 1, n_tokens_cap)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    if hash_fn == "md5":
+        bits = 60
+        hashes = F.transform(
+            toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+        )
+    else:
+        bits = 64
+        hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
     def _vote(bit: int):
         # closure factory: pyspark introspects lambda arity, so the bit
@@ -217,7 +230,7 @@ def simhash64(text_col, n_tokens_cap: int = 512):
             F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
         ).otherwise(-1)
 
-    bit_votes = [F.aggregate(hashes, F.lit(0), _vote(b)) for b in range(64)]
+    bit_votes = [F.aggregate(hashes, F.lit(0), _vote(b)) for b in range(bits)]
     out = F.lit(0).cast("long")
     for b, v in enumerate(bit_votes):
         out = out + F.when(v > 0, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63))).otherwise(0)
@@ -229,31 +242,41 @@ def simhash_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 7,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming, found by
-    banding the 64-bit hash into 8×8-bit chunks (pigeonhole: ≤7 bit
-    diffs ⇒ ≥1 identical chunk) and verifying with native bit_count."""
-    # Same empty-doc guard as minhash: zero tokens → zero votes → sh = 0
-    # for EVERY empty doc, i.e. one hamming-0 mega-cluster of blanks.
-    sh = (
-        _spread(docs)
-        .filter(F.size(textkit.tokens(textkit.normalized(F.col(text_col)))) >= 1)
-        .select(F.col(id_col), simhash64(F.col(text_col)).alias("sh"))
+    banding the hash into equal bit chunks (64 bits → 8×8-bit chunks:
+    pigeonhole guarantees ≤7 bit diffs share ≥1 chunk; the md5 mode's
+    60 bits → 6×10-bit chunks, guaranteeing ≤5) and verifying with
+    native bit_count."""
+    n_chunks = 6 if hash_fn == "md5" else 8
+    width = (60 if hash_fn == "md5" else 64) // n_chunks
+    mask = (1 << width) - 1
+    sh = _spread(docs).select(
+        F.col(id_col),
+        simhash64(F.col(text_col), hash_fn=hash_fn).alias("sh"),
+        F.size(textkit.tokens(textkit.normalized(F.col(text_col)))).alias("__n_toks"),
+    )
+    # Empty-doc guard (zero tokens → zero votes → sh = 0 for EVERY empty
+    # doc, one hamming-0 mega-cluster of blanks) lives INSIDE the
+    # exploded array, like minhash: a filter() here would be pushed below
+    # _spread's repartition, serializing the tokenizer on 1-split inputs.
+    chunk_arr = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned("sh", c * width).bitwiseAND(F.lit(mask)).alias("cv"),
+            )
+            for c in range(n_chunks)
+        ]
+    )
+    guarded = F.when(F.col("__n_toks") >= 1, chunk_arr).otherwise(
+        F.array().cast("array<struct<chunk:int,cv:bigint>>")
     )
     chunks = sh.select(
         id_col,
         "sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned("sh", c * 8).bitwiseAND(F.lit(0xFF)).alias("cv"),
-                    )
-                    for c in range(8)
-                ]
-            )
-        ).alias("cc"),
+        F.explode(guarded).alias("cc"),
     ).select(id_col, "sh", F.col("cc.chunk").alias("chunk"), F.col("cc.cv").alias("cv"))
     l, r = chunks.alias("l"), chunks.alias("r")
     return (
