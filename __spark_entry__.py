@@ -487,7 +487,9 @@ def q28_multimodal_features(spark, sf_dir):
 
 
 def q29_bloom_seen_filter(spark, sf_dir):
-    """O32 Bloom fast path (approximate — rows-only check)."""
+    """O32 Bloom fast path. No-false-negative sketch; at the registered
+    (n, fpp=1e-4) point its false-positive set is empty for this input,
+    so the exact anti-join oracle checks it value-exact."""
     from outage_data_scraper_spark.frontier.seen import bloom_from_df, filter_unseen_bloom
 
     fr = _frontier_from_documents(_t(spark, sf_dir, "documents"))
@@ -497,9 +499,10 @@ def q29_bloom_seen_filter(spark, sf_dir):
 
 
 def q40_cuckoo_seen_filter(spark, sf_dir):
-    """O32 cuckoo fast path (approximate — rows-only): same probe
-    contract as the Bloom path (q29) plus deletability for re-crawl
-    scheduling (tests prove delete → refetch passes)."""
+    """O32 cuckoo fast path: same probe contract as the Bloom path (q29,
+    incl. the value-exact exact-anti-join oracle at the registered
+    fingerprint width) plus deletability for re-crawl scheduling (tests
+    prove delete → refetch passes)."""
     from outage_data_scraper_spark.frontier.seen import (
         cuckoo_from_df,
         filter_unseen_cuckoo,
@@ -889,6 +892,23 @@ def oracle_sql() -> dict[str, str]:
                   FROM ({_FRONTIER_SQL})) WHERE rn <= 3
         """,
         "q06_seen_antijoin": f"""
+            WITH fr AS ({_FRONTIER_SQL})
+            SELECT url FROM fr
+            WHERE url NOT IN (SELECT url FROM fr WHERE doc_id % 7 = 0)
+        """,
+        # q29/q40: the Bloom and cuckoo seen-filters are no-false-negative
+        # sketches; at the registered (n, fpp/fingerprint) operating point
+        # their false-positive sets are EMPTY for this deterministic input
+        # (verified: output ≡ the exact anti-join), so the exact oracle
+        # checks them value-exact. A false positive at other scales would
+        # surface as a hash mismatch — which is precisely the regression
+        # signal we want from the gate.
+        "q29_bloom_seen_filter": f"""
+            WITH fr AS ({_FRONTIER_SQL})
+            SELECT url FROM fr
+            WHERE url NOT IN (SELECT url FROM fr WHERE doc_id % 7 = 0)
+        """,
+        "q40_cuckoo_seen_filter": f"""
             WITH fr AS ({_FRONTIER_SQL})
             SELECT url FROM fr
             WHERE url NOT IN (SELECT url FROM fr WHERE doc_id % 7 = 0)
