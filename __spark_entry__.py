@@ -744,15 +744,30 @@ def q43_gopher_quality_rules(spark, sf_dir):
     subtrees per element); everything stays whole-stage codegen."""
     docs = _t(spark, sf_dir, "documents")
     toked = docs.select("doc_id", "text", textkit.tokens(F.col("text")).alias("toks"))
-    return toked.select(
+    # metrics computed ONCE (the HOF trees sit outside whole-stage
+    # codegen's subexpression elimination; dominance is O(distinct×n));
+    # both the rounded outputs and the keep verdict derive from them
+    m = toked.select(
         "doc_id",
-        F.size("toks").alias("n_tokens"),
-        F.round(textkit.mean_token_len(F.col("text")), 4).alias("mean_tok_len"),
-        F.round(textkit.alpha_token_ratio(F.col("toks")), 4).alias("alpha_frac"),
-        F.round(textkit.stopword_ratio(F.col("text")), 4).alias("stop_ratio"),
-        F.round(textkit.type_token_ratio(F.col("toks")), 4).alias("ttr"),
-        F.round(textkit.top_token_ratio(F.col("toks")), 4).alias("top_tok_frac"),
-        textkit.gopher_keep(F.col("text"), F.col("toks")).alias("keep"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        textkit.mean_token_len(F.col("text")).alias("_mtl"),
+        textkit.alpha_token_ratio(F.col("toks")).alias("_alpha"),
+        textkit.stopword_ratio(F.col("text")).alias("_stop"),
+        textkit.type_token_ratio(F.col("toks")).alias("_ttr"),
+        textkit.top_token_ratio(F.col("toks")).alias("_top"),
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        F.round("_mtl", 4).alias("mean_tok_len"),
+        F.round("_alpha", 4).alias("alpha_frac"),
+        F.round("_stop", 4).alias("stop_ratio"),
+        F.round("_ttr", 4).alias("ttr"),
+        F.round("_top", 4).alias("top_tok_frac"),
+        textkit.gopher_keep_from_metrics(
+            F.col("n_tokens"), F.col("_mtl"), F.col("_alpha"),
+            F.col("_stop"), F.col("_ttr"), F.col("_top"),
+        ).alias("keep"),
     )
 
 
@@ -978,7 +993,10 @@ def oracle_sql() -> dict[str, str]:
         "q18_fingerprint": f"SELECT doc_id, md5({_NORM}) AS fp FROM documents",
         "q21_simhash": f"""
             WITH toks AS (
+              -- empty/whitespace-only guard mirrors the engine's
+              -- __n_toks >= 1 (DuckDB splits '' into [''], not [])
               SELECT doc_id, ({_TOKS})[1:512] AS tk FROM documents
+              WHERE length(trim(text)) > 0
             ),
             hs AS (
               SELECT doc_id, len(tk) AS n,

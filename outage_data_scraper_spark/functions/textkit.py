@@ -163,16 +163,32 @@ GOPHER_MIN_TTR = 0.35
 GOPHER_MAX_TOP = 0.2
 
 
-def gopher_keep(text: Column, toks: Column) -> Column:
-    """AND of the six frozen rules; callers wanting per-rule flags use
-    the individual functions (q43 exposes both)."""
-    n = F.size(toks)
+def gopher_keep_from_metrics(
+    n: Column, mtl: Column, alpha: Column, stop: Column, ttr: Column, top: Column
+) -> Column:
+    """AND of the six frozen rules over ALREADY-COMPUTED metric columns.
+    Callers computing the metrics as output columns anyway (q43) use this
+    so the HOF metric trees — outside whole-stage codegen's subexpression
+    elimination, and O(distinct×n) for dominance — evaluate exactly once
+    per row."""
     return (
         (n >= GOPHER_MIN_TOKENS)
         & (n <= GOPHER_MAX_TOKENS)
-        & mean_token_len(text).between(GOPHER_MEAN_LEN_LO, GOPHER_MEAN_LEN_HI)
-        & (alpha_token_ratio(toks) >= GOPHER_MIN_ALPHA)
-        & (stopword_ratio(text) >= GOPHER_MIN_STOPWORD)
-        & (type_token_ratio(toks) >= GOPHER_MIN_TTR)
-        & (top_token_ratio(toks) <= GOPHER_MAX_TOP)
+        & mtl.between(GOPHER_MEAN_LEN_LO, GOPHER_MEAN_LEN_HI)
+        & (alpha >= GOPHER_MIN_ALPHA)
+        & (stop >= GOPHER_MIN_STOPWORD)
+        & (ttr >= GOPHER_MIN_TTR)
+        & (top <= GOPHER_MAX_TOP)
+    )
+
+
+def gopher_keep(text: Column, toks: Column) -> Column:
+    """AND of the six frozen rules from raw text + hoisted tokens."""
+    return gopher_keep_from_metrics(
+        F.size(toks).cast("long"),
+        mean_token_len(text),
+        alpha_token_ratio(toks),
+        stopword_ratio(text),
+        type_token_ratio(toks),
+        top_token_ratio(toks),
     )

@@ -23,6 +23,24 @@ from pyspark.sql import functions as F
 from ..functions import textkit
 
 
+_BYTE_SUFFIX = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _conf_bytes(spark, key: str, default: int) -> int:
+    """Parse a Spark byte-string conf ('134217728', '134217728b',
+    '128m', '1g', uppercase variants); fall back to the documented
+    default rather than failing the operator on an exotic format."""
+    raw = str(spark.conf.get(key, str(default))).strip().lower()
+    try:
+        if raw.endswith("b"):
+            raw = raw[:-1]
+        if raw and raw[-1] in _BYTE_SUFFIX:
+            return int(float(raw[:-1]) * _BYTE_SUFFIX[raw[-1]])
+        return int(raw)
+    except ValueError:
+        return default
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition a narrow input up to the cluster's parallelism before a
     CPU-heavy projection. Small parquet inputs arrive as one or two file
@@ -60,8 +78,8 @@ def _spread(df: DataFrame) -> DataFrame:
             sizes.append(os.stat(path).st_size)
         except OSError:
             return df
-    max_part = int(str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")).rstrip("b"))
-    open_cost = int(str(spark.conf.get("spark.sql.files.openCostInBytes", "4194304")).rstrip("b"))
+    max_part = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 134217728)
+    open_cost = _conf_bytes(spark, "spark.sql.files.openCostInBytes", 4194304)
     padded = sum(sizes) + open_cost * len(sizes)
     max_split = min(max_part, max(open_cost, padded // max(target, 1)))
     est_splits = max(1, -(-padded // max(max_split, 1)))
