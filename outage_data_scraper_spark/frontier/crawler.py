@@ -262,8 +262,6 @@ class Crawler:
             F.lit(None).cast("string").alias("text"),
             run_ts.alias("run_ts"), F.col("wave"),
         )
-        if n_records:
-            self.cat.write("records", records, wave=wave, partition_by=["state", "layout"])
 
         # pages partition spec (bucket(16, url), days(warc_ts)) per
         # FIXTURES.md §1.1 — month/day filters (O24) prune files
@@ -274,10 +272,6 @@ class Crawler:
             F.pmod(F.xxhash64("url"), F.lit(16)).cast("string").alias("url_bucket"),
             F.date_format(run_ts, "yyyy-MM-dd").alias("warc_day"),
         )
-        if n_pages:
-            self.cat.write(
-                "pages", pages, wave=wave, partition_by=["url_bucket", "warc_day"]
-            )
 
         log = parsed.filter(F.col("kind").isin("error", "text")).select(
             "url", "wave", run_ts.alias("ts"), "status", "reason",
@@ -296,7 +290,34 @@ class Crawler:
                     "emc", "state", "layout",
                 )
             )
-        self.cat.write("fetch_log", log, wave=wave)
+
+        # The three table commits are independent (different tables →
+        # different manifests; all read the CACHED parse output) and each
+        # is a separate Spark job whose scheduling gaps dominate the
+        # per-wave fixed cost at small wave sizes — submit them
+        # concurrently (Spark supports multi-threaded action submission;
+        # the FAIR/FIFO scheduler interleaves their tasks). Crash safety
+        # is unchanged: every snapshot is wave-stamped and resume() rolls
+        # back anything newer than the last committed wave marker, which
+        # is still written LAST, sequentially.
+        from concurrent.futures import ThreadPoolExecutor
+
+        writes = [lambda: self.cat.write("fetch_log", log, wave=wave)]
+        if n_records:
+            writes.append(
+                lambda: self.cat.write(
+                    "records", records, wave=wave, partition_by=["state", "layout"]
+                )
+            )
+        if n_pages:
+            writes.append(
+                lambda: self.cat.write(
+                    "pages", pages, wave=wave, partition_by=["url_bucket", "warc_day"]
+                )
+            )
+        with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+            for fut in [pool.submit(w) for w in writes]:
+                fut.result()  # propagate the first failure, wave aborts
 
         # children: keep first discovery per URL (visited semantics), then
         # drop anything already enqueued — exact anti-join or Bloom.
