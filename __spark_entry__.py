@@ -315,7 +315,10 @@ def q22_cosine_topk(spark, sf_dir):
 
 
 def q23_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN (approximate — rows-only check)."""
+    """LSH-bucketed ANN. Approximate BY DESIGN vs brute force (q22), but
+    fully deterministic given the seed-42 hyperplanes — so the oracle
+    reproduces the exact bucket/multiprobe/rerank pipeline with literal
+    plane arrays and checks it value-exact."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ann_topk_lsh(emb, _query_vec(spark, sf_dir), k=10)
 
@@ -867,8 +870,48 @@ _PUNCT_RATIO = (
 )
 
 
+def _q23_oracle() -> str:
+    """q23's oracle, assembled at call time: the 12 seed-42 hyperplanes
+    (dim 64, identical to similarity.make_hyperplanes) are embedded as
+    full-precision literals, so DuckDB reproduces the exact bucket
+    signature, multiprobe set, and rerank the Spark operator computes."""
+    from outage_data_scraper_spark.operators.similarity import make_hyperplanes
+
+    planes = make_hyperplanes(64, 12, 42)
+    plit = "[" + ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes
+    ) + "]::DOUBLE[][]"
+    return f"""
+        WITH plist AS (SELECT {plit} AS ps),
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        qsig AS (
+          SELECT list_sum([CASE WHEN list_dot_product(q.qv, ps[i+1]) > 0
+                                THEN (1::BIGINT << i) ELSE 0 END
+                           for i in generate_series(0, 11)])::BIGINT AS s
+          FROM plist, q
+        ),
+        probes AS (
+          SELECT s AS b FROM qsig
+          UNION ALL
+          SELECT xor(s, (1::BIGINT << i)) FROM qsig, generate_series(0, 11) t(i)
+        ),
+        buckets AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 list_sum([CASE WHEN list_dot_product(embedding::DOUBLE[], ps[i+1]) > 0
+                                THEN (1::BIGINT << i) ELSE 0 END
+                           for i in generate_series(0, 11)])::BIGINT AS b
+          FROM embeddings, plist
+        )
+        SELECT vec_id,
+               round(list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS cos_sim
+        FROM buckets WHERE b IN (SELECT b FROM probes)
+        ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "q23_ann_lsh_topk": _q23_oracle(),
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
