@@ -220,3 +220,47 @@ def test_bloom_state_persists_across_waves(spark, tmp_path_factory):
     # crawl result unchanged vs reference order
     urls = {r.url for r in fetched.collect()}
     assert urls == set(reference_order(spark))
+
+
+def test_failed_concurrent_commit_aborts_wave_and_resumes_clean(
+    spark, tmp_path_factory
+):
+    """Round 3 commits records/pages/fetch_log concurrently; if ONE write
+    fails the wave must abort (no marker), and resume() must roll back
+    whichever sibling snapshots already landed — then a clean re-run of
+    the wave still yields zero duplicate fetches."""
+    root = str(tmp_path_factory.mktemp("crawl-parallel-fail"))
+    cat = SnapshotCatalog(root)
+    c = Crawler(spark, cat, make_fixture_fetcher, per_host_k=2, num_parts=8,
+                salt=1, rate_per_host=100.0)
+    c.bootstrap(fixture_miniweb_seeds(spark))
+    c.run_wave(1)
+
+    real_write = cat.write
+
+    def failing_write(name, df, **kw):
+        if name == "pages":
+            raise RuntimeError("simulated pages-commit failure")
+        return real_write(name, df, **kw)
+
+    cat.write = failing_write
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="simulated pages-commit failure"):
+        c.run_wave(2)
+    cat.write = real_write
+
+    # no wave-2 marker; siblings that landed (fetch_log/records) roll back
+    assert c.last_committed_wave() == 1
+    assert c.resume() == 2
+    for table in ("records", "pages", "fetch_log"):
+        waves = [s.get("wave") for s in cat.snapshots(table)]
+        assert all(w is not None and w <= 1 for w in waves), (table, waves)
+
+    c.run(max_waves=30)
+    assert (
+        c.fetch_log().groupBy("url").count().filter(F.col("count") > 1).count() == 0
+    )
+    assert {r.url for r in c.fetch_log().select("url").collect()} == set(
+        reference_order(spark)
+    )
