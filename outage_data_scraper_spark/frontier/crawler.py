@@ -315,47 +315,55 @@ class Crawler:
                     "pages", pages, wave=wave, partition_by=["url_bucket", "warc_day"]
                 )
             )
-        with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+        # children: keep first discovery per URL (visited semantics), then
+        # drop anything already enqueued — exact anti-join or Bloom. This
+        # chain touches only frontier/seen_bloom, so it rides the same
+        # concurrent pool as the three table commits above (it is usually
+        # the wave's longest tail: window + anti-join + write + bloom OR).
+        def child_chain() -> int:
+            disc = parsed.filter(F.col("kind") == "child")
+            w_first = Window.partitionBy("child_url").orderBy(
+                "event_seq", "seed_seq", "depth", "child_seq", "child_rank"
+            )
+            children = (
+                disc.withColumn("rn", F.row_number().over(w_first))
+                .filter(F.col("rn") == 1)
+                .select(
+                    F.col("child_url").alias("url"),
+                    F.lower(
+                        F.substring_index(F.substring_index(F.col("child_url"), "://", -1), "/", 1)
+                    ).alias("host"),
+                    F.lit(0).alias("salted_part"),
+                    F.lit(0.0).alias("priority"),
+                    (F.col("depth") + 1).alias("depth"),
+                    "event_seq", "seed_seq",
+                    F.col("child_rank").alias("child_seq"),
+                    "state", "layout", "emc", "family",
+                    F.lit("pending").alias("status"),
+                    F.lit(wave).alias("wave"),
+                )
+            )
+            if self.seen_mode == "exact":
+                fresh = filter_unseen_exact(children, self.frontier().select("url"))
+            else:
+                bloom = self._bloom_load()
+                if bloom is None:  # e.g. bootstrapped before bloom mode existed
+                    bloom = self._bloom_add(self.frontier().select("url"), wave=wave - 1, reset=True)
+                fresh = filter_unseen_bloom(children, bloom)
+            fresh = fresh.cache()
+            n = fresh.count()
+            if n:
+                self.cat.write("frontier", fresh, wave=wave)
+                if self.seen_mode == "bloom":
+                    self._bloom_add(fresh.select("url"), wave=wave)
+            fresh.unpersist()
+            return n
+
+        with ThreadPoolExecutor(max_workers=len(writes) + 1) as pool:
+            child_fut = pool.submit(child_chain)
             for fut in [pool.submit(w) for w in writes]:
                 fut.result()  # propagate the first failure, wave aborts
-
-        # children: keep first discovery per URL (visited semantics), then
-        # drop anything already enqueued — exact anti-join or Bloom.
-        disc = parsed.filter(F.col("kind") == "child")
-        w_first = Window.partitionBy("child_url").orderBy(
-            "event_seq", "seed_seq", "depth", "child_seq", "child_rank"
-        )
-        children = (
-            disc.withColumn("rn", F.row_number().over(w_first))
-            .filter(F.col("rn") == 1)
-            .select(
-                F.col("child_url").alias("url"),
-                F.lower(
-                    F.substring_index(F.substring_index(F.col("child_url"), "://", -1), "/", 1)
-                ).alias("host"),
-                F.lit(0).alias("salted_part"),
-                F.lit(0.0).alias("priority"),
-                (F.col("depth") + 1).alias("depth"),
-                "event_seq", "seed_seq",
-                F.col("child_rank").alias("child_seq"),
-                "state", "layout", "emc", "family",
-                F.lit("pending").alias("status"),
-                F.lit(wave).alias("wave"),
-            )
-        )
-        if self.seen_mode == "exact":
-            fresh = filter_unseen_exact(children, self.frontier().select("url"))
-        else:
-            bloom = self._bloom_load()
-            if bloom is None:  # e.g. bootstrapped before bloom mode existed
-                bloom = self._bloom_add(self.frontier().select("url"), wave=wave - 1, reset=True)
-            fresh = filter_unseen_bloom(children, bloom)
-        fresh = fresh.cache()
-        n_children = fresh.count()
-        if n_children:
-            self.cat.write("frontier", fresh, wave=wave)
-            if self.seen_mode == "bloom":
-                self._bloom_add(fresh.select("url"), wave=wave)
+            n_children = child_fut.result()
 
         n_popped = ok + failed
         wall = time.monotonic() - t0
@@ -365,7 +373,6 @@ class Crawler:
         )
         self.cat.write("waves", marker, wave=wave)  # the wave commit point
         parsed.unpersist()
-        fresh.unpersist()
         if allowed is not None:
             allowed.unpersist()
         return ws
