@@ -30,6 +30,7 @@ def pop_wave(
     per_host_k: int = 1,
     num_parts: int = 32,
     salt: int = 4,
+    lane_cap: int = 500,
 ) -> DataFrame:
     """Select this wave's fetch batch: top-k pending URLs per host.
 
@@ -37,15 +38,22 @@ def pop_wave(
     The caller marks them in-flight / fetched via the catalog MERGE.
     """
     w = Window.partitionBy("host").orderBy(*[F.col(c).asc() for c in ORDER_COLS])
+    wc = Window.partitionBy("host")
     popped = (
         frontier.filter(F.col("status") == "pending")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= per_host_k)
-        .drop("rn")
+        # popped-per-host count shares the window's hash partitioning —
+        # no extra shuffle; it sizes the adaptive fetch lanes below
+        .withColumn("cnt", F.count(F.lit(1)).over(wc))
     )
     return popped.withColumn(
-        "salted_part", urlkit.salted_part(F.col("host"), F.col("url"), num_parts, salt)
-    )
+        "salted_part",
+        urlkit.salted_part(
+            F.col("host"), F.col("url"), num_parts, salt,
+            rn=F.col("rn"), cnt=F.col("cnt"), lane_cap=lane_cap,
+        ),
+    ).drop("rn", "cnt")
 
 
 def with_family(df: DataFrame) -> DataFrame:

@@ -56,16 +56,44 @@ def url_hash(url: Column) -> Column:
     return F.xxhash64(url)
 
 
-def salted_part(host_col: Column, url: Column, num_parts: int, salt: int = 4) -> Column:
+def salted_part(
+    host_col: Column,
+    url: Column,
+    num_parts: int,
+    salt: int = 4,
+    rn: Column | None = None,
+    cnt: Column | None = None,
+    lane_cap: int = 500,
+) -> Column:
     """Partition id that keeps one host co-located while spreading hot
-    hosts across ``salt`` sub-partitions (SURVEY.md §4.3: 28/285 seed URLs
-    share one host — naive repartition(host) straggles at scale).
+    hosts across at most ``salt`` lanes (SURVEY.md §4.3: 28/285 seed URLs
+    share one host — naive repartition(host) straggles at scale). A
+    host's lanes map to CONSECUTIVE partitions starting at its host hash,
+    so its token-bucket state stays on ≤ salt executors while a hot
+    host's parse work fans out.
 
-    All URLs of a host land in one of ``salt`` fixed partitions derived
-    from the host hash, sub-selected by the URL hash — so a host's token
-    bucket state stays on few executors but a hot host's parse work fans
-    out.
+    When the caller passes ``rn`` (the per-host row_number it already
+    computed for the top-k pop) and ``cnt`` (count over the same window —
+    free, same partitioning), lanes become ADAPTIVE and EXACT:
+    lanes = min(salt, ⌈cnt∕lane_cap⌉) and lane = (rn−1) mod lanes, giving
+    every lane the same row count ±1. Small hosts stay on ONE partition
+    (exact politeness pacing); only hosts larger than lane_cap split, and
+    a web-scale hot host spreads evenly across up to ``salt`` partitions.
+    The earlier static scheme (base(host)·salt + url-hash lane) collapsed
+    hosts into only num_parts∕salt groups — TWO at the bench's salt=16
+    over 32 partitions — so one hash bit split the Zipf mass into a ±24%
+    partition-size spread, a straggler tail at every cluster size.
+
+    Without rn/cnt (stateless callers), every host splits url-hashed into
+    exactly min(salt, num_parts) lanes, as before.
     """
-    base = F.pmod(F.xxhash64(host_col), F.lit(num_parts // salt if num_parts >= salt else 1))
-    sub = F.pmod(F.xxhash64(url), F.lit(salt))
-    return (base * salt + sub).cast("int")
+    eff_salt = min(salt, num_parts)
+    if rn is not None and cnt is not None:
+        lanes = F.least(
+            F.lit(eff_salt),
+            F.greatest(F.lit(1), F.ceil(cnt / F.lit(lane_cap))),
+        ).cast("long")
+        lane = F.pmod(rn.cast("long") - 1, lanes)
+    else:
+        lane = F.pmod(F.xxhash64(url), F.lit(eff_salt))
+    return F.pmod(F.xxhash64(host_col) + lane, F.lit(num_parts)).cast("int")
