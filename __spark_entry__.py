@@ -779,6 +779,23 @@ def q43_gopher_quality_rules(spark, sf_dir):
     )
 
 
+def q44_lang_id_multi(spark, sf_dir):
+    """Multilingual heuristic language ID (de/en/es/fr function-word
+    scoring, argmax over (score, lang) structs with engine-identical
+    tie-breaks, 'und' below 12%). Tokens hoisted once; whole-stage
+    codegen throughout."""
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id",
+        "text",
+        F.transform(textkit.tokens(F.col("text")), lambda t: F.lower(t)).alias("toks"),
+    )
+    return toked.select(
+        "doc_id",
+        textkit.lang_id_multi(F.col("text"), toks=F.col("toks")).alias("lang"),
+    )
+
+
 def q33_session_properties(spark, sf_dir):
     """O28: per-key scalar report over sessions (step2_property.py:60–94).
 
@@ -855,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_gold_eastern": q41_gold_eastern,
         "q42_ganz_relative_threshold": q42_ganz_relative_threshold,
         "q43_gopher_quality_rules": q43_gopher_quality_rules,
+        "q44_lang_id_multi": q44_lang_id_multi,
     }
 
 
@@ -1152,6 +1170,27 @@ def oracle_sql() -> dict[str, str]:
               FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
             )
             SELECT id_a, id_b, round(c, 3) AS cos_sim FROM pairs WHERE c >= 0.9
+        """,
+        # plain string (not an f-string: the struct literals use braces);
+        # the token expression is inlined via concatenation below
+        "q44_lang_id_multi": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                          ELSE list_transform(""" + _RAW_TOKS + """, x -> lower(x)) END AS tl
+              FROM documents
+            ),
+            scored AS (
+              SELECT doc_id,
+                     list_max([{'score': CASE WHEN len(tl) = 0 THEN 0.0 ELSE len(list_filter(tl, x -> list_contains(['der', 'die', 'und', 'den', 'von', 'zu', 'das', 'mit', 'sich', 'ist'], x)))::DOUBLE / len(tl) END, 'lang': 'de'},
+                     {'score': CASE WHEN len(tl) = 0 THEN 0.0 ELSE len(list_filter(tl, x -> list_contains(['the', 'and', 'of', 'to', 'a', 'in', 'is', 'that', 'it', 'for'], x)))::DOUBLE / len(tl) END, 'lang': 'en'},
+                     {'score': CASE WHEN len(tl) = 0 THEN 0.0 ELSE len(list_filter(tl, x -> list_contains(['el', 'la', 'de', 'que', 'y', 'en', 'los', 'se', 'del', 'las'], x)))::DOUBLE / len(tl) END, 'lang': 'es'},
+                     {'score': CASE WHEN len(tl) = 0 THEN 0.0 ELSE len(list_filter(tl, x -> list_contains(['le', 'la', 'de', 'et', 'les', 'des', 'en', 'un', 'une', 'est'], x)))::DOUBLE / len(tl) END, 'lang': 'fr'}]) AS best
+              FROM t
+            )
+            SELECT doc_id,
+                   CASE WHEN best.score >= 0.12 THEN best.lang ELSE 'und' END AS lang
+            FROM scored
         """,
         "q43_gopher_quality_rules": f"""
             WITH t AS (

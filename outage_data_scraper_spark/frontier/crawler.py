@@ -71,6 +71,7 @@ class Crawler:
         simulated_clock: bool = True,
         bloom_expected_n: int = 100_000,
         bloom_fpp: float = 1e-4,
+        host_budget: int | None = None,
     ):
         self.spark = spark
         self.cat = catalog
@@ -84,6 +85,7 @@ class Crawler:
         self.simulated_clock = simulated_clock
         self.BLOOM_EXPECTED_N = bloom_expected_n
         self.BLOOM_FPP = bloom_fpp
+        self.host_budget = host_budget
 
     # -- state ---------------------------------------------------------------
     def bootstrap(self, seeds: DataFrame) -> None:
@@ -153,7 +155,26 @@ class Crawler:
                 .join(F.broadcast(req), "url", "left")
                 .filter(F.col("__req_w").isNull() | (F.col("__f_w") > F.col("__req_w")))
             )
-        return filter_unseen_exact(self.frontier(), done.select("url"))
+        pending = filter_unseen_exact(self.frontier(), done.select("url"))
+        if self.host_budget is not None:
+            # per-host crawl budget (wave-granular: within a wave the pop
+            # is already bounded by per_host_k, so total fetches per host
+            # stay ≤ budget + per_host_k − 1): hosts that have spent their
+            # budget of successful fetches stop enqueuing. One aggregate
+            # over fetch_log — at scale this shares the compacted log the
+            # anti-join reads anyway.
+            exhausted = (
+                self.fetch_log()
+                .filter(F.col("status") == 200)
+                .groupBy(F.lower(F.substring_index(
+                    F.substring_index(F.col("url"), "://", -1), "/", 1
+                )).alias("host"))
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") >= self.host_budget)
+                .select("host")
+            )
+            pending = pending.join(exhausted, "host", "left_anti")
+        return pending
 
     def request_recrawl(self, urls: DataFrame) -> None:
         """Schedule already-fetched URLs for one refetch on the next

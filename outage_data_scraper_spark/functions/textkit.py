@@ -71,6 +71,48 @@ def lang_id(text: Column) -> Column:
     return F.when(stopword_ratio(text) >= 0.12, F.lit("en")).otherwise(F.lit("und"))
 
 
+# Frozen function-word sets for the multilingual heuristic; mirrored
+# verbatim in the q44 oracle. Overlapping words ("de" in es/fr/de, "en"
+# in es/fr) are fine — ties break deterministically (see lang_id_multi).
+LANG_STOPWORDS = {
+    "de": ["der", "die", "und", "den", "von", "zu", "das", "mit", "sich", "ist"],
+    "en": EN_STOPWORDS,
+    "es": ["el", "la", "de", "que", "y", "en", "los", "se", "del", "las"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "une", "est"],
+}
+
+
+def lang_id_multi(
+    text: Column, min_ratio: float = 0.12, toks: Column | None = None
+) -> Column:
+    """Best-scoring language by function-word ratio, 'und' below
+    ``min_ratio``. The argmax is an array_max over (score, lang) structs:
+    Spark and DuckDB both compare structs field-by-field in declaration
+    order, so ties break identically (higher score first, then the
+    lexicographically LARGEST language code) — the property that keeps
+    the q44 oracle value-exact. Pass a hoisted lowercased token column as
+    ``toks`` when scoring many languages — the tokenizer subtree would
+    otherwise re-evaluate once per language."""
+    if toks is None:
+        toks = F.transform(tokens(text), lambda t: F.lower(t))
+    n = F.size(toks)
+
+    def ratio(words: list[str]) -> Column:
+        sw = F.array(*[F.lit(w) for w in words])
+        cnt = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        return F.when(n <= 0, F.lit(0.0)).otherwise(cnt / n)
+
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(ratio(words).alias("score"), F.lit(lang).alias("lang"))
+                for lang, words in sorted(LANG_STOPWORDS.items())
+            ]
+        )
+    )
+    return F.when(best["score"] >= min_ratio, best["lang"]).otherwise(F.lit("und"))
+
+
 def quality_score(text: Column) -> Column:
     """[0,1] doc-quality proxy: length band + stopword presence − punct
     excess. Mirrors common web-corpus filters (C4-style) in frozen form."""

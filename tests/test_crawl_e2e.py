@@ -264,3 +264,35 @@ def test_failed_concurrent_commit_aborts_wave_and_resumes_clean(
     assert {r.url for r in c.fetch_log().select("url").collect()} == set(
         reference_order(spark)
     )
+
+
+def test_host_budget_caps_fetches_per_host(spark, tmp_path_factory):
+    """host_budget stops enqueuing a host once it has spent its budget of
+    successful fetches (wave-granular: per-host total ≤ budget +
+    per_host_k − 1); other hosts keep crawling to completion."""
+    root = str(tmp_path_factory.mktemp("crawl-budget"))
+    cat = SnapshotCatalog(root)
+    c = Crawler(spark, cat, make_fixture_fetcher, per_host_k=2, num_parts=8,
+                salt=1, rate_per_host=100.0, host_budget=3)
+    c.bootstrap(fixture_miniweb_seeds(spark))
+    c.run(max_waves=30)
+    per_host = {
+        r.host: r.n
+        for r in c.fetch_log()
+        .filter(F.col("status") == 200)
+        .groupBy(F.lower(F.substring_index(
+            F.substring_index(F.col("url"), "://", -1), "/", 1
+        )).alias("host"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per_host, "no successful fetches"
+    assert all(n <= 3 + 2 - 1 for n in per_host.values()), per_host
+    # unbudgeted crawl fetches strictly more URLs in total
+    root2 = str(tmp_path_factory.mktemp("crawl-nobudget"))
+    cat2 = SnapshotCatalog(root2)
+    c2 = Crawler(spark, cat2, make_fixture_fetcher, per_host_k=2, num_parts=8,
+                 salt=1, rate_per_host=100.0)
+    c2.bootstrap(fixture_miniweb_seeds(spark))
+    c2.run(max_waves=30)
+    assert c2.fetch_log().count() > c.fetch_log().count()

@@ -541,3 +541,28 @@ def test_gopher_rules_each_rule_fires(spark):
     }
     assert keep[0] is True
     assert all(keep[i] is False for i in range(1, 6)), keep
+
+
+def test_lang_id_multi_detects_languages(spark):
+    from pyspark.sql import functions as F
+
+    from outage_data_scraper_spark.functions import textkit
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick fox is in the barn and it is that fast for a while"),
+            (1, "el perro corre en la casa y los gatos se quedan en el patio de la abuela"),
+            (2, "der Hund ist in dem Haus und die Katze ist mit den Kindern von der Stadt"),
+            (3, "le chat est dans la maison et les chiens sont des animaux de la ferme"),
+            (4, "zxqv wplk mnbt rrsq oiuy"),  # no function words → und
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.lang
+        for r in docs.select(
+            "doc_id", textkit.lang_id_multi(F.col("text")).alias("lang")
+        ).collect()
+    }
+    assert got == {0: "en", 1: "es", 2: "de", 3: "fr", 4: "und", 5: "und"}, got
