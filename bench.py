@@ -199,7 +199,7 @@ def main():
         # along in the JSON for transparency — individual rounds swing
         # 0.64–0.96 purely with burst timing, which is exactly why a
         # single-round (or single-block) ratio is not the metric.
-        rounds = int(os.environ.get("SPARK_GRAFT_PAIR_ROUNDS", "3"))
+        rounds = int(os.environ.get("SPARK_GRAFT_PAIR_ROUNDS", "2"))
         pair_runs = {"SPARK_GRAFT_RUNS": os.environ.get("SPARK_GRAFT_RUNS", "2")}
         os.environ.update(pair_runs)
         effs, w2s, w8s = [], [], []
