@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import schemas
+from ..functions import urlkit
 from ..catalog import SnapshotCatalog
 from ..parsers.parse import parse_wave
 from .fetch import fetch_wave
@@ -166,9 +167,7 @@ class Crawler:
             exhausted = (
                 self.fetch_log()
                 .filter(F.col("status") == 200)
-                .groupBy(F.lower(F.substring_index(
-                    F.substring_index(F.col("url"), "://", -1), "/", 1
-                )).alias("host"))
+                .groupBy(urlkit.host(F.col("url")).alias("host"))
                 .agg(F.count(F.lit(1)).alias("__n"))
                 .filter(F.col("__n") >= self.host_budget)
                 .select("host")
@@ -351,9 +350,7 @@ class Crawler:
                 .filter(F.col("rn") == 1)
                 .select(
                     F.col("child_url").alias("url"),
-                    F.lower(
-                        F.substring_index(F.substring_index(F.col("child_url"), "://", -1), "/", 1)
-                    ).alias("host"),
+                    urlkit.host(F.col("child_url")).alias("host"),
                     F.lit(0).alias("salted_part"),
                     F.lit(0.0).alias("priority"),
                     (F.col("depth") + 1).alias("depth"),
@@ -373,29 +370,35 @@ class Crawler:
                 fresh = filter_unseen_bloom(children, bloom)
             fresh = fresh.cache()
             n = fresh.count()
-            if n:
-                self.cat.write("frontier", fresh, wave=wave)
-                if self.seen_mode == "bloom":
-                    self._bloom_add(fresh.select("url"), wave=wave)
-            fresh.unpersist()
+            try:
+                if n:
+                    self.cat.write("frontier", fresh, wave=wave)
+                    if self.seen_mode == "bloom":
+                        self._bloom_add(fresh.select("url"), wave=wave)
+            finally:
+                fresh.unpersist()
             return n
 
-        with ThreadPoolExecutor(max_workers=len(writes) + 1) as pool:
-            child_fut = pool.submit(child_chain)
-            for fut in [pool.submit(w) for w in writes]:
-                fut.result()  # propagate the first failure, wave aborts
-            n_children = child_fut.result()
+        try:
+            with ThreadPoolExecutor(max_workers=len(writes) + 1) as pool:
+                child_fut = pool.submit(child_chain)
+                for fut in [pool.submit(w) for w in writes]:
+                    fut.result()  # propagate the first failure, wave aborts
+                n_children = child_fut.result()
 
-        n_popped = ok + failed
-        wall = time.monotonic() - t0
-        ws = WaveStats(wave, n_popped, ok, failed, n_records, n_children, wall)
-        marker = self.spark.createDataFrame(
-            [(wave, n_popped, ok, failed, n_records, n_children, wall)], WAVES_SCHEMA
-        )
-        self.cat.write("waves", marker, wave=wave)  # the wave commit point
-        parsed.unpersist()
-        if allowed is not None:
-            allowed.unpersist()
+            n_popped = ok + failed
+            wall = time.monotonic() - t0
+            ws = WaveStats(wave, n_popped, ok, failed, n_records, n_children, wall)
+            marker = self.spark.createDataFrame(
+                [(wave, n_popped, ok, failed, n_records, n_children, wall)], WAVES_SCHEMA
+            )
+            self.cat.write("waves", marker, wave=wave)  # the wave commit point
+        finally:
+            # an aborted wave (resume() pattern) must not pin cached
+            # DataFrames in the session for its lifetime
+            parsed.unpersist()
+            if allowed is not None:
+                allowed.unpersist()
         return ws
 
     def compact(self) -> None:

@@ -61,7 +61,10 @@ def fetch_wave(
     from pyspark import TaskContext
 
     has_rate_col = "rate_override" in popped.columns
-    in_cols = _IN_COLS + (["rate_override"] if has_rate_col else [])
+    has_lanes_col = "n_lanes" in popped.columns
+    in_cols = _IN_COLS + (["rate_override"] if has_rate_col else []) + (
+        ["n_lanes"] if has_lanes_col else []
+    )
     part = popped.repartition(num_parts, "salted_part").select(*in_cols)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -91,9 +94,16 @@ def fetch_wave(
         for lo in range(0, len(pdf), 10_000):
             chunk = pdf.iloc[lo : lo + 10_000].reset_index(drop=True)
             rates = chunk["rate_override"] if has_rate_col else [None] * len(chunk)
+            lanes_col = chunk["n_lanes"] if has_lanes_col else [None] * len(chunk)
             out = {"status": [], "reason": [], "bytes": [], "html": [], "wait_s": []}
-            for url, h, fam, rate in zip(chunk["url"], chunk["host"], chunk["family"], rates):
-                wait = pacer.acquire(h, None if rate is None or pd.isna(rate) else float(rate))
+            for url, h, fam, rate, ln in zip(
+                chunk["url"], chunk["host"], chunk["family"], rates, lanes_col
+            ):
+                wait = pacer.acquire(
+                    h,
+                    None if rate is None or pd.isna(rate) else float(rate),
+                    None if ln is None or pd.isna(ln) else int(ln),
+                )
                 try:
                     status, reason, payload = fetcher(url, fam)
                 except Exception as e:  # failure-capture side output (O23)

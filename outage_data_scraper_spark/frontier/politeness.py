@@ -80,21 +80,31 @@ class HostPacer:
         sim: bool = False,
         rate_overrides: dict[str, float] | None = None,
     ):
-        # With salted co-location each of the `salt` sub-partitions may
-        # host the same domain, so each enforces rate/salt.
+        # With salted co-location up to `salt` sub-partitions may host
+        # the same domain; each lane enforces rate/lanes (per-row lane
+        # counts win; `salt` is the fallback divisor).
         self.salt = max(salt, 1)
+        self.base_rate = rate_per_host
         self.rate = rate_per_host / self.salt
         self.overrides = rate_overrides or {}
         self.sim = sim
         self.clock = SimClock() if sim else None
         self._buckets: dict[str, TokenBucket] = {}
 
-    def acquire(self, host: str, rate: float | None = None) -> float:
+    def acquire(
+        self, host: str, rate: float | None = None, lanes: int | None = None
+    ) -> float:
+        """``lanes``: the host's ACTUAL fetch-lane count (pop_wave's
+        adaptive n_lanes column). The per-lane budget divides by it; the
+        constructor ``salt`` remains the fallback divisor for callers
+        without the column (a small host with one lane is then paced at
+        the FULL configured rate, not rate∕salt)."""
         b = self._buckets.get(host)
         if b is None:
+            div = max(int(lanes), 1) if lanes is not None else self.salt
             if rate is None:
                 rate = self.overrides.get(host, None)
-            rate = (rate / self.salt) if rate is not None else self.rate
+            rate = (rate / div) if rate is not None else self.base_rate / div
             b = TokenBucket(
                 rate=rate,
                 capacity=1.0,

@@ -47,13 +47,19 @@ def pop_wave(
         # no extra shuffle; it sizes the adaptive fetch lanes below
         .withColumn("cnt", F.count(F.lit(1)).over(wc))
     )
-    return popped.withColumn(
-        "salted_part",
-        urlkit.salted_part(
-            F.col("host"), F.col("url"), num_parts, salt,
-            rn=F.col("rn"), cnt=F.col("cnt"), lane_cap=lane_cap,
-        ),
-    ).drop("rn", "cnt")
+    return (
+        popped.withColumn(
+            "n_lanes", urlkit.adaptive_lanes(F.col("cnt"), num_parts, salt, lane_cap)
+        )
+        .withColumn(
+            "salted_part",
+            urlkit.salted_part(
+                F.col("host"), F.col("url"), num_parts, salt,
+                rn=F.col("rn"), lanes=F.col("n_lanes"),
+            ),
+        )
+        .drop("rn", "cnt")
+    )
 
 
 def with_family(df: DataFrame) -> DataFrame:

@@ -56,14 +56,28 @@ def url_hash(url: Column) -> Column:
     return F.xxhash64(url)
 
 
+def adaptive_lanes(
+    cnt: Column, num_parts: int, salt: int = 4, lane_cap: int = 500
+) -> Column:
+    """Lane count for a host with ``cnt`` popped rows:
+    min(salt, ⌈cnt∕lane_cap⌉) — small hosts keep one lane (exact
+    politeness pacing at full rate), larger hosts split into up to
+    ``salt`` lanes. The SAME column rides the popped rows as ``n_lanes``
+    so the fetch-stage pacer divides rate_per_host by the host's ACTUAL
+    lane count, not the configured maximum."""
+    eff_salt = min(salt, num_parts)
+    return F.least(
+        F.lit(eff_salt), F.greatest(F.lit(1), F.ceil(cnt / F.lit(lane_cap)))
+    ).cast("long")
+
+
 def salted_part(
     host_col: Column,
     url: Column,
     num_parts: int,
     salt: int = 4,
     rn: Column | None = None,
-    cnt: Column | None = None,
-    lane_cap: int = 500,
+    lanes: Column | None = None,
 ) -> Column:
     """Partition id that keeps one host co-located while spreading hot
     hosts across at most ``salt`` lanes (SURVEY.md §4.3: 28/285 seed URLs
@@ -73,12 +87,13 @@ def salted_part(
     host's parse work fans out.
 
     When the caller passes ``rn`` (the per-host row_number it already
-    computed for the top-k pop) and ``cnt`` (count over the same window —
-    free, same partitioning), lanes become ADAPTIVE and EXACT:
-    lanes = min(salt, ⌈cnt∕lane_cap⌉) and lane = (rn−1) mod lanes, giving
-    every lane the same row count ±1. Small hosts stay on ONE partition
-    (exact politeness pacing); only hosts larger than lane_cap split, and
-    a web-scale hot host spreads evenly across up to ``salt`` partitions.
+    computed for the top-k pop) and ``lanes`` (adaptive_lanes over the
+    count of the same window — free, same partitioning), lanes are
+    ADAPTIVE and EXACT: lane = (rn−1) mod lanes gives every lane the same
+    row count ±1. Small hosts stay on ONE partition (and the pacer,
+    receiving the same lane count, paces them at the FULL configured
+    rate); only hosts larger than lane_cap split, and a web-scale hot
+    host spreads evenly across up to ``salt`` partitions.
     The earlier static scheme (base(host)·salt + url-hash lane) collapsed
     hosts into only num_parts∕salt groups — TWO at the bench's salt=16
     over 32 partitions — so one hash bit split the Zipf mass into a ±24%
@@ -88,11 +103,7 @@ def salted_part(
     exactly min(salt, num_parts) lanes, as before.
     """
     eff_salt = min(salt, num_parts)
-    if rn is not None and cnt is not None:
-        lanes = F.least(
-            F.lit(eff_salt),
-            F.greatest(F.lit(1), F.ceil(cnt / F.lit(lane_cap))),
-        ).cast("long")
+    if rn is not None and lanes is not None:
         lane = F.pmod(rn.cast("long") - 1, lanes)
     else:
         lane = F.pmod(F.xxhash64(url), F.lit(eff_salt))

@@ -102,7 +102,9 @@ def fused_fetch_parse(
     from ..frontier.fetch import _IN_COLS
     from ..frontier.politeness import HostPacer
 
-    part = popped.repartition(num_parts, "salted_part").select(*_IN_COLS)
+    has_lanes_col = "n_lanes" in popped.columns
+    in_cols = _IN_COLS + (["n_lanes"] if has_lanes_col else [])
+    part = popped.repartition(num_parts, "salted_part").select(*in_cols)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         fetcher = fetcher_factory()
@@ -126,8 +128,11 @@ def fused_fetch_parse(
         for lo in range(0, len(pdf), 10_000):
             batch = pdf.iloc[lo : lo + 10_000].reset_index(drop=True).copy()
             status, reason, html = [], [], []
-            for url, h, fam in zip(batch["url"], batch["host"], batch["family"]):
-                pacer.acquire(h)
+            lanes_col = batch["n_lanes"] if has_lanes_col else [None] * len(batch)
+            for url, h, fam, ln in zip(
+                batch["url"], batch["host"], batch["family"], lanes_col
+            ):
+                pacer.acquire(h, lanes=None if ln is None or pd.isna(ln) else int(ln))
                 try:
                     s, r, payload = fetcher(url, fam)
                 except Exception as e:

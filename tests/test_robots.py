@@ -193,3 +193,26 @@ def test_fused_fetch_parse_ordering_law_across_arrow_batches(spark):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def test_small_host_paces_at_full_rate_despite_salt(spark):
+    """Review r3: the pacer used to divide rate_per_host by the CONFIGURED
+    salt even when adaptive lanes put a small host on ONE partition —
+    throttling it salt-fold below the politeness budget. pop_wave's
+    n_lanes column must drive the divisor: 3 URLs on one lane at 2 req/s
+    wait 0.5 s each after the first (not 2.0 s)."""
+    from outage_data_scraper_spark.frontier.fetch import fetch_wave
+    from outage_data_scraper_spark.frontier.priority import pop_wave, seeds_to_frontier
+    from outage_data_scraper_spark.sources.seeds import synthetic_seeds
+
+    frontier = seeds_to_frontier(synthetic_seeds(spark, 3, 1))
+    popped = pop_wave(frontier, per_host_k=10, num_parts=8, salt=4)
+    assert "n_lanes" in popped.columns
+    fetched = fetch_wave(
+        popped,
+        lambda: (lambda url, fam: (200, None, b"ok")),
+        num_parts=8, rate_per_host=2.0, salt=4, simulated_clock=True,
+    ).collect()
+    waits = sorted(r.wait_s for r in fetched)
+    assert waits[0] == 0.0
+    assert all(abs(w - 0.5) < 1e-9 for w in waits[1:]), waits
