@@ -12,6 +12,7 @@ identically on both sides (sum-order differences live below the rounding).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -480,18 +481,57 @@ def q34_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def _ann_index_dir(sf_dir: str, kind: str) -> str:
+    import hashlib as _hl
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    return f"/tmp/spark_graft_ann_{kind}_{tag}"
+
+
+def q45_ann_lsh_index(spark, sf_dir):
+    """Persisted LSH ANN index (build → partition-pruned probe): the
+    bucket signature is paid ONCE at build time and becomes a hive
+    partition key, so the probe reads only the 13 probed buckets'
+    directories (pruned scan asserted in tests/test_plans.py) instead of
+    re-bucketing the full table per query — the 10^10-row posture.
+    Same (n_planes=12, seed=42) operating point as q23, so the identical
+    literal-hyperplane oracle checks it value-exact."""
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _ann_index_dir(sf_dir, "lsh")
+    similarity.build_lsh_index(emb, path, n_planes=12, seed=42)
+    return similarity.query_lsh_index(spark, path, _query_vec(spark, sf_dir), k=10)
+
+
+def q46_ann_ivf_index(spark, sf_dir):
+    """Persisted IVF ANN index: k-means at build time, rows partitioned
+    by inverted-list id, centroids pinned in the meta sidecar; the probe
+    is a partition-pruned scan + exact rerank. Registered at the
+    exhaustive-probe point like q34 (probe = all 8 lists), so the result
+    provably equals brute-force top-k — value-exact oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _ann_index_dir(sf_dir, "ivf")
+    similarity.build_ivf_index(emb, path, n_centroids=8, iters=2)
+    return similarity.query_ivf_index(
+        spark, path, _query_vec(spark, sf_dir), k=10, n_probe=8
+    )
+
+
 def q28_multimodal_features(spark, sf_dir):
-    """Multimodal feature extraction (rows-only check): image assets
+    """Multimodal feature extraction, VALUE-LEVEL check: image assets
     alternate raw P6 PPM and zlib-deflate PNG containers, audio assets
     carry 16-bit PCM WAV — all decoding FOR REAL (pure-numpy bitmap
     parse / stdlib-zlib inflate + unfilter / RIFF chunk walk → mean-pooled
     pixel features and per-window RMS audio features; decoder=
     'ppm-numpy' / 'png-zlib' / 'wav-pcm'); video payloads have no native
     decoder in this container and fall back to the clearly-labeled
-    deterministic fake."""
+    deterministic fake. Each asset's feature vector is reduced to a
+    canonical md5 signature AT THE SOURCE (multimodal.feature_signature)
+    and compared against testoracle/q28_expected.parquet — signatures
+    stamped by scripts/gen_q28_oracle.py from the same payload bytes
+    through the same decode path, so any pixel/sample-level decode drift
+    breaks the driver's value hash."""
     assets = multimodal.synth_assets(spark, 200)
-    feats = multimodal.extract_features(assets, dim=16, fake=False)
-    return feats.groupBy("kind", "feat_dim", "decoder").agg(F.count(F.lit(1)).alias("n"))
+    return multimodal.extract_feature_signatures(assets, dim=16)
 
 
 def q29_bloom_seen_filter(spark, sf_dir):
@@ -873,6 +913,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_ganz_relative_threshold": q42_ganz_relative_threshold,
         "q43_gopher_quality_rules": q43_gopher_quality_rules,
         "q44_lang_id_multi": q44_lang_id_multi,
+        "q45_ann_lsh_index": q45_ann_lsh_index,
+        "q46_ann_ivf_index": q46_ann_ivf_index,
     }
 
 
@@ -933,9 +975,30 @@ def _q23_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    _q28_expected = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "testoracle", "q28_expected.parquet",
+    )
     return {
+        # the committed expected-signature parquet (see q28's docstring);
+        # DuckDB reads it directly — the comparison is value-level because
+        # the signatures digest the decoded pixel/sample features
+        "q28_multimodal_features": f"""
+            SELECT asset_id, kind, decoder, feat_sig
+            FROM read_parquet('{_q28_expected}')
+        """,
         "q23_ann_lsh_topk": _q23_oracle(),
+        # q45 probes the PERSISTED index at q23's exact operating point
+        # (n_planes=12, seed=42, multiprobe, k=10) — same oracle; q46 is
+        # exhaustive-probe IVF like q34 ≡ brute-force top-k
+        "q45_ann_lsh_index": _q23_oracle(),
         "q34_ann_ivf_topk": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[],
+                         (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS cos_sim
+            FROM embeddings ORDER BY cos_sim DESC, vec_id LIMIT 10
+        """,
+        "q46_ann_ivf_index": """
             SELECT vec_id,
                    round(list_cosine_similarity(embedding::DOUBLE[],
                          (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS cos_sim

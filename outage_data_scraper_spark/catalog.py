@@ -28,6 +28,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -40,6 +41,12 @@ class SnapshotCatalog:
     def __init__(self, root: str):
         self.root = root
         os.makedirs(root, exist_ok=True)
+        # per-table commit lock: run_wave commits tables concurrently
+        # from a ThreadPoolExecutor — today those writes hit disjoint
+        # tables, but the manifest read-modify-write must not silently
+        # drop a snapshot if a same-table concurrent write ever appears
+        # (Iceberg's optimistic manifest swap plays the same role)
+        self._locks: dict[str, threading.Lock] = {}
 
     # -- manifest helpers ---------------------------------------------------
     def _table_dir(self, name: str) -> str:
@@ -91,24 +98,27 @@ class SnapshotCatalog:
         partition predicates prune files.
         """
         assert mode in ("append", "overwrite")
-        manifest = self._load_manifest(name)
-        snap_id = (manifest["snapshots"][-1]["id"] + 1) if manifest["snapshots"] else 1
-        data_dir = os.path.join(self._table_dir(name), f"snap-{snap_id:08d}")
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(data_dir)
-        manifest["snapshots"].append(
-            {
-                "id": snap_id,
-                "mode": mode,
-                "dir": f"snap-{snap_id:08d}",
-                "wave": wave,
-                "partition_by": partition_by,
-            }
-        )
-        self._commit_manifest(name, manifest)
-        return snap_id
+        # dict.setdefault is atomic under the GIL (defaultdict's
+        # __missing__ is not), so two racing first-writers get ONE lock
+        with self._locks.setdefault(name, threading.Lock()):
+            manifest = self._load_manifest(name)
+            snap_id = (manifest["snapshots"][-1]["id"] + 1) if manifest["snapshots"] else 1
+            data_dir = os.path.join(self._table_dir(name), f"snap-{snap_id:08d}")
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(data_dir)
+            manifest["snapshots"].append(
+                {
+                    "id": snap_id,
+                    "mode": mode,
+                    "dir": f"snap-{snap_id:08d}",
+                    "wave": wave,
+                    "partition_by": partition_by,
+                }
+            )
+            self._commit_manifest(name, manifest)
+            return snap_id
 
     def read(
         self,

@@ -22,6 +22,7 @@ fall back per row (O23 design), never aborting a task.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -141,6 +142,11 @@ def decode_png(payload: bytes) -> np.ndarray:
         if len(data) < length:
             raise ValueError("truncated PNG chunk")
         if typ == b"IHDR":
+            if len(data) != 13:
+                # keep every malformed-payload path on ValueError so the
+                # per-row fallbacks upstream catch it (O23 design) —
+                # struct.error from a short IHDR would abort the task
+                raise ValueError("bad PNG IHDR length")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif typ == b"IDAT":
             idat.append(data)
@@ -303,6 +309,39 @@ def _mean_pool_features(img: np.ndarray, dim: int) -> np.ndarray:
     return out
 
 
+def asset_payload(i: int, kind: str) -> bytes:
+    """Deterministic payload for synthetic asset ``i`` of ``kind`` — the
+    one generator shared by the distributed synth_assets table and the
+    committed q28 oracle (scripts/gen_q28_oracle.py), so the expected
+    signatures are stamped from EXACTLY the bytes Spark decodes."""
+    if kind == "image":
+        rng = np.random.default_rng(i)
+        h, w = 24 + i % 17, 24 + (i * 7) % 23
+        base = np.add.outer(np.arange(h) * 3, np.arange(w) * 5) % 256
+        img = np.stack(
+            [(base + k * 37 + rng.integers(0, 8)) % 256 for k in range(3)],
+            axis=2,
+        ).astype(np.uint8)
+        # alternate container formats: raw PPM and zlib-deflate PNG
+        # (filters cycled), both real-decodable downstream
+        if (i // 3) % 2:
+            return encode_png(img, filter_mode="cycle")
+        return encode_ppm(img)
+    if kind == "audio":
+        # real 16-bit PCM WAV: deterministic tone + hash noise, 0.2 s at
+        # 8 kHz — decodes natively downstream
+        rng = np.random.default_rng(i)
+        t = np.arange(1600, dtype=np.float32) / 8000.0
+        freq = 200.0 + (i * 37) % 1800
+        wave = 0.6 * np.sin(2 * np.pi * freq * t)
+        wave += 0.1 * rng.standard_normal(1600).astype(np.float32)
+        return encode_wav((np.clip(wave, -1, 1) * 32767).astype(np.int16), 8000)
+    return hashlib.sha256(str(i).encode()).digest()
+
+
+ASSET_KINDS = ("image", "audio", "video")
+
+
 def synth_assets(spark: SparkSession, n: int = 100) -> DataFrame:
     """Deterministic synthetic asset table, generated distributed via
     spark.range. Image assets carry REAL P6 PPM / PNG payloads (pixels
@@ -312,36 +351,7 @@ def synth_assets(spark: SparkSession, n: int = 100) -> DataFrame:
 
     @F.pandas_udf(BinaryType())
     def payload_for(ids: pd.Series, kinds: pd.Series) -> pd.Series:
-        out = []
-        for i, kind in zip(ids, kinds):
-            if kind == "image":
-                rng = np.random.default_rng(int(i))
-                h, w = 24 + int(i) % 17, 24 + (int(i) * 7) % 23
-                base = np.add.outer(np.arange(h) * 3, np.arange(w) * 5) % 256
-                img = np.stack(
-                    [(base + k * 37 + rng.integers(0, 8)) % 256 for k in range(3)],
-                    axis=2,
-                ).astype(np.uint8)
-                # alternate container formats: raw PPM and zlib-deflate
-                # PNG (filters cycled), both real-decodable downstream
-                if (int(i) // 3) % 2:
-                    out.append(encode_png(img, filter_mode="cycle"))
-                else:
-                    out.append(encode_ppm(img))
-            elif kind == "audio":
-                # real 16-bit PCM WAV: deterministic tone + hash noise,
-                # 0.2 s at 8 kHz — decodes natively downstream
-                rng = np.random.default_rng(int(i))
-                t = np.arange(1600, dtype=np.float32) / 8000.0
-                freq = 200.0 + (int(i) * 37) % 1800
-                wave = 0.6 * np.sin(2 * np.pi * freq * t)
-                wave += 0.1 * rng.standard_normal(1600).astype(np.float32)
-                out.append(
-                    encode_wav((np.clip(wave, -1, 1) * 32767).astype(np.int16), 8000)
-                )
-            else:
-                out.append(hashlib.sha256(str(int(i)).encode()).digest())
-        return pd.Series(out)
+        return pd.Series([asset_payload(int(i), k) for i, k in zip(ids, kinds)])
 
     base = spark.range(n).select(
         F.col("id").alias("asset_id"),
@@ -374,6 +384,74 @@ def _fake_features(payload: bytes, dim: int) -> np.ndarray:
     return (np.frombuffer(h.digest(), dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
 
 
+def payload_features(raw: bytes, dim: int) -> tuple[np.ndarray, str]:
+    """(features, decoder-label) for ONE payload through the real-decode
+    dispatch with the labeled fake fallback. Single source of truth
+    shared by the Spark stages and the committed q28 oracle generator
+    (scripts/gen_q28_oracle.py) — malformed bytes that happen to carry a
+    magic number fall back per row (O23 design), never aborting."""
+    feat, label = None, None
+    try:
+        if raw[:2] == b"P6":
+            feat = _mean_pool_features(decode_ppm(raw), dim)
+            label = "ppm-numpy"
+        elif raw[: len(_PNG_SIG)] == _PNG_SIG:
+            feat = _mean_pool_features(decode_png(raw), dim)
+            label = "png-zlib"
+        elif raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+            feat = _audio_features(decode_wav(raw)[0], dim)
+            label = "wav-pcm"
+    except (ValueError, struct.error):
+        feat = None
+    if feat is None:
+        return _fake_features(raw, dim), "fake-blake2b"
+    return feat, label
+
+
+def feature_signature(feat) -> str:
+    """Canonical md5 digest of a feature vector: values formatted %.4f,
+    comma-joined. Both the Spark decode path and the committed oracle
+    compute this with the SAME code on the same float32 values, so the
+    driver's value-hash compare checks the real decode end-to-end."""
+    s = ",".join(f"{float(x):.4f}" for x in feat)
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+SIGNATURES_SCHEMA = "asset_id long, kind string, decoder string, feat_sig string"
+
+
+def extract_feature_signatures(assets: DataFrame, dim: int = 16) -> DataFrame:
+    """Real-decode feature extraction reduced to per-asset signatures:
+    one Arrow-batched pass computing payload_features + feature_signature
+    at the source (features never cross Arrow as floats, so the value
+    check is immune to serde/format drift). The q28 value-level gate runs
+    this against the committed expected parquet."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            sigs, decoders = [], []
+            for payload in b["payload"]:
+                if payload is None:
+                    sigs.append(None)
+                    decoders.append(None)
+                    continue
+                feat, label = payload_features(bytes(payload), dim)
+                sigs.append(feature_signature(feat))
+                decoders.append(label)
+            yield pd.DataFrame(
+                {
+                    "asset_id": b["asset_id"],
+                    "kind": b["kind"],
+                    "decoder": decoders,
+                    "feat_sig": sigs,
+                }
+            )
+
+    return assets.select("asset_id", "kind", "payload").mapInPandas(
+        run, SIGNATURES_SCHEMA
+    )
+
+
 def extract_features(assets: DataFrame, dim: int = 32, fake: bool = True) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
@@ -395,29 +473,12 @@ def extract_features(assets: DataFrame, dim: int = 32, fake: bool = True) -> Dat
                     decoders.append(None)
                     continue
                 raw = bytes(payload)
-                feat, label = None, None
-                if not fake:
-                    # malformed bytes that happen to carry a magic number
-                    # are a per-row fallback (O23 design), never a task
-                    # abort
-                    try:
-                        if raw[:2] == b"P6":
-                            feat = _mean_pool_features(decode_ppm(raw), dim)
-                            label = "ppm-numpy"
-                        elif raw[: len(_PNG_SIG)] == _PNG_SIG:
-                            feat = _mean_pool_features(decode_png(raw), dim)
-                            label = "png-zlib"
-                        elif raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
-                            feat = _audio_features(decode_wav(raw)[0], dim)
-                            label = "wav-pcm"
-                    except ValueError:
-                        feat = None
-                if feat is not None:
-                    feats.append(feat.tolist())
-                    decoders.append(label)
+                if fake:
+                    feat, label = _fake_features(raw, dim), "fake-blake2b"
                 else:
-                    feats.append(_fake_features(raw, dim).tolist())
-                    decoders.append("fake-blake2b")
+                    feat, label = payload_features(raw, dim)
+                feats.append(feat.tolist())
+                decoders.append(label)
             yield pd.DataFrame(
                 {
                     "asset_id": b["asset_id"],
@@ -450,7 +511,7 @@ def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
                         img = decode_ppm(raw)
                     elif raw[: len(_PNG_SIG)] == _PNG_SIG:
                         img = decode_png(raw)
-                except ValueError:
+                except (ValueError, struct.error):
                     img = None  # malformed payload → null row, not a task abort
                 if img is not None:
                     h, w = img.shape[:2]

@@ -187,6 +187,134 @@ def ann_topk_ivf(
     )
 
 
+# -- persisted ANN index: bucket column as PARTITION KEY ----------------------
+#
+# ann_topk_lsh / ann_topk_ivf recompute bucket / centroid assignment over
+# the full table per query — fine for a one-shot, a full scan at 10^10
+# rows. The persisted index pays assignment ONCE at build time and makes
+# the bucket a hive partition key, so every probe is a partition-pruned
+# scan of just the probed buckets' files (asserted in
+# tests/test_plans.py). Build is embarrassingly parallel (one narrow
+# projection + partitioned write); queries touch n_probe/2^planes of the
+# data. The meta sidecar pins (planes seed, dim | centroids) so query
+# NEVER re-derives index geometry from data.
+
+_ANN_META = "_ann_meta.json"
+
+
+def _write_meta(path: str, meta: dict) -> None:
+    import json
+    import os
+
+    with open(os.path.join(path, _ANN_META), "w") as f:
+        json.dump(meta, f)
+
+
+def _read_meta(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, _ANN_META)) as f:
+        return json.load(f)
+
+
+def build_lsh_index(
+    emb: DataFrame, path: str,
+    n_planes: int = 12, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> None:
+    """Persist the hyperplane-LSH ANN index: rows + signature bucket,
+    written hive-partitioned BY the bucket (2^n_planes directories).
+    Spark's parquet source prunes partition directories on bucket
+    predicates, so query_lsh_index scans only probed buckets."""
+    sample = emb.select(vec_col).first()
+    dim = len(sample[0])
+    planes = make_hyperplanes(dim, n_planes, seed)
+    v = F.col(vec_col).cast("array<double>")
+    (
+        emb.withColumn("bucket", lsh_bucket(v, planes))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    _write_meta(path, {"kind": "lsh", "n_planes": n_planes, "seed": seed, "dim": dim})
+
+
+def query_lsh_index(
+    spark, path: str, query: list[float], k: int = 10,
+    multiprobe: bool = True, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted LSH index: compute the query signature driver-
+    side (k×dim floats), read ONLY the probe buckets' partitions, rerank
+    exactly. Identical results to ann_topk_lsh at the same (n_planes,
+    seed) — q45's oracle is q23's."""
+    meta = _read_meta(path)
+    planes = make_hyperplanes(meta["dim"], meta["n_planes"], meta["seed"])
+    qsig = 0
+    for i, p in enumerate(planes):
+        if float(np.dot(query, p)) > 0:
+            qsig |= 1 << i
+    probes = [qsig] + (
+        [qsig ^ (1 << i) for i in range(meta["n_planes"])] if multiprobe else []
+    )
+    idx = spark.read.parquet(path).filter(F.col("bucket").isin(probes))
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        idx.select(
+            F.col(id_col),
+            F.round(cosine(v, _lit_vec(query)), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def build_ivf_index(
+    emb: DataFrame, path: str,
+    n_centroids: int = 16, iters: int = 3,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF ANN index: k-means once at build time, rows
+    written hive-partitioned by their inverted-list id (``ivf_cell``);
+    the centroid table itself rides in the meta sidecar (k×dim floats)."""
+    centroids = kmeans_centroids(emb, n_centroids, iters, id_col, vec_col)
+    v = F.col(vec_col).cast("array<double>")
+    (
+        emb.withColumn("ivf_cell", _nearest_centroid(v, centroids))
+        .write.mode("overwrite")
+        .partitionBy("ivf_cell")
+        .parquet(path)
+    )
+    _write_meta(
+        path,
+        {"kind": "ivf", "centroids": [[float(x) for x in c] for c in centroids]},
+    )
+
+
+def query_ivf_index(
+    spark, path: str, query: list[float], k: int = 10, n_probe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted IVF index: order centroids by distance driver-
+    side, partition-pruned scan of the ``n_probe`` nearest inverted
+    lists, exact rerank."""
+    meta = _read_meta(path)
+    centroids = np.asarray(meta["centroids"], dtype=float)
+    q = np.asarray(query, dtype=float)
+    order = np.argsort(((centroids - q) ** 2).sum(axis=1))
+    probes = [int(i) for i in order[:n_probe]]
+    idx = spark.read.parquet(path).filter(F.col("ivf_cell").isin(probes))
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        idx.select(
+            F.col(id_col),
+            F.round(cosine(v, _lit_vec(query)), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame, threshold: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding",

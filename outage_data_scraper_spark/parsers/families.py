@@ -623,9 +623,14 @@ def parse_cc(payload: bytes):
     the third element IS the page text (the byte-identical-per-url
     invariant), so it is never duplicated into the record JSON."""
     raw = payload.decode("utf-8", errors="replace")
-    text = _WS.sub(" ", _TAG_STRIP.sub(" ", raw)).strip()
+    # " ".join(split()) == _WS.sub(" ", ...).strip() byte-for-byte (both
+    # collapse \s+ runs and trim), but the C split loop is ~3x faster than
+    # the regex — this line is the per-page hot path of the crawl bench;
+    # n_tokens = len(words) == text.count(" ")+1 (and 0 when empty)
+    words = _TAG_STRIP.sub(" ", raw).split()
+    text = " ".join(words)
     rec = {
-        "n_tokens": text.count(" ") + 1 if text else 0,
+        "n_tokens": len(words),
         "n_chars": len(text),
     }
     return {"per_page": [rec]}, [], text

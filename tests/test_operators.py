@@ -476,6 +476,52 @@ def test_malformed_magic_payloads_fall_back_per_row(spark):
     assert resized[2].payload is not None
 
 
+def test_bad_ihdr_length_falls_back_per_row(spark):
+    """ADVICE r3: a PNG-magic payload whose IHDR chunk declares a length
+    != 13 must raise ValueError (not struct.error) so the per-row
+    fallbacks catch it instead of aborting the task."""
+    import struct
+
+    import pandas as pd
+    import pytest
+
+    short_ihdr = struct.pack(">I", 5) + b"IHDR" + b"\x00" * 5 + b"\x00" * 4
+    payload = multimodal._PNG_SIG + short_ihdr
+    with pytest.raises(ValueError):
+        multimodal.decode_png(payload)
+    assets = spark.createDataFrame(
+        pd.DataFrame({"asset_id": [0], "kind": ["image"], "payload": [payload]})
+    )
+    rows = multimodal.extract_features(assets, dim=8, fake=False).collect()
+    assert rows[0].decoder == "fake-blake2b"
+
+
+def test_q28_signatures_match_committed_oracle(spark):
+    """The q28 value gate end-to-end: Spark's real-decode signature rows
+    equal the committed expected parquet byte-for-byte (the parquet is
+    regenerated by scripts/gen_q28_oracle.py whenever decode changes
+    INTENTIONALLY; an unintentional drift fails here first)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    expected_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "testoracle", "q28_expected.parquet",
+    )
+    expected = pq.read_table(expected_path).to_pylist()
+    got = (
+        multimodal.extract_feature_signatures(
+            multimodal.synth_assets(spark, 200), dim=16
+        )
+        .collect()
+    )
+    got_map = {r.asset_id: (r.kind, r.decoder, r.feat_sig) for r in got}
+    assert len(got_map) == len(expected) == 200
+    for e in expected:
+        assert got_map[e["asset_id"]] == (e["kind"], e["decoder"], e["feat_sig"])
+
+
 def test_wav_roundtrip_and_real_audio_features():
     import numpy as np
 

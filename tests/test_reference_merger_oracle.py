@@ -157,3 +157,134 @@ def test_reference_hypothesis_fuzz(ref_merger):
         )
 
     check()
+
+
+# -- q37 composition: full merger → monthly grower report ---------------------
+
+REF2_PATH = pathlib.Path("/root/reference/scripts/bluefire/step2_grower_property.py")
+
+
+def _exec_reference_step2(step2_input: pd.DataFrame, month: str, year: str) -> dict:
+    """Exec the ACTUAL step2_grower_property.py source with argparse and
+    pd.read_csv stubbed. Unlike step1, the aggregation lives inline AFTER
+    the argparse block, so the whole module-level script runs end-to-end
+    on our frame; the result locals (frequency, total_duration,
+    total_customer_affected_mean, total_customer_affected_mean_duration)
+    come back from the exec namespace. This includes the reference's
+    STRING comparison month filter (both bounds inclusive,
+    step2_grower_property.py:70-74) and its year-rollover branch for
+    month=12 (:57-62)."""
+    import argparse
+    import contextlib
+    import io
+    import types
+
+    src = REF2_PATH.read_text()
+
+    class _StubParser:
+        def add_argument(self, *a, **k):
+            pass
+
+        def parse_args(self):
+            return types.SimpleNamespace(
+                filename="t", month=month, year=year, next_month="xxx"
+            )
+
+    ns: dict = {}
+    real_parser, real_read = argparse.ArgumentParser, pd.read_csv
+    argparse.ArgumentParser = lambda: _StubParser()
+    pd.read_csv = lambda *a, **k: step2_input.copy()
+    try:
+        with contextlib.redirect_stdout(io.StringIO()):
+            exec(compile(src, str(REF2_PATH), "exec"), ns)
+    finally:
+        argparse.ArgumentParser = real_parser
+        pd.read_csv = real_read
+    return ns
+
+
+def test_reference_chain_monthly_property(ref_merger, spark):
+    """VERDICT r3 gap #3 closed: the q37 COMPOSITION — full threshold
+    merger feeding the monthly grower report — checked end-to-end against
+    the reference chain (exec'd step1 merger → exec'd step2 script) on
+    randomized multi-utility series spanning a month boundary. Dec-2023 is
+    the report month, so outages starting after the window must drop and
+    step2's year-rollover branch runs. Segment-split (zeros) parity is
+    covered separately (test_threshold_merger.py); series here stay
+    positive so the exec'd merger sees the same zero-free segments."""
+    import random
+
+    from outage_data_scraper_spark.operators.sessionize import (
+        merger_monthly_property,
+        threshold_merger,
+    )
+
+    rng = random.Random(11)
+    utilities: dict[str, list] = {}
+    for u in range(3):
+        name = f"util{u}"
+        series, cur = [], rng.randint(50, 300)
+        t = pd.Timestamp("2023-12-25 00:00:00")
+        for _ in range(250):
+            cur = max(cur + rng.choice([-200, -120, -60, -15, -5, 0, 5, 15, 60, 120]), 1)
+            series.append((t, cur))
+            t += pd.Timedelta(minutes=rng.choice([30, 60, 120, 240]))
+        utilities[name] = series
+
+    rows = [
+        (name, "tx", "c", "ci", "0", 1000, out, ts.to_pydatetime())
+        for name, series in utilities.items()
+        for ts, out in series
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "UtilityName string, StateName string, CountyName string, "
+        "CityName string, CountyFIPS string, CustomersTracked long, "
+        "CustomersOut long, RecordDateTime timestamp",
+    )
+    merged = threshold_merger(ev, threshold=0.1, abs_diff=5.0)
+    rep = merger_monthly_property(
+        merged, "2023-12-01 00:00:00", "2024-01-01 00:00:00"
+    ).collect()
+    got = {r["UtilityName"]: r for r in rep}
+    assert set(got) == set(utilities)
+
+    for name, series in utilities.items():
+        res = ref_merger(_ref_rows_named(series, name), threshold=0.1, abs_diff=5.0)
+        closed = [r for r in res if r["duration"] > pd.Timedelta(0)]
+        step2_in = pd.DataFrame(
+            {
+                "start_time": [
+                    r["start_time"].strftime("%Y-%m-%d %H:%M:%S") for r in closed
+                ],
+                "duration": [r["duration"].total_seconds() / 60.0 for r in closed],
+                "customer_affected_mean": [
+                    float(r["customer_affected_mean"]) for r in closed
+                ],
+            }
+        )
+        ns = _exec_reference_step2(step2_in, month="12", year="2023")
+        r = got[name]
+        assert r["frequency"] == ns["frequency"]
+        assert r["avg_duration_min"] == pytest.approx(
+            ns["total_duration"] / ns["frequency"], rel=1e-9
+        )
+        assert r["avg_customer_affected_mean"] == pytest.approx(
+            ns["total_customer_affected_mean"] / ns["frequency"], rel=1e-9
+        )
+        assert r["total_customer_affected_x_duration"] == pytest.approx(
+            ns["total_customer_affected_mean_duration"], rel=1e-9
+        )
+        assert r["avg_customer_affected_x_duration"] == pytest.approx(
+            ns["total_customer_affected_mean_duration"] / ns["frequency"], rel=1e-9
+        )
+        # sanity: the window actually filtered something (series runs
+        # into January, so outages exist on both sides of the boundary)
+        assert ns["frequency"] < len(step2_in)
+
+
+def _ref_rows_named(series, name):
+    rows = _ref_rows(series)
+    for r in rows:
+        r["UtilityName"] = name
+    return rows
