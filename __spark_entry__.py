@@ -516,6 +516,41 @@ def q46_ann_ivf_index(spark, sf_dir):
     )
 
 
+def q47_near_dup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING (the step after pair mining a dedup pipeline
+    actually keys on): connected components over the exact-Jaccard edge
+    list (q19's operating point), every document labeled with its
+    cluster's canonical (minimum) doc_id; edge-less documents are their
+    own singleton component. Spark side: iterative min-label propagation
+    (O(diameter) rounds, two hash shuffles each — large-star/small-star
+    is the drop-in at 10^10 edges); oracle: DuckDB recursive-CTE
+    transitive closure — value-exact."""
+    from outage_data_scraper_spark.operators.sampling import hash_split  # noqa: F401 (registered together)
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, k_shingle=3, min_jaccard=0.12)
+    comp = dedup.connected_components(pairs)
+    return docs.select("doc_id").join(
+        comp, docs["doc_id"] == comp["node"], "left"
+    ).select(
+        F.col("doc_id"),
+        F.coalesce(F.col("label"), F.col("doc_id")).cast("long").alias("component"),
+    )
+
+
+def q48_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split (80/10/10): bucket =
+    md5('split-1' || doc_id) mod 100 — reproducible across runs, retries
+    and cluster sizes (rand()-based sampling re-rolls on recompute; a
+    hash split never leaks rows across sets), narrow plan (projection
+    over the scan, no shuffle). md5 so the oracle mirrors the exact
+    arithmetic."""
+    from outage_data_scraper_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(docs, id_col="doc_id").select("doc_id", "split")
+
+
 def q28_multimodal_features(spark, sf_dir):
     """Multimodal feature extraction, VALUE-LEVEL check: image assets
     alternate raw P6 PPM and zlib-deflate PNG containers, audio assets
@@ -915,6 +950,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_lang_id_multi": q44_lang_id_multi,
         "q45_ann_lsh_index": q45_ann_lsh_index,
         "q46_ann_ivf_index": q46_ann_ivf_index,
+        "q47_near_dup_clusters": q47_near_dup_clusters,
+        "q48_hash_split": q48_hash_split,
     }
 
 
@@ -972,6 +1009,33 @@ def _q23_oracle() -> str:
         FROM buckets WHERE b IN (SELECT b FROM probes)
         ORDER BY cos_sim DESC, vec_id LIMIT 10
     """
+
+
+# q19's exact-Jaccard pair mining (unrounded), shared by the q19 oracle
+# and q47's clustering closure. DF-cap mirror: shingles shared by >1000
+# docs are dropped from the intersection (boilerplate carries no near-dup
+# signal); set sizes stay uncapped, matching ngram_jaccard_pairs.
+_Q19_PAIRS_SQL = f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct([md5(array_to_string(w[i:i+2], ' '))
+                                           for i in generate_series(1, len(w) - 2)])) AS s
+              FROM toks WHERE len(w) >= 3
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            keep AS (SELECT s FROM sh GROUP BY 1 HAVING count(*) BETWEEN 2 AND 1000),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              JOIN keep k ON k.s = a.s
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   c::DOUBLE / (sa.n + sb.n - c) AS jaccard
+            FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+            WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.12
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1187,28 +1251,39 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
         """,
         "q19_ngram_jaccard": f"""
-            WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
-            sh AS (
-              SELECT doc_id,
-                     unnest(list_distinct([md5(array_to_string(w[i:i+2], ' '))
-                                           for i in generate_series(1, len(w) - 2)])) AS s
-              FROM toks WHERE len(w) >= 3
+            SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+            FROM ({_Q19_PAIRS_SQL})
+        """,
+        # q47: transitive closure of q19's edge list via recursive CTE —
+        # min reachable id per node = the cluster's canonical doc;
+        # edge-less documents are their own singleton component
+        "q47_near_dup_clusters": f"""
+            WITH RECURSIVE pairs AS (
+              SELECT id_a, id_b FROM ({_Q19_PAIRS_SQL})
             ),
-            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-            -- DF cap mirror: shingles shared by >1000 docs are dropped from
-            -- the intersection (boilerplate carries no near-dup signal);
-            -- set sizes stay uncapped, matching ngram_jaccard_pairs
-            keep AS (SELECT s FROM sh GROUP BY 1 HAVING count(*) BETWEEN 2 AND 1000),
-            inter AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-              JOIN keep k ON k.s = a.s
-              GROUP BY 1, 2
-            )
-            SELECT id_a, id_b,
-                   round(c::DOUBLE / (sa.n + sb.n - c), 6) AS jaccard
-            FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-            WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.12
+            bi AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ),
+            reach(src, dst) AS (
+              SELECT src, dst FROM bi
+              UNION
+              SELECT r.src, b.dst FROM reach r JOIN bi b ON r.dst = b.src
+            ),
+            comp AS (SELECT src AS doc_id, min(dst) AS mn FROM reach GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(COALESCE(least(c.mn, d.doc_id), d.doc_id) AS BIGINT) AS component
+            FROM documents d LEFT JOIN comp c USING (doc_id)
+        """,
+        # q48: exact mirror of sampling.hash_bucket / split_column
+        # (md5 → top-15-hex BIGINT → mod 100 → cumulative thresholds)
+        "q48_hash_split": """
+            SELECT doc_id,
+                   CASE WHEN ('0x' || substr(md5('split-1' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+                        WHEN ('0x' || substr(md5('split-1' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
         """,
         "q22_cosine_topk": """
             SELECT vec_id,

@@ -385,3 +385,66 @@ def ngram_jaccard_pairs(
         "id_b",
         (F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))).alias("jaccard"),
     ).filter(F.col("jaccard") >= min_jaccard)
+
+
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup CLUSTERING: connected components over an undirected edge
+    list — every node gets the MINIMUM node id reachable from it (the
+    cluster's canonical document, the id a dedup pipeline keeps).
+
+    Iterative min-label propagation: per round, each node takes the min
+    of its own label and its neighbors' labels; converged when no label
+    changes. Rounds = graph diameter; near-dup clusters are
+    short-diameter (stars/cliques around a template), so 2–5 rounds are
+    typical. Each round is two hash shuffles (join + groupBy) on the
+    SAME key — per-round cost is O(|edges|), and the one driver-side
+    value per round is the changed-label count (a scalar, never rows).
+    At 10^10-edge scale swap the body for large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce"), which is the
+    same DataFrame shape with O(log n) round bound; the label contract
+    and this function's signature don't change.
+
+    Returns (node, label). Nodes with no edges are absent — callers
+    treat missing as singleton (label = own id).
+    """
+    bi = edges.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    bi = bi.union(bi.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = (
+        bi.groupBy("src").agg(F.min("dst").alias("nbr_min"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("nbr_min")).alias("label"),
+        )
+        .cache()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            bi.join(labels, bi.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new = (
+            labels.join(nbr, labels.node == nbr.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+                F.col("label").alias("__old"),
+            )
+            .cache()
+        )
+        changed = new.filter(F.col("label") != F.col("__old")).count()
+        new = new.drop("__old")
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    return labels

@@ -56,8 +56,13 @@ def child(cores: int, runs: int, mode: str) -> None:
 
     n_urls = int(os.environ.get("SB_URLS", "100000"))
     parts = int(os.environ.get("SB_PARTS", "32"))
+    extra = {}
+    for kv in os.environ.get("SB_CONF", "").split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            extra[k] = v
     spark = get_spark(app_name=f"scalebisect-{cores}", master=f"local[{cores}]",
-                      shuffle_partitions=parts)
+                      shuffle_partitions=parts, extra_conf=extra)
     try:
         job(spark, min(n_urls, 4000), parts, mode)  # warmup
         walls = [job(spark, n_urls, parts, mode) for _ in range(runs)]

@@ -612,3 +612,67 @@ def test_lang_id_multi_detects_languages(spark):
         ).collect()
     }
     assert got == {0: "en", 1: "es", 2: "de", 3: "fr", 4: "und", 5: "und"}, got
+
+
+def test_connected_components_toy_graphs(spark):
+    """Min-label propagation: chain (diameter > 1 round), two disjoint
+    clusters, and convergence — every node labeled with the minimum
+    reachable id."""
+    from outage_data_scraper_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4-5 (forces multi-round propagation) + clique {10,11,12}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12)],
+        "id_a long, id_b long",
+    )
+    got = {r.node: r.label for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_connected_components_star_and_reversed_ids(spark):
+    """Labels follow the MINIMUM id even when edges point 'uphill'."""
+    from outage_data_scraper_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(9, 3), (9, 7), (9, 1), (5, 9)], "id_a long, id_b long"
+    )
+    got = {r.node: r.label for r in connected_components(edges).collect()}
+    assert set(got.values()) == {1}
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from outage_data_scraper_spark.operators.sampling import hash_split
+
+    df = spark.range(10_000).withColumnRenamed("id", "doc_id")
+    a = hash_split(df).groupBy("split").count().collect()
+    counts = {r["split"]: r["count"] for r in a}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] - 8000) < 300
+    assert abs(counts["val"] - 1000) < 150
+    assert abs(counts["test"] - 1000) < 150
+    # byte-identical across recomputation (the property rand() lacks)
+    one = hash_split(df).filter("doc_id = 4242").select("split").first()[0]
+    two = hash_split(df).filter("doc_id = 4242").select("split").first()[0]
+    assert one == two
+    # a different seed moves rows; weights must sum to 100
+    import pytest as _pt
+
+    moved = (
+        hash_split(df, seed="split-2")
+        .withColumnRenamed("split", "s2")
+        .join(hash_split(df), "doc_id")
+        .filter("s2 != split")
+        .count()
+    )
+    assert moved > 0
+    with _pt.raises(ValueError):
+        hash_split(df, weights=(("train", 50), ("test", 40)))
+
+
+def test_hash_split_plan_is_narrow(spark):
+    """The split is a projection over the scan — no shuffle."""
+    from outage_data_scraper_spark.operators.sampling import hash_split
+    from outage_data_scraper_spark.plans import count_exchanges
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert count_exchanges(hash_split(df)) == 0
