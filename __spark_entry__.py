@@ -551,6 +551,20 @@ def q48_hash_split(spark, sf_dir):
     return hash_split(docs, id_col="doc_id").select("doc_id", "split")
 
 
+def q49_span_dedup(spark, sf_dir):
+    """C4-style corpus-wide duplicated-span removal (Raffel et al. 2020
+    §2.2): every exact 4-token span occurring in ≥5 distinct documents is
+    boilerplate, cut from all of them, documents reassembled in order.
+    Two wide shuffles (span-DF count, per-doc regroup), no collect;
+    value-exact oracle mirrors chunking, DF count and ordered
+    reassembly."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.span_dedup(docs, span_tokens=4, df_min=5)
+    return out.select(
+        "doc_id", "n_spans", "n_removed", F.md5("clean_text").alias("clean_sig")
+    )
+
+
 def q28_multimodal_features(spark, sf_dir):
     """Multimodal feature extraction, VALUE-LEVEL check: image assets
     alternate raw P6 PPM and zlib-deflate PNG containers, audio assets
@@ -952,6 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_ann_ivf_index": q46_ann_ivf_index,
         "q47_near_dup_clusters": q47_near_dup_clusters,
         "q48_hash_split": q48_hash_split,
+        "q49_span_dedup": q49_span_dedup,
     }
 
 
@@ -1275,6 +1290,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    CAST(COALESCE(least(c.mn, d.doc_id), d.doc_id) AS BIGINT) AS component
             FROM documents d LEFT JOIN comp c USING (doc_id)
+        """,
+        # q49: chunk → span-DF count → cut spans in ≥5 docs → ordered
+        # reassembly; clean_sig digests the reassembled text so the value
+        # hash covers the full reconstruction, not just counts
+        "q49_span_dedup": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+            spans AS (
+              SELECT doc_id,
+                     unnest([{{'pos': i, 'txt': array_to_string(w[i*4+1 : i*4+4], ' ')}}
+                             for i in generate_series(0, CAST(ceil(len(w)/4.0) AS INT) - 1)]) AS s
+              FROM toks WHERE len(w) > 0
+            ),
+            flat AS (SELECT doc_id, s.pos AS pos, s.txt AS span_text FROM spans),
+            counts AS (SELECT span_text, count(DISTINCT doc_id) AS df FROM flat GROUP BY 1)
+            SELECT f.doc_id,
+                   count(*)::BIGINT AS n_spans,
+                   sum(CASE WHEN c.df >= 5 THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+                   md5(coalesce(string_agg(CASE WHEN c.df < 5 THEN f.span_text END,
+                                           ' ' ORDER BY f.pos), '')) AS clean_sig
+            FROM flat f JOIN counts c USING (span_text)
+            GROUP BY 1
         """,
         # q48: exact mirror of sampling.hash_bucket / split_column
         # (md5 → top-15-hex BIGINT → mod 100 → cumulative thresholds)

@@ -448,3 +448,73 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def span_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 4,
+    df_min: int = 5,
+) -> DataFrame:
+    """C4-style corpus-wide duplicated-span removal (Raffel et al. 2020
+    §2.2 drop repeated three-sentence spans; the unit here is a fixed
+    ``span_tokens``-token chunk): any span whose exact text occurs in
+    ≥ ``df_min`` DISTINCT documents is boilerplate and is cut from every
+    document containing it; the survivors reassemble in document order.
+
+    Plan shape: chunk (narrow posexplode) → span-DF count + join back
+    on span text → per-doc reassembly on doc id — three exchanges
+    (flat-by-span, counts agg, regroup-by-doc; counts' partitioning is
+    reused by the join), no collect, per-doc state bounded by document
+    length. At 100 TB the span-count table after the ≥df_min filter is
+    the corpus' boilerplate DICTIONARY — tiny relative to the corpus —
+    so the scale variant broadcasts it as an anti-join and drops the
+    flat-side shuffle entirely.
+
+    Returns (doc_id, n_spans, n_removed, clean_text).
+    """
+    from ..functions import textkit
+
+    # tokenization HOISTED to a materialized column: expressions inside
+    # higher-order-function lambdas re-evaluate PER ELEMENT (CLAUDE.md),
+    # so referencing the raw split-expression from the span lambda would
+    # re-tokenize the whole document once per span
+    base = docs.select(
+        F.col(id_col),
+        F.split(textkit.normalized(F.col(text_col)), " ").alias("__toks"),
+    )
+    tcol = F.col("__toks")
+    n_spans_col = F.ceil(F.size(tcol) / F.lit(float(span_tokens))).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans_col - 1),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.array_join(
+                F.slice(tcol, i * span_tokens + 1, span_tokens), " "
+            ).alias("txt"),
+        ),
+    )
+    flat = base.filter(F.size(tcol) > 0).select(
+        F.col(id_col), F.explode(spans).alias("s")
+    ).select(id_col, F.col("s.pos").alias("pos"), F.col("s.txt").alias("span_text"))
+    counts = flat.groupBy("span_text").agg(
+        F.count_distinct(F.col(id_col)).alias("df")
+    )
+    joined = flat.join(counts, "span_text")
+    keep = F.col("df") < df_min
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.when(~keep, 1).otherwise(0)).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(keep, F.struct(F.col("pos"), F.col("span_text")))
+                    )
+                ),
+                lambda s: s["span_text"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )

@@ -676,3 +676,40 @@ def test_hash_split_plan_is_narrow(spark):
 
     df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     assert count_exchanges(hash_split(df)) == 0
+
+
+def test_span_dedup_removes_corpus_boilerplate(spark):
+    """Hand-checkable C4-style case: a 4-token span shared by 3 docs is
+    cut from ALL of them at df_min=3; unique spans survive in order;
+    within-doc repetition alone (one doc) does not trigger removal."""
+    from outage_data_scraper_spark.operators.dedup import span_dedup
+
+    boiler = "subscribe to our newsletter"
+    docs = _docs(
+        spark,
+        [
+            f"{boiler} alpha beta gamma delta",
+            f"{boiler} epsilon zeta eta theta",
+            f"iota kappa lambda mu {boiler}",
+            # within-doc repeat of a span no other doc has
+            "nu xi omicron pi nu xi omicron pi",
+        ],
+    )
+    out = {r.doc_id: r for r in span_dedup(docs, span_tokens=4, df_min=3).collect()}
+    assert out[0].n_spans == 2 and out[0].n_removed == 1
+    assert out[0].clean_text == "alpha beta gamma delta"
+    assert out[1].clean_text == "epsilon zeta eta theta"
+    assert out[2].n_removed == 1 and out[2].clean_text == "iota kappa lambda mu"
+    assert out[3].n_removed == 0
+    assert out[3].clean_text == "nu xi omicron pi nu xi omicron pi"
+
+
+def test_span_dedup_tail_spans_and_empty_doc(spark):
+    """Docs whose token count is not a span multiple keep the short tail
+    span; ordering survives reassembly."""
+    from outage_data_scraper_spark.operators.dedup import span_dedup
+
+    docs = _docs(spark, ["a b c d e f g h i j k", ""])
+    out = {r.doc_id: r for r in span_dedup(docs, span_tokens=4, df_min=2).collect()}
+    assert out[0].n_spans == 3 and out[0].n_removed == 0
+    assert out[0].clean_text == "a b c d e f g h i j k"
