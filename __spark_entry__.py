@@ -565,6 +565,17 @@ def q49_span_dedup(spark, sf_dir):
     )
 
 
+def q50_tfidf_top_terms(spark, sf_dir):
+    """Per-document TF-IDF top-5 terms (tf·ln(N/df); rank on the ROUNDED
+    score + term tiebreak so both engines select identical rows). Token
+    explode → tf agg → df agg → score join → per-doc window; the df
+    table is the corpus vocabulary, broadcastable at scale."""
+    from outage_data_scraper_spark.operators.terms import top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return top_terms(docs, k=5)
+
+
 def q28_multimodal_features(spark, sf_dir):
     """Multimodal feature extraction, VALUE-LEVEL check: image assets
     alternate raw P6 PPM and zlib-deflate PNG containers, audio assets
@@ -967,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_near_dup_clusters": q47_near_dup_clusters,
         "q48_hash_split": q48_hash_split,
         "q49_span_dedup": q49_span_dedup,
+        "q50_tfidf_top_terms": q50_tfidf_top_terms,
     }
 
 
@@ -1311,6 +1323,26 @@ def oracle_sql() -> dict[str, str]:
                                            ' ' ORDER BY f.pos), '')) AS clean_sig
             FROM flat f JOIN counts c USING (span_text)
             GROUP BY 1
+        """,
+        # q50: rank on the ROUNDED tf-idf (+ term tiebreak) in BOTH
+        # engines — selection among near-ties is then identical even if
+        # ln() differs by an ulp
+        "q50_tfidf_top_terms": f"""
+            WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+            df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            scored AS (
+              SELECT doc_id, term, tf, df, round(tf * ln(n.n / df), 6) AS tfidf
+              FROM tf JOIN df USING (term), n
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY tfidf DESC, term) AS rnk
+              FROM scored
+            )
+            SELECT doc_id, term, tf, df, tfidf, rnk::INT AS rank
+            FROM ranked WHERE rnk <= 5
         """,
         # q48: exact mirror of sampling.hash_bucket / split_column
         # (md5 → top-15-hex BIGINT → mod 100 → cumulative thresholds)

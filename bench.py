@@ -239,10 +239,10 @@ def run_crawl_at(master: str, n_urls: int, parts: int) -> tuple[float, float]:
     the N-vs-4N comparison faithful to an N-core vs 4N-core cluster.
     ``parts`` is FIXED across the 2→8 scaling pair (the law requires one
     plan at both sizes; 32 parts = 4 task waves on 8 cores, measured best
-    for that pair), while the full-machine 32-core throughput run uses 64
-    (2 task waves smooth the Zipf skew — what a real deployment would
-    pick). Returns (wall_s, urls_per_sec); pages = URLs for the cc
-    family."""
+    for that pair), while the full-machine 32-core throughput run uses
+    256 (8 finer waves smooth the Zipf skew and per-task Python variance
+    — what a real deployment would pick). Returns (wall_s,
+    urls_per_sec); pages = URLs for the cc family."""
     import subprocess
 
     cores = int(master.split("[")[1].rstrip("]"))
@@ -345,7 +345,10 @@ def main():
         finally:
             for r in (r2, r8, c2r, c8r):
                 r.stop()
-        w32, tp32 = run_crawl_at("local[32]", CRAWL_URLS, parts=64)
+        # 256 parts = 8 task waves at 32 cores: finer tasks smooth the
+        # Zipf tail + per-task Python variance (measured 5.2 s vs 7.3 s
+        # at 64 parts on 400k URLs now that per-URL Python time is small)
+        w32, tp32 = run_crawl_at("local[32]", CRAWL_URLS, parts=256)
         w2, w8 = min(w2s), min(w8s)
         c2, c8 = min(c2s), min(c8s)
         eff = (w2 / w8) / 4.0

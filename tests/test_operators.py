@@ -713,3 +713,30 @@ def test_span_dedup_tail_spans_and_empty_doc(spark):
     out = {r.doc_id: r for r in span_dedup(docs, span_tokens=4, df_min=2).collect()}
     assert out[0].n_spans == 3 and out[0].n_removed == 0
     assert out[0].clean_text == "a b c d e f g h i j k"
+
+
+def test_top_terms_hand_computed(spark):
+    """TF-IDF on a 3-doc corpus checked by hand: a term in every doc has
+    idf ln(1)=0; a repeated rare term outranks a singleton rare term."""
+    import math
+
+    from outage_data_scraper_spark.operators.terms import top_terms
+
+    docs = _docs(
+        spark,
+        [
+            "common rare rare unique1",
+            "common other other unique2",
+            "common filler words unique3",
+        ],
+    )
+    out = top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    top0 = sorted(by_doc[0], key=lambda r: r.rank)
+    assert top0[0].term == "rare" and top0[0].tf == 2 and top0[0].df == 1
+    assert top0[0].tfidf == round(2 * math.log(3.0 / 1.0), 6)
+    assert top0[1].term == "unique1"
+    # 'common' (df=3, idf=0) never makes top-2 anywhere
+    assert all(r.term != "common" for rs in by_doc.values() for r in rs)
