@@ -740,3 +740,43 @@ def test_top_terms_hand_computed(spark):
     assert top0[1].term == "unique1"
     # 'common' (df=3, idf=0) never makes top-2 anywhere
     assert all(r.term != "common" for rs in by_doc.values() for r in rs)
+
+
+def test_connected_components_random_parity_with_union_find(spark):
+    """Randomized parity: min-label propagation must equal a pure-Python
+    union-find ground truth on random graphs (including multi-edges and
+    self-loops)."""
+    import random
+
+    from outage_data_scraper_spark.operators.dedup import connected_components
+
+    rng = random.Random(13)
+    # one denser trial: smaller diameter keeps the propagation-round count
+    # (each round is several tiny Spark jobs) from dominating suite time
+    for trial in range(1):
+        n = 50
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(70)]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes_with_edges = {a for a, _ in edges} | {b for _, b in edges}
+        want = {x: find(x) for x in nodes_with_edges}
+        # canonical = min of component, which union-by-min preserves
+        comp_min = {}
+        for x in nodes_with_edges:
+            r = find(x)
+            comp_min[r] = min(comp_min.get(r, x), x)
+        want = {x: comp_min[find(x)] for x in nodes_with_edges}
+
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r.node: r.label for r in connected_components(df).collect()}
+        assert got == want, f"trial {trial}"
