@@ -422,7 +422,7 @@ def connected_components(
             F.col("src").alias("node"),
             F.least(F.col("src"), F.col("nbr_min")).alias("label"),
         )
-        .cache()
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         nbr = (
@@ -439,11 +439,10 @@ def connected_components(
                 ).alias("label"),
                 F.col("label").alias("__old"),
             )
-            .cache()
+            .localCheckpoint(eager=True)  # truncate per-round lineage
         )
         changed = new.filter(F.col("label") != F.col("__old")).count()
         new = new.drop("__old")
-        labels.unpersist()
         labels = new
         if changed == 0:
             break
@@ -518,3 +517,99 @@ def span_dedup(
             " ",
         ).alias("clean_text"),
     )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """The 10^10-edge scale path for near-dup clustering: alternating
+    large-star / small-star rounds (Kiveris et al. 2014, "Connected
+    Components in MapReduce and Beyond") — converges in O(log² n) rounds
+    on ANY graph, where plain min-label propagation needs O(diameter)
+    (a 10^6-long chain of near-dup shingles would need 10^6 rounds).
+
+    Both phases are pure relational algebra — groupBy(min) + join +
+    union, NO collect_list, so a web-scale hub node (a boilerplate span
+    shared by millions of docs) never materializes an adjacency list in
+    one task:
+
+      large-star(u):  m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u
+      small-star(u):  m = min(N≤(u) ∪ {u}); emit (v, m) for v ∈ N≤(u) ∪ {u}
+
+    Convergence = the canonical edge set stops changing (checked by
+    (count, xor-of-hashes) — two driver scalars per round, never rows).
+    Result contract is identical to connected_components: (node, label)
+    with label = the component's minimum id; parity-tested against it.
+    """
+    e = (
+        edges.select(
+            F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def signature(df: DataFrame) -> tuple[int, int]:
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # xor, not sum: order-independent AND overflow-free under ANSI
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(a, b))"), F.lit(0)
+            ).alias("h"),
+        ).first()
+        return int(r["n"]), int(r["h"])
+
+    sig = signature(e)
+    for _ in range(max_iter):
+        adj = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        # large-star: connect every strictly-larger neighbor to the min
+        mins = adj.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        large = (
+            adj.filter(F.col("b") > F.col("a"))
+            .join(mins, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        )
+        e1 = (
+            large.filter(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+            .distinct()
+        )
+        # small-star over e1: connect every ≤ neighbor (and u itself) to
+        # the min of the small neighborhood
+        adj1 = e1.union(e1.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        small_nbrs = adj1.filter(F.col("b") < F.col("a"))
+        mins_s = small_nbrs.groupBy("a").agg(F.min("b").alias("m"))
+        small = small_nbrs.join(mins_s, "a").select(
+            F.col("b").alias("a"), F.col("m").alias("b")
+        ).union(mins_s.select(F.col("a"), F.col("m").alias("b")))
+        # localCheckpoint, not cache: each round's plan nests the
+        # previous round's, and Catalyst analysis time on the nested
+        # lineage grows faster than the data — checkpointing truncates
+        # the logical plan every round (the standard iterative-graph
+        # pattern)
+        e2 = (
+            small.filter(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_sig = signature(e2)
+        e = e2
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # converged: stars (v, m). label(v) = its min neighbor; the root m
+    # labels itself
+    adj = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    return adj.groupBy("a").agg(
+        F.least(F.min("b"), F.first("a")).alias("label")
+    ).select(F.col("a").alias("node"), "label")

@@ -780,3 +780,31 @@ def test_connected_components_random_parity_with_union_find(spark):
         df = spark.createDataFrame(edges, "id_a long, id_b long")
         got = {r.node: r.label for r in connected_components(df).collect()}
         assert got == want, f"trial {trial}"
+
+
+def test_connected_components_star_parity(spark):
+    """The O(log² n) large-star/small-star scale path must produce the
+    identical (node, label) map as min-label propagation on random
+    graphs and on a long chain (the adversarial case it exists for)."""
+    import random
+
+    from outage_data_scraper_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # long chain 0-1-2-...-19 + separate clique
+    chain = [(i, i + 1) for i in range(19)] + [(30, 31), (31, 32), (30, 32)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    star = {r.node: r.label for r in connected_components_star(df).collect()}
+    prop = {r.node: r.label for r in connected_components(df).collect()}
+    assert star == prop
+    assert star[19] == 0 and star[32] == 30
+
+    rng = random.Random(99)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(50)]
+    edges = [e for e in edges if e[0] != e[1]]
+    df2 = spark.createDataFrame(edges, "id_a long, id_b long")
+    star2 = {r.node: r.label for r in connected_components_star(df2).collect()}
+    prop2 = {r.node: r.label for r in connected_components(df2).collect()}
+    assert star2 == prop2
