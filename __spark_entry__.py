@@ -576,6 +576,34 @@ def q50_tfidf_top_terms(spark, sf_dir):
     return top_terms(docs, k=5)
 
 
+def q51_clean_corpus_pipeline(spark, sf_dir):
+    """The END-TO-END training-corpus cleaning pipeline, composed from
+    the verified stages: Gopher quality filter (q43's frozen rules) →
+    corpus-wide span dedup over the survivors (q49's operating point) →
+    exact dedup on the CLEANED text (min-id canonical) → deterministic
+    train/val/test assignment (q48's md5 split). Output: one row per
+    surviving canonical document with its split and cleaned-text digest.
+    The oracle recomputes the whole composition in SQL — the value hash
+    gates every stage boundary, not just the pieces."""
+    from outage_data_scraper_spark.operators.sampling import split_column
+
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", "text", textkit.tokens(F.col("text")).alias("toks"))
+    kept = toked.filter(
+        textkit.gopher_keep(F.col("text"), F.col("toks"))
+    ).select("doc_id", "text")
+    cleaned = dedup.span_dedup(kept, span_tokens=4, df_min=5).select(
+        "doc_id", F.md5("clean_text").alias("clean_sig")
+    )
+    canon = cleaned.groupBy("clean_sig").agg(F.min("doc_id").alias("canonical_id"))
+    surv = cleaned.join(canon, "clean_sig").filter(
+        F.col("doc_id") == F.col("canonical_id")
+    )
+    return surv.select(
+        "doc_id", split_column(F.col("doc_id")).alias("split"), "clean_sig"
+    )
+
+
 def q28_multimodal_features(spark, sf_dir):
     """Multimodal feature extraction, VALUE-LEVEL check: image assets
     alternate raw P6 PPM and zlib-deflate PNG containers, audio assets
@@ -979,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_hash_split": q48_hash_split,
         "q49_span_dedup": q49_span_dedup,
         "q50_tfidf_top_terms": q50_tfidf_top_terms,
+        "q51_clean_corpus_pipeline": q51_clean_corpus_pipeline,
     }
 
 
@@ -1343,6 +1372,64 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, term, tf, df, tfidf, rnk::INT AS rank
             FROM ranked WHERE rnk <= 5
+        """,
+        # q51: the full cleaning composition — gopher keep → span dedup
+        # over survivors → exact dedup on cleaned text → hash split
+        "q51_clean_corpus_pipeline": f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     CASE WHEN length(trim(text)) = 0
+                          THEN []::VARCHAR[] ELSE {_RAW_TOKS} END AS l
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id,
+                     len(l) AS n_tokens,
+                     CASE WHEN len(l) = 0 THEN 0.0 ELSE
+                       length(regexp_replace(trim(text), '\\s+', '', 'g'))::DOUBLE / len(l) END AS mean_tok_len,
+                     CASE WHEN len(l) = 0 THEN 0.0 ELSE
+                       len(list_filter(l, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(l) END AS alpha_frac,
+                     {_SW_RATIO} AS stop_ratio,
+                     CASE WHEN len(l) = 0 THEN 0.0 ELSE
+                       len(list_distinct(l))::DOUBLE / len(l) END AS ttr,
+                     CASE WHEN len(l) = 0 THEN 0.0 ELSE
+                       list_max(list_transform(list_distinct(l), d -> len(list_filter(l, x -> x = d))))::DOUBLE / len(l) END AS top_tok_frac
+              FROM t
+            ),
+            kept AS (
+              SELECT doc_id FROM m
+              WHERE n_tokens BETWEEN 20 AND 10000
+                AND mean_tok_len BETWEEN 3.0 AND 10.0
+                AND alpha_frac >= 0.9 AND stop_ratio >= 0.02
+                AND ttr >= 0.35 AND top_tok_frac <= 0.2
+            ),
+            toks AS (
+              SELECT doc_id, {_TOKS} AS w
+              FROM documents JOIN kept USING (doc_id)
+            ),
+            spans AS (
+              SELECT doc_id,
+                     unnest([{{'pos': i, 'txt': array_to_string(w[i*4+1 : i*4+4], ' ')}}
+                             for i in generate_series(0, CAST(ceil(len(w)/4.0) AS INT) - 1)]) AS s
+              FROM toks WHERE len(w) > 0
+            ),
+            flat AS (SELECT doc_id, s.pos AS pos, s.txt AS span_text FROM spans),
+            counts AS (SELECT span_text, count(DISTINCT doc_id) AS df FROM flat GROUP BY 1),
+            clean AS (
+              SELECT f.doc_id,
+                     md5(coalesce(string_agg(CASE WHEN c.df < 5 THEN f.span_text END,
+                                             ' ' ORDER BY f.pos), '')) AS clean_sig
+              FROM flat f JOIN counts c USING (span_text)
+              GROUP BY 1
+            ),
+            canon AS (SELECT clean_sig, min(doc_id) AS canonical_id FROM clean GROUP BY 1)
+            SELECT c.doc_id,
+                   CASE WHEN ('0x' || substr(md5('split-1' || c.doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+                        WHEN ('0x' || substr(md5('split-1' || c.doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split,
+                   c.clean_sig
+            FROM clean c JOIN canon USING (clean_sig)
+            WHERE c.doc_id = canon.canonical_id
         """,
         # q48: exact mirror of sampling.hash_bucket / split_column
         # (md5 → top-15-hex BIGINT → mod 100 → cumulative thresholds)
