@@ -60,6 +60,10 @@ EXTENDED = [
     "q35_threshold_merger",
     "q41_gold_eastern",
     "q42_ganz_relative_threshold",
+    # round-4 additions
+    "q47_near_dup_clusters",
+    "q49_span_dedup",
+    "q51_clean_corpus_pipeline",
 ]
 
 

@@ -455,6 +455,7 @@ def span_dedup(
     text_col: str = "text",
     span_tokens: int = 4,
     df_min: int = 5,
+    keep_stats: bool = True,
 ) -> DataFrame:
     """C4-style corpus-wide duplicated-span removal (Raffel et al. 2020
     §2.2 drop repeated three-sentence spans; the unit here is a fixed
@@ -471,7 +472,14 @@ def span_dedup(
     so the scale variant broadcasts it as an anti-join and drops the
     flat-side shuffle entirely.
 
-    Returns (doc_id, n_spans, n_removed, clean_text).
+    Returns (doc_id, n_spans, n_removed, clean_text); with
+    ``keep_stats=False`` the 100-TB fast path runs instead — the
+    ≥df_min spans (the corpus' boilerplate dictionary, tiny relative to
+    the corpus) are BROADCAST as a left-anti join, the flat side never
+    shuffles on span text, and the output is (doc_id, clean_text) —
+    documents consisting ENTIRELY of boilerplate are dropped from the
+    output (the C4 behavior), where the stats path keeps them with an
+    empty clean_text.
     """
     from ..functions import textkit
 
@@ -500,6 +508,20 @@ def span_dedup(
     counts = flat.groupBy("span_text").agg(
         F.count_distinct(F.col(id_col)).alias("df")
     )
+    if not keep_stats:
+        boiler = counts.filter(F.col("df") >= df_min).select("span_text")
+        kept = flat.join(F.broadcast(boiler), "span_text", "left_anti")
+        return kept.groupBy(id_col).agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("span_text")))
+                    ),
+                    lambda s: s["span_text"],
+                ),
+                " ",
+            ).alias("clean_text")
+        )
     joined = flat.join(counts, "span_text")
     keep = F.col("df") < df_min
     return joined.groupBy(id_col).agg(

@@ -808,3 +808,30 @@ def test_connected_components_star_parity(spark):
     star2 = {r.node: r.label for r in connected_components_star(df2).collect()}
     prop2 = {r.node: r.label for r in connected_components(df2).collect()}
     assert star2 == prop2
+
+
+def test_span_dedup_fast_path_broadcasts_and_matches(spark):
+    """keep_stats=False: the boilerplate dictionary is broadcast
+    (left-anti, no flat-side shuffle on span text) and clean_text equals
+    the stats path for every surviving doc; all-boilerplate docs drop."""
+    from outage_data_scraper_spark.operators.dedup import span_dedup
+    from outage_data_scraper_spark.plans import assert_broadcast_join
+
+    boiler = "subscribe to our newsletter"
+    docs = _docs(
+        spark,
+        [
+            f"{boiler} alpha beta gamma delta",
+            f"{boiler} epsilon zeta eta theta",
+            f"{boiler}",  # all-boilerplate → dropped on the fast path
+        ],
+    )
+    fast = span_dedup(docs, span_tokens=4, df_min=3, keep_stats=False)
+    assert_broadcast_join(fast)
+    got = {r.doc_id: r.clean_text for r in fast.collect()}
+    slow = {
+        r.doc_id: r.clean_text
+        for r in span_dedup(docs, span_tokens=4, df_min=3).collect()
+    }
+    assert got == {0: "alpha beta gamma delta", 1: "epsilon zeta eta theta"}
+    assert slow[0] == got[0] and slow[1] == got[1] and slow[2] == ""
