@@ -690,9 +690,13 @@ def q35_threshold_merger(spark, sf_dir):
     relative threshold × row_customers_out OR'd with abs_diff, cases
     A–D incl. D-1 split / D-2 multi-close (step1_threshold.py:37–331).
     The fold keeps a mutable tracking list whose case-D index resolution
-    is inherently sequential — not ANSI-SQL-expressible, so this is a
-    rows-only query; tests/test_threshold_merger.py proves parity against
-    an independent single-threaded port of the reference pipeline."""
+    is inherently sequential — not ANSI-SQL-expressible — so the oracle
+    is the REFERENCE CODE ITSELF: scripts/gen_q35q37_oracle.py execs the
+    whole step1_threshold.py over this exact input projection and stamps
+    the expected rows into testoracle/q35_expected.parquet, which the
+    driver's oracle SQL SELECTs — value-exact against ground truth
+    (plus tests/test_threshold_merger.py port parity and the exec'd
+    hypothesis fuzz in tests/test_reference_merger_oracle.py)."""
     from outage_data_scraper_spark.operators.sessionize import threshold_merger
 
     ev = _t(spark, sf_dir, "events").select(
@@ -718,9 +722,10 @@ def q35_threshold_merger(spark, sf_dir):
 def q37_merger_monthly_property(spark, sf_dir):
     """step2_grower_property.py:70–105 over the q35 merger output: the
     per-utility monthly grower report (frequency, avg duration, avg mean,
-    Σ mean×duration). Rows-only: the input derives from the non-SQL
-    threshold merger; the aggregation itself is unit-tested against a
-    hand computation."""
+    Σ mean×duration). Value-gated since r4: the expected rows are
+    stamped by exec'ing the reference step1+step2 chain over the same
+    input (scripts/gen_q35q37_oracle.py) — see also the end-to-end chain
+    parity test in tests/test_reference_merger_oracle.py."""
     from outage_data_scraper_spark.operators.sessionize import (
         merger_monthly_property,
         threshold_merger,
@@ -1094,12 +1099,51 @@ _Q19_PAIRS_SQL = f"""
 """
 
 
-def oracle_sql() -> dict[str, str]:
-    _q28_expected = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "testoracle", "q28_expected.parquet",
-    )
+def _merger_reference_oracles(oracle_dir: str) -> dict[str, str]:
+    """q35/q37: the merger's case-D list mutation is not ANSI SQL, so the
+    expected outputs are stamped by the REFERENCE code itself —
+    scripts/gen_q35q37_oracle.py execs the whole step1_threshold.py (and
+    step2 per utility) over the exact sf0.01 q35 input projection. The
+    Spark merger is therefore value-gated against the reference
+    implementation, not against an SQL re-statement.
+
+    The stamped rows are a function of the sf0.01 events table, so the
+    generator records that file's digest; if the driver ever regenerates
+    testdata, the entries are omitted (falling back to the contract's
+    rows-only check) instead of failing against stale expectations —
+    rerun scripts/gen_q35q37_oracle.py to re-stamp."""
+    import hashlib
+    import json
+
+    meta_path = os.path.join(oracle_dir, "q35_meta.json")
+    events = "/root/testdata/sf0.01/events.parquet"
+    try:
+        with open(meta_path) as f:
+            want = json.load(f)["events_md5"]
+        with open(events, "rb") as f:
+            got = hashlib.md5(f.read()).hexdigest()
+        if got != want:
+            return {}
+    except OSError:
+        return {}
     return {
+        "q35_threshold_merger": f"""
+            SELECT utility, start_ts, end_ts, customer_affected_mean, duration_s
+            FROM read_parquet('{os.path.join(oracle_dir, "q35_expected.parquet")}')
+        """,
+        "q37_merger_monthly_property": f"""
+            SELECT utility, frequency, avg_duration_min,
+                   avg_customer_affected_mean, total_customer_affected_x_duration
+            FROM read_parquet('{os.path.join(oracle_dir, "q37_expected.parquet")}')
+        """,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    _oracle_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "testoracle")
+    _q28_expected = os.path.join(_oracle_dir, "q28_expected.parquet")
+    return {
+        **_merger_reference_oracles(_oracle_dir),
         # the committed expected-signature parquet (see q28's docstring);
         # DuckDB reads it directly — the comparison is value-level because
         # the signatures digest the decoded pixel/sample features
