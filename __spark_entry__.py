@@ -1124,7 +1124,9 @@ def _merger_reference_oracles(oracle_dir: str) -> dict[str, str]:
             got = hashlib.md5(f.read()).hexdigest()
         if got != want:
             return {}
-    except OSError:
+    except Exception:
+        # a missing/corrupt meta or unreadable events file must degrade
+        # these two entries to rows-only, never take down oracle_sql()
         return {}
     return {
         "q35_threshold_merger": f"""

@@ -23,7 +23,7 @@ Two parts:
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (headline master),
 SPARK_GRAFT_CRAWL_URLS (default 400000), SPARK_GRAFT_SKIP_SCALING=1,
-SPARK_GRAFT_PAIR_ROUNDS (alternating sample pairs, default 6),
+SPARK_GRAFT_PAIR_ROUNDS (alternating sample pairs, default 8),
 SPARK_GRAFT_RUNS (measured runs for the local[32] throughput child,
 default 5).
 """
@@ -322,7 +322,7 @@ def main():
         # anywhere from 0.6 to 0.95 on this host purely with burst
         # timing, which is why neither a single pair nor block timing is
         # the metric (BENCH.md has the protocol history).
-        pairs = int(os.environ.get("SPARK_GRAFT_PAIR_ROUNDS", "6"))
+        pairs = int(os.environ.get("SPARK_GRAFT_PAIR_ROUNDS", "8"))
         total = os.cpu_count() or 32
         ctrl_urls = max(CRAWL_URLS // 2, 50_000)
         # disjoint pins, both clear of cores 0-1 (OS interrupt load):
