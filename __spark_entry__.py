@@ -604,6 +604,25 @@ def q51_clean_corpus_pipeline(spark, sf_dir):
     )
 
 
+def q52_repetition_metrics(spark, sf_dir):
+    """Within-document repetition (Gopher §A1.1 duplicate line/paragraph
+    fraction family, token-chunk form): per doc, total/distinct 4-token
+    spans and the duplicate-span fraction — the signal that catches
+    degenerate generated/boilerplate pages that cross-doc dedup can't.
+    Pure column algebra on hoisted tokens; value-exact oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", F.split(textkit.normalized(F.col("text")), " ").alias("toks")
+    )
+    spans = textkit.span_chunks(F.col("toks"), 4)
+    return toked.select(
+        "doc_id",
+        F.size(spans).cast("long").alias("n_spans"),
+        F.size(F.array_distinct(spans)).cast("long").alias("n_unique_spans"),
+        F.round(textkit.dup_span_fraction(F.col("toks"), 4), 4).alias("dup_span_frac"),
+    )
+
+
 def q28_multimodal_features(spark, sf_dir):
     """Multimodal feature extraction, VALUE-LEVEL check: image assets
     alternate raw P6 PPM and zlib-deflate PNG containers, audio assets
@@ -1013,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_span_dedup": q49_span_dedup,
         "q50_tfidf_top_terms": q50_tfidf_top_terms,
         "q51_clean_corpus_pipeline": q51_clean_corpus_pipeline,
+        "q52_repetition_metrics": q52_repetition_metrics,
     }
 
 
@@ -1476,6 +1496,28 @@ def oracle_sql() -> dict[str, str]:
                    c.clean_sig
             FROM clean c JOIN canon USING (clean_sig)
             WHERE c.doc_id = canon.canonical_id
+        """,
+        # q52: within-document repetition — same 4-token span unit as
+        # q49 (DuckDB w[a:b] 1-based inclusive == Spark slice(arr,
+        # start, len) for fixed windows); dup fraction = 1 - distinct/
+        # total, identical double arithmetic both engines before round
+        "q52_repetition_metrics": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+            spans AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) < 1 THEN []::VARCHAR[]
+                          ELSE [array_to_string(w[i*4+1 : i*4+4], ' ')
+                                for i in generate_series(0, CAST(ceil(len(w)/4.0) AS INT) - 1)]
+                     END AS s
+              FROM toks
+            )
+            SELECT doc_id,
+                   len(s)::BIGINT AS n_spans,
+                   len(list_distinct(s))::BIGINT AS n_unique_spans,
+                   round(CASE WHEN len(s) < 1 THEN 0.0
+                              ELSE 1.0 - len(list_distinct(s))::DOUBLE / len(s)
+                         END, 4) AS dup_span_frac
+            FROM spans
         """,
         # q48: exact mirror of sampling.hash_bucket / split_column
         # (md5 → top-15-hex BIGINT → mod 100 → cumulative thresholds)

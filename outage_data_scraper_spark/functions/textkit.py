@@ -205,6 +205,31 @@ GOPHER_MIN_TTR = 0.35
 GOPHER_MAX_TOP = 0.2
 
 
+def span_chunks(toks: Column, span_tokens: int = 4) -> Column:
+    """Fixed-width token chunks as an array column (the dedup span unit).
+    Callers MUST pass a materialized token column — HOF lambdas
+    re-evaluate referenced expression trees per element."""
+    n = F.ceil(F.size(toks) / F.lit(float(span_tokens))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.array_join(F.slice(toks, i * span_tokens + 1, span_tokens), " "),
+    )
+    # sequence(0, -1) DESCENDS ([0, -1]) — guard the empty-array case
+    return F.when(n >= 1, chunks).otherwise(F.array().cast("array<string>"))
+
+
+def dup_span_fraction(toks: Column, span_tokens: int = 4) -> Column:
+    """WITHIN-document repetition: fraction of fixed-width spans that are
+    repeats of an earlier span in the same document (Gopher §A1.1's
+    duplicate line/paragraph fraction family, token-chunk form). Pure
+    column algebra: 1 − distinct/total over the span array."""
+    spans = span_chunks(toks, span_tokens)
+    n = F.size(spans)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(spans)) / n
+    )
+
+
 def gopher_keep_from_metrics(
     n: Column, mtl: Column, alpha: Column, stop: Column, ttr: Column, top: Column
 ) -> Column:

@@ -835,3 +835,50 @@ def test_span_dedup_fast_path_broadcasts_and_matches(spark):
     }
     assert got == {0: "alpha beta gamma delta", 1: "epsilon zeta eta theta"}
     assert slow[0] == got[0] and slow[1] == got[1] and slow[2] == ""
+
+
+def test_dup_span_fraction_within_doc_repetition(spark):
+    """q52's within-document repetition signal: hand-computable span
+    counts, plus the empty-array guard (sequence(0,-1) DESCENDS in
+    Spark — span_chunks must yield [] for an empty token array)."""
+    from pyspark.sql import functions as F
+
+    from outage_data_scraper_spark.functions import textkit
+
+    docs = spark.createDataFrame(
+        [
+            # 8 tokens = 2 spans, identical halves -> 1 unique, frac 0.5
+            (0, "a b c d a b c d"),
+            # 4 tokens = 1 span -> frac 0.0
+            (1, "w x y z"),
+            # 16 tokens = 4 identical spans -> frac 0.75
+            (2, "r s t u " * 4),
+            # 5 tokens = 2 spans (second is the 1-token tail), distinct
+            (3, "p q r s t"),
+        ],
+        "doc_id long, text string",
+    )
+    toked = docs.select(
+        "doc_id", F.split(textkit.normalized(F.col("text")), " ").alias("toks")
+    )
+    out = {
+        r.doc_id: (r.n, r.u, r.f)
+        for r in toked.select(
+            "doc_id",
+            F.size(textkit.span_chunks(F.col("toks"), 4)).alias("n"),
+            F.size(F.array_distinct(textkit.span_chunks(F.col("toks"), 4))).alias("u"),
+            textkit.dup_span_fraction(F.col("toks"), 4).alias("f"),
+        ).collect()
+    }
+    assert out[0] == (2, 1, 0.5)
+    assert out[1] == (1, 1, 0.0)
+    assert out[2] == (4, 1, 0.75)
+    assert out[3] == (2, 2, 0.0)
+
+    empty = spark.range(1).select(
+        F.array().cast("array<string>").alias("toks")
+    ).select(
+        F.size(textkit.span_chunks(F.col("toks"), 4)).alias("n"),
+        textkit.dup_span_fraction(F.col("toks"), 4).alias("f"),
+    ).first()
+    assert empty.n == 0 and empty.f == 0.0
