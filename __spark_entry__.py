@@ -623,6 +623,36 @@ def q52_repetition_metrics(spark, sf_dir):
     )
 
 
+def q53_stratified_mix(spark, sf_dir):
+    """Hash-threshold stratified mix sampling (sampling.stratified_sample):
+    downweight the dominant 'en' stratum, thin 'zh', keep the rest whole
+    — the training-mix rebalance primitive. Decidable per row: the plan
+    is filter-over-scan, ZERO shuffles (plan-asserted in tests), so the
+    same row set falls out at any cluster size or retry."""
+    from outage_data_scraper_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(docs, "lang", MIX_RATES)
+
+
+MIX_RATES = (("en", 0.5), ("fr", 1.0), ("es", 1.0), ("de", 1.0), ("zh", 0.25))
+
+
+def q54_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (dedup.benchmark_overlap): flag corpus
+    docs (doc_id >= 25) sharing any 5-gram with the benchmark slice
+    (doc_id < 25). Tiny benchmark shingle set broadcasts; corpus side
+    never shuffles text — only probe survivors reach the groupBy."""
+    from outage_data_scraper_spark.operators.dedup import benchmark_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    return benchmark_overlap(
+        docs.filter(F.col("doc_id") >= 25),
+        docs.filter(F.col("doc_id") < 25),
+        k=5,
+    )
+
+
 def q28_multimodal_features(spark, sf_dir):
     """Multimodal feature extraction, VALUE-LEVEL check: image assets
     alternate raw P6 PPM and zlib-deflate PNG containers, audio assets
@@ -1033,6 +1063,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_tfidf_top_terms": q50_tfidf_top_terms,
         "q51_clean_corpus_pipeline": q51_clean_corpus_pipeline,
         "q52_repetition_metrics": q52_repetition_metrics,
+        "q53_stratified_mix": q53_stratified_mix,
+        "q54_decontaminate": q54_decontaminate,
     }
 
 
@@ -1518,6 +1550,40 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 1.0 - len(list_distinct(s))::DOUBLE / len(s)
                          END, 4) AS dup_span_frac
             FROM spans
+        """,
+        # q53: keep iff md5-uniform < per-stratum rate; the FILTER uses
+        # the unrounded double (identical IEEE arithmetic both engines),
+        # only the OUTPUT column rounds
+        "q53_stratified_mix": """
+            WITH u AS (
+              SELECT doc_id, lang,
+                     ('0x' || substr(md5('mix-1' || doc_id::VARCHAR), 1, 15))::BIGINT
+                       / 1152921504606846976.0 AS uu
+              FROM documents
+            )
+            SELECT doc_id, lang, round(uu, 6) AS mix_u
+            FROM u
+            WHERE uu < CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 1.0
+                                 WHEN 'es' THEN 1.0 WHEN 'de' THEN 1.0
+                                 WHEN 'zh' THEN 0.25 ELSE 0.0 END
+        """,
+        # q54: same shingle construction as q19/q49 (full k-windows of
+        # the normalized tokens); hits counted per instance AND distinct
+        "q54_decontaminate": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     unnest([array_to_string(w[i+1 : i+5], ' ')
+                             for i in generate_series(0, len(w) - 5)]) AS s
+              FROM toks WHERE len(w) >= 5
+            ),
+            bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 25)
+            SELECT doc_id,
+                   count(*)::BIGINT AS n_hits,
+                   count(DISTINCT s)::BIGINT AS n_shingles
+            FROM sh
+            WHERE doc_id >= 25 AND s IN (SELECT s FROM bench)
+            GROUP BY 1
         """,
         # q48: exact mirror of sampling.hash_bucket / split_column
         # (md5 → top-15-hex BIGINT → mod 100 → cumulative thresholds)

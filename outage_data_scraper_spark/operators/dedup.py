@@ -635,3 +635,36 @@ def connected_components_star(
     return adj.groupBy("a").agg(
         F.least(F.min("b"), F.first("a")).alias("label")
     ).select(F.col("a").alias("node"), "label")
+
+
+def benchmark_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-corpus decontamination: per corpus doc, how many k-gram
+    shingles it shares with a benchmark/eval set (the GPT-3 §C / PaLM
+    style n-gram contamination check). Returns only contaminated docs:
+    (doc_id, n_hits = overlapping shingle INSTANCES, n_shingles =
+    DISTINCT overlapping shingles).
+
+    Scale shape: eval sets are tiny (10^3–10^5 docs) next to a 10^10-doc
+    corpus, so the distinct benchmark shingle set broadcasts — the
+    corpus side is explode → broadcast-hash semi-probe → one groupBy on
+    doc_id. No shuffle ever carries corpus text or the full shingle
+    explosion; only (doc_id, shingle) survivors of the probe aggregate.
+    """
+    def shingled(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(textkit.word_shingles(F.col(text_col), k)).alias("s"),
+        )
+
+    bench = shingled(benchmark).select("s").distinct()
+    hits = shingled(corpus).join(F.broadcast(bench), "s")
+    return hits.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_hits"),
+        F.countDistinct("s").cast("long").alias("n_shingles"),
+    )

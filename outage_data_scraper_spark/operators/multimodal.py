@@ -8,15 +8,16 @@ batch shapes.
 Decode is REAL wherever stdlib + numpy suffice: raw-bitmap PPM (P6
 header parse + frombuffer), 8-bit PNG (IDAT is stdlib-zlib deflate over
 per-scanline-filtered samples — decode_png unfilters all five PNG
-filters in numpy), and PCM WAV (RIFF chunk walk + frombuffer →
-per-window RMS features). So the image path exercises genuine pixel
-math end-to-end (decode → mean-pool features, nearest-neighbor resize)
-and the audio path genuine sample math. JPEG/WebP and compressed
-audio/video decode stay honestly stubbed behind NotImplementedError
-(this container ships no codec libraries); dispatch is per payload with
-a clearly-marked deterministic fake fallback for undecodable kinds so
-the distributed plumbing stays testable everywhere; malformed payloads
-fall back per row (O23 design), never aborting a task.
+filters in numpy), baseline JPEG (operators/jpeg.py: Huffman + IDCT in
+pure numpy), MJPEG-in-AVI video (RIFF walk → per-frame JPEG decode),
+and PCM WAV (RIFF chunk walk + frombuffer → per-window RMS features).
+So image, video and audio paths all exercise genuine pixel/sample math
+end-to-end. WebP/progressive-JPEG and compressed audio (MP3/AAC) stay
+honestly stubbed behind NotImplementedError (this container ships no
+codec libraries); dispatch is per payload with a clearly-marked
+deterministic fake fallback for undecodable kinds so the distributed
+plumbing stays testable everywhere; malformed payloads fall back per
+row (O23 design), never aborting a task.
 """
 
 from __future__ import annotations
@@ -30,6 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType
+
+from .jpeg import decode_avi_mjpeg, decode_jpeg, encode_avi_mjpeg, encode_jpeg
 
 FEATURES_SCHEMA = "asset_id long, kind string, feat array<float>, feat_dim int, decoder string"
 
@@ -277,16 +280,18 @@ def _audio_features(samples: np.ndarray, dim: int) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Decode an image payload. P6 PPM and 8-bit PNG decode for real
-    (pure numpy / stdlib zlib); other compressed formats require a codec
-    library absent from this container."""
+    """Decode an image payload. P6 PPM, 8-bit PNG and baseline JPEG
+    decode for real (pure numpy / stdlib zlib); other compressed formats
+    require a codec library absent from this container."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "JPEG/WebP/… decode requires a codec library not present in this "
-        "container; P6 PPM and 8-bit PNG payloads decode natively"
+        "WebP/HEIC/… decode requires a codec library not present in this "
+        "container; P6 PPM, 8-bit PNG and baseline JPEG decode natively"
     )
 
 
@@ -322,10 +327,13 @@ def asset_payload(i: int, kind: str) -> bytes:
             [(base + k * 37 + rng.integers(0, 8)) % 256 for k in range(3)],
             axis=2,
         ).astype(np.uint8)
-        # alternate container formats: raw PPM and zlib-deflate PNG
-        # (filters cycled), both real-decodable downstream
-        if (i // 3) % 2:
+        # cycle container formats: raw PPM, zlib-deflate PNG (filters
+        # cycled), baseline JPEG — all real-decodable downstream
+        c = (i // 3) % 3
+        if c == 1:
             return encode_png(img, filter_mode="cycle")
+        if c == 2:
+            return encode_jpeg(img)
         return encode_ppm(img)
     if kind == "audio":
         # real 16-bit PCM WAV: deterministic tone + hash noise, 0.2 s at
@@ -336,7 +344,20 @@ def asset_payload(i: int, kind: str) -> bytes:
         wave = 0.6 * np.sin(2 * np.pi * freq * t)
         wave += 0.1 * rng.standard_normal(1600).astype(np.float32)
         return encode_wav((np.clip(wave, -1, 1) * 32767).astype(np.int16), 8000)
-    return hashlib.sha256(str(i).encode()).digest()
+    # video: REAL MJPEG-in-AVI — 4 deterministic gradient frames that
+    # drift per frame index, decodable end-to-end downstream
+    rng = np.random.default_rng(i)
+    h, w = 16 + i % 9, 16 + (i * 5) % 13
+    frames = []
+    for f in range(4):
+        base = (np.add.outer(np.arange(h) * 3, np.arange(w) * 5) + f * 31) % 256
+        frames.append(
+            np.stack(
+                [(base + k * 41 + rng.integers(0, 8)) % 256 for k in range(3)],
+                axis=2,
+            ).astype(np.uint8)
+        )
+    return encode_avi_mjpeg(frames, fps=4 + i % 7)
 
 
 ASSET_KINDS = ("image", "audio", "video")
@@ -344,10 +365,10 @@ ASSET_KINDS = ("image", "audio", "video")
 
 def synth_assets(spark: SparkSession, n: int = 100) -> DataFrame:
     """Deterministic synthetic asset table, generated distributed via
-    spark.range. Image assets carry REAL P6 PPM / PNG payloads (pixels
-    are a deterministic gradient+hash pattern, built executor-side in a
-    pandas UDF); audio assets carry REAL 16-bit PCM WAV (tone + hash
-    noise); video assets carry opaque digest bytes."""
+    spark.range. Image assets carry REAL P6 PPM / PNG / baseline-JPEG
+    payloads (pixels are a deterministic gradient+hash pattern, built
+    executor-side in a pandas UDF); audio assets carry REAL 16-bit PCM
+    WAV (tone + hash noise); video assets carry REAL MJPEG-in-AVI."""
 
     @F.pandas_udf(BinaryType())
     def payload_for(ids: pd.Series, kinds: pd.Series) -> pd.Series:
@@ -367,8 +388,20 @@ def synth_assets(spark: SparkSession, n: int = 100) -> DataFrame:
         "asset_id",
         "kind",
         payload_for(F.col("asset_id"), F.col("kind")).alias("payload"),
-        F.when(F.col("kind") == "image", F.lit("image/x-portable-pixmap"))
+        F.when(
+            F.col("kind") == "image",
+            # mirror asset_payload's container cycle: ppm / png / jpeg
+            F.element_at(
+                F.array(
+                    F.lit("image/x-portable-pixmap"),
+                    F.lit("image/png"),
+                    F.lit("image/jpeg"),
+                ),
+                (F.pmod(F.floor(F.col("asset_id") / 3), 3) + 1).cast("int"),
+            ),
+        )
         .when(F.col("kind") == "audio", F.lit("audio/wav"))
+        .when(F.col("kind") == "video", F.lit("video/x-msvideo"))
         .otherwise(F.lit("application/octet-stream"))
         .alias("mime"),
         "width",
@@ -398,11 +431,20 @@ def payload_features(raw: bytes, dim: int) -> tuple[np.ndarray, str]:
         elif raw[: len(_PNG_SIG)] == _PNG_SIG:
             feat = _mean_pool_features(decode_png(raw), dim)
             label = "png-zlib"
+        elif raw[:2] == b"\xff\xd8":
+            feat = _mean_pool_features(decode_jpeg(raw), dim)
+            label = "jpeg-numpy"
         elif raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
             feat = _audio_features(decode_wav(raw)[0], dim)
             label = "wav-pcm"
-    except (ValueError, struct.error):
-        feat = None
+        elif raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+            frames, _fps = decode_avi_mjpeg(raw)
+            feat = np.mean(
+                [_mean_pool_features(f, dim) for f in frames], axis=0
+            ).astype(np.float32)
+            label = "mjpeg-avi"
+    except (ValueError, struct.error, NotImplementedError):
+        feat = None  # exotic-but-magic'd payload → labeled fake, per row
     if feat is None:
         return _fake_features(raw, dim), "fake-blake2b"
     return feat, label
@@ -496,9 +538,10 @@ RESIZED_SCHEMA = "asset_id long, payload binary, width int, height int"
 
 
 def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
-    """REAL nearest-neighbor resize of P6 PPM image payloads (pure numpy
-    index selection), Arrow-batched. Non-PPM rows pass through with a
-    null payload — at scale this is the normalize-before-encode stage."""
+    """REAL nearest-neighbor resize of image payloads (PPM/PNG/JPEG,
+    pure numpy index selection), Arrow-batched. Non-image rows pass
+    through with a null payload — at scale this is the
+    normalize-before-encode stage."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -511,7 +554,9 @@ def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
                         img = decode_ppm(raw)
                     elif raw[: len(_PNG_SIG)] == _PNG_SIG:
                         img = decode_png(raw)
-                except (ValueError, struct.error):
+                    elif raw[:2] == b"\xff\xd8":
+                        img = decode_jpeg(raw)
+                except (ValueError, struct.error, NotImplementedError):
                     img = None  # malformed payload → null row, not a task abort
                 if img is not None:
                     h, w = img.shape[:2]

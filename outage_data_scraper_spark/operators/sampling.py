@@ -63,3 +63,44 @@ def hash_split(
     RNG state): the plan stays a projection over the scan, so it
     composes with any downstream filter/write untouched."""
     return df.withColumn("split", split_column(F.col(id_col), weights, seed))
+
+
+def uniform01(id_col: Column, seed: str = "mix-1") -> Column:
+    """Deterministic uniform in [0, 1): md5(seed || id) top-15-hex as a
+    60-bit int over 2^60. Same bit-for-bit in DuckDB as
+    ('0x' || substr(md5(...), 1, 15))::BIGINT / 2^60."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), id_col.cast("string"))), 1, 15),
+        16, 10,
+    ).cast("long")
+    return h / F.lit(float(1 << 60))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: tuple[tuple[str, float], ...],
+    id_col: str = "doc_id",
+    seed: str = "mix-1",
+) -> DataFrame:
+    """Hash-threshold stratified sampling — the data-mixing primitive
+    (downweight a dominant language/source, keep rare strata whole).
+
+    Keep a row iff uniform01(id) < rate[stratum]; strata absent from
+    ``rates`` drop (rate 0). Unlike per-stratum quota sampling (a window
+    rank = one full shuffle on the stratum key, with the dominant
+    stratum as a straggler partition), the threshold form is decidable
+    PER ROW: the plan is filter-over-scan — zero shuffles, zero RNG
+    state, stable under retry/repartition/cluster resize, and the same
+    row set falls out at any scale. Rates are exact in expectation;
+    at 10^10 rows the realized fraction is within ~1e-4 of the rate,
+    which is what a training-mix needs (quotas that must be EXACT are a
+    different op: rank on uniform01 and cut at k).
+    """
+    u = uniform01(F.col(id_col), seed)
+    r: Column | None = None
+    for name, rate in rates:
+        cond = F.col(strata_col) == name
+        r = F.when(cond, float(rate)) if r is None else r.when(cond, float(rate))
+    r = F.lit(0.0) if r is None else r.otherwise(0.0)
+    return df.withColumn("mix_u", F.round(u, 6)).filter(u < r)

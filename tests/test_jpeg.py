@@ -1,0 +1,135 @@
+"""Baseline JPEG + MJPEG-AVI codec tests (operators/jpeg.py).
+
+The reference repo treats scraped media as opaque bytes (no decoder
+anywhere); this codec is part of the multimodal training-data surface.
+Tests cover roundtrip accuracy on smooth/structured content,
+determinism, grayscale, error-path discipline (every malformed input →
+ValueError/NotImplementedError so the per-row O23 handlers catch it),
+and a corruption fuzz.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from outage_data_scraper_spark.operators import jpeg, multimodal
+
+
+def _smooth(h, w):
+    base = np.add.outer(np.linspace(0, 200, h), np.linspace(0, 50, w))
+    return np.stack([base, base * 0.8 + 20, base * 0.5 + 90], axis=2).astype(np.uint8)
+
+
+def test_roundtrip_smooth_content_tight():
+    img = _smooth(40, 56)
+    enc = jpeg.encode_jpeg(img)
+    dec = jpeg.decode_jpeg(enc)
+    assert dec.shape == img.shape and dec.dtype == np.uint8
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.mean() < 3 and err.max() <= 12, (err.mean(), err.max())
+
+
+def test_roundtrip_non_multiple_of_8_dims():
+    for h, w in [(8, 8), (9, 15), (17, 23), (57, 41)]:
+        img = _smooth(h, w)
+        dec = jpeg.decode_jpeg(jpeg.encode_jpeg(img))
+        assert dec.shape == (h, w, 3)
+
+
+def test_block_aligned_checkerboard_exact():
+    chk = (np.add.outer(np.arange(32) // 8, np.arange(32) // 8) % 2 * 200 + 20)
+    img = np.stack([chk] * 3, axis=2).astype(np.uint8)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(img))
+    # per-block-constant content has only a DC coefficient — exact
+    assert (dec == img).all()
+
+
+def test_flat_image_exact_and_deterministic():
+    img = np.full((24, 24, 3), 100, np.uint8)
+    enc = jpeg.encode_jpeg(img)
+    assert enc == jpeg.encode_jpeg(img)
+    assert (jpeg.decode_jpeg(enc) == 100).all()
+
+
+def test_grayscale_single_component():
+    g = (np.add.outer(np.arange(20) * 4, np.arange(30) * 3) % 200).astype(np.uint8)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(g))
+    assert dec.shape == (20, 30, 3)
+    assert np.abs(dec[:, :, 0].astype(int) - g.astype(int)).mean() < 4
+    # gray replicated across channels
+    assert (dec[:, :, 0] == dec[:, :, 1]).all() and (dec[:, :, 1] == dec[:, :, 2]).all()
+
+
+def test_malformed_inputs_raise_value_error():
+    for bad in [b"", b"\xff", b"\xff\xd8", b"\xff\xd8\x00\x00", b"\x89PNG"]:
+        with pytest.raises((ValueError, NotImplementedError)):
+            jpeg.decode_jpeg(bad)
+
+
+def test_truncation_and_corruption_fuzz_never_leaks_exotic_exceptions():
+    img = _smooth(40, 56)
+    good = jpeg.encode_jpeg(img)
+    rng = random.Random(11)
+    for _ in range(400):
+        cut = rng.randrange(2, len(good))
+        with pytest.raises((ValueError, NotImplementedError)):
+            jpeg.decode_jpeg(good[:cut])
+    for _ in range(1500):
+        b = bytearray(good)
+        for _ in range(rng.randrange(1, 4)):
+            b[rng.randrange(len(b))] ^= rng.randrange(1, 256)
+        try:
+            jpeg.decode_jpeg(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass  # the only permitted failure modes
+
+
+def test_avi_mjpeg_roundtrip_and_fps():
+    frames = []
+    for f in range(5):
+        base = (np.add.outer(np.arange(24) * 3, np.arange(32) * 5) + f * 40) % 200
+        frames.append(np.stack([base, base + 20, base + 40], axis=2).astype(np.uint8))
+    avi = jpeg.encode_avi_mjpeg(frames, fps=10)
+    out, fps = jpeg.decode_avi_mjpeg(avi)
+    assert len(out) == 5 and fps == 10
+    for o, f in zip(out, frames):
+        assert o.shape == f.shape
+        assert np.abs(o.astype(int) - f.astype(int)).mean() < 8
+    assert jpeg.encode_avi_mjpeg(frames, fps=10) == avi
+
+
+def test_avi_corruption_fuzz():
+    frames = [_smooth(16, 16) for _ in range(3)]
+    avi = jpeg.encode_avi_mjpeg(frames, fps=8)
+    rng = random.Random(5)
+    for _ in range(1500):
+        b = bytearray(avi)
+        for _ in range(rng.randrange(1, 4)):
+            b[rng.randrange(len(b))] ^= rng.randrange(1, 256)
+        try:
+            jpeg.decode_avi_mjpeg(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_non_baseline_markers_raise_not_implemented():
+    img = _smooth(16, 16)
+    good = bytearray(jpeg.encode_jpeg(img))
+    sof = good.find(b"\xff\xc0")
+    assert sof > 0
+    good[sof + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
+    with pytest.raises(NotImplementedError):
+        jpeg.decode_jpeg(bytes(good))
+
+
+def test_multimodal_dispatch_uses_jpeg_and_avi():
+    img = _smooth(24, 24)
+    feat, label = multimodal.payload_features(jpeg.encode_jpeg(img), 8)
+    assert label == "jpeg-numpy" and len(feat) == 8
+    avi = jpeg.encode_avi_mjpeg([img, img], fps=6)
+    feat, label = multimodal.payload_features(avi, 8)
+    assert label == "mjpeg-avi" and len(feat) == 8
+    # malformed jpeg magic → labeled fake, never an exception
+    feat, label = multimodal.payload_features(b"\xff\xd8garbage", 8)
+    assert label == "fake-blake2b"

@@ -245,8 +245,12 @@ def test_multimodal_plumbing(spark):
 def test_decode_stub_raises_for_compressed_only():
     import pytest as _pytest
 
+    # WebP has no native decoder in this container — honest stub
     with _pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\xff\xd8\xffJPEG....")  # no JPEG codec libs
+        multimodal.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+    # JPEG now decodes natively; malformed JPEG bytes raise ValueError
+    with _pytest.raises(ValueError):
+        multimodal.decode_image(b"\xff\xd8\xffJPEG....")
 
 
 def test_ppm_roundtrip_and_real_decode():
@@ -260,17 +264,17 @@ def test_ppm_roundtrip_and_real_decode():
 
 
 def test_real_image_features_from_pixels(spark):
-    """fake=False: P6 image payloads decode for real (decoder ppm-numpy,
-    features from actual pixel means); audio/video fall back to the
-    labeled fake."""
+    """fake=False: every synthetic kind decodes for REAL — images via
+    their ppm/png/jpeg container cycle, audio via PCM WAV, video via
+    MJPEG-in-AVI per-frame JPEG decode."""
     assets = multimodal.synth_assets(spark, 30)
     rows = multimodal.extract_features(assets, dim=16, fake=False).collect()
     by_kind = {}
     for r in rows:
         by_kind.setdefault(r.kind, set()).add(r.decoder)
-    assert by_kind["image"] == {"ppm-numpy", "png-zlib"}
+    assert by_kind["image"] == {"ppm-numpy", "png-zlib", "jpeg-numpy"}
     assert by_kind["audio"] == {"wav-pcm"}
-    assert by_kind["video"] == {"fake-blake2b"}
+    assert by_kind["video"] == {"mjpeg-avi"}
     img_feats = {r.asset_id: r.feat for r in rows if r.kind == "image"}
     # real features: bounded, deterministic, and not the digest fake
     assert all(-1.0 <= x <= 1.0 for f in img_feats.values() for x in f)
@@ -882,3 +886,61 @@ def test_dup_span_fraction_within_doc_repetition(spark):
         textkit.dup_span_fraction(F.col("toks"), 4).alias("f"),
     ).first()
     assert empty.n == 0 and empty.f == 0.0
+
+
+def test_stratified_sample_narrow_deterministic(spark):
+    """q53's mix sampler: zero shuffles (filter-over-scan), exact
+    determinism across runs, rate monotonicity, unlisted strata drop."""
+    from pyspark.sql import functions as F
+
+    from outage_data_scraper_spark.operators.sampling import (
+        stratified_sample, uniform01,
+    )
+    from outage_data_scraper_spark.plans import count_exchanges
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rates = (("en", 0.5), ("fr", 1.0), ("zh", 0.25))
+    out = stratified_sample(docs.select("doc_id", "lang"), "lang", rates)
+    assert count_exchanges(out) == 0  # the whole point: decidable per row
+    got = {r.doc_id for r in out.collect()}
+    assert got == {r.doc_id for r in out.collect()}  # stable re-run
+    rows = docs.select(
+        "doc_id", "lang", uniform01(F.col("doc_id")).alias("u")
+    ).collect()
+    rate = dict(rates)
+    expect = {r.doc_id for r in rows if r.u < rate.get(r.lang, 0.0)}
+    assert got == expect
+    # fr kept whole, unlisted strata (es/de) fully dropped
+    langs = {r.lang for r in docs.select("lang").distinct().collect()}
+    assert {"es", "de"} <= langs
+    kept_langs = {r.lang for r in out.select("lang").distinct().collect()}
+    assert "es" not in kept_langs and "de" not in kept_langs
+    n_fr = docs.filter(F.col("lang") == "fr").count()
+    assert out.filter(F.col("lang") == "fr").count() == n_fr
+
+
+def test_benchmark_overlap_hand_checked(spark):
+    """q54's decontamination: one corpus doc shares a 5-gram with the
+    benchmark (twice, via an internal repeat), one shares nothing, one
+    is too short to shingle."""
+    from outage_data_scraper_spark.operators.dedup import benchmark_overlap
+
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains "alpha beta gamma delta epsilon" twice
+            (10, "alpha beta gamma delta epsilon xx alpha beta gamma delta epsilon"),
+            (11, "totally different words here nothing shared at all"),
+            (12, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_hits, r.n_shingles)
+           for r in benchmark_overlap(corpus, bench, k=5).collect()}
+    # doc 10: instances of benchmark 5-grams — "alpha beta gamma delta
+    # epsilon" ×2 plus "beta gamma delta epsilon zeta"? zeta absent in
+    # corpus text, so exactly the one distinct shingle, two instances
+    assert got == {10: (2, 1)}, got
