@@ -655,20 +655,32 @@ def q54_decontaminate(spark, sf_dir):
 
 def q28_multimodal_features(spark, sf_dir):
     """Multimodal feature extraction, VALUE-LEVEL check: image assets
-    alternate raw P6 PPM and zlib-deflate PNG containers, audio assets
-    carry 16-bit PCM WAV — all decoding FOR REAL (pure-numpy bitmap
-    parse / stdlib-zlib inflate + unfilter / RIFF chunk walk → mean-pooled
-    pixel features and per-window RMS audio features; decoder=
-    'ppm-numpy' / 'png-zlib' / 'wav-pcm'); video payloads have no native
-    decoder in this container and fall back to the clearly-labeled
-    deterministic fake. Each asset's feature vector is reduced to a
-    canonical md5 signature AT THE SOURCE (multimodal.feature_signature)
-    and compared against testoracle/q28_expected.parquet — signatures
-    stamped by scripts/gen_q28_oracle.py from the same payload bytes
-    through the same decode path, so any pixel/sample-level decode drift
-    breaks the driver's value hash."""
+    cycle raw P6 PPM, zlib-deflate PNG and baseline JPEG containers,
+    audio assets carry 16-bit PCM WAV, video assets carry MJPEG-in-AVI
+    — ALL decoding FOR REAL (pure-numpy bitmap parse / stdlib-zlib
+    inflate + unfilter / T.81 Huffman+IDCT / RIFF chunk walk →
+    mean-pooled pixel features, per-window RMS audio features, averaged
+    per-frame video features; decoder= 'ppm-numpy' / 'png-zlib' /
+    'jpeg-numpy' / 'wav-pcm' / 'mjpeg-avi' — zero fake rows). Each
+    asset's feature vector is reduced to a canonical md5 signature AT
+    THE SOURCE (multimodal.feature_signature) and compared against
+    testoracle/q28_expected.parquet — signatures stamped by
+    scripts/gen_q28_oracle.py from the same payload bytes through the
+    same decode path, so any pixel/sample-level decode drift breaks the
+    driver's value hash."""
     assets = multimodal.synth_assets(spark, 200)
     return multimodal.extract_feature_signatures(assets, dim=16)
+
+
+def q55_video_frame_features(spark, sf_dir):
+    """Per-frame video features (multimodal.extract_frame_features):
+    each MJPEG-AVI container decoded ONCE, one row per sampled frame
+    (stride 2) with the md5 signature of its mean-pooled pixels —
+    frame_sample_plan's decode stage, end-to-end real. VALUE-gated
+    against testoracle/q55_expected.parquet (scripts/gen_q55_oracle.py,
+    same committed-oracle pattern as q28)."""
+    assets = multimodal.synth_assets(spark, 200)
+    return multimodal.extract_frame_features(assets, every=2, dim=8)
 
 
 def q29_bloom_seen_filter(spark, sf_dir):
@@ -1065,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_repetition_metrics": q52_repetition_metrics,
         "q53_stratified_mix": q53_stratified_mix,
         "q54_decontaminate": q54_decontaminate,
+        "q55_video_frame_features": q55_video_frame_features,
     }
 
 
@@ -1204,6 +1217,13 @@ def oracle_sql() -> dict[str, str]:
         "q28_multimodal_features": f"""
             SELECT asset_id, kind, decoder, feat_sig
             FROM read_parquet('{_q28_expected}')
+        """,
+        # q55: committed per-frame signature parquet (see q55's
+        # docstring) — value-level because the signatures digest the
+        # decoded per-frame pixel features
+        "q55_video_frame_features": f"""
+            SELECT asset_id, frame_idx, n_frames, fps, frame_sig
+            FROM read_parquet('{os.path.join(_oracle_dir, "q55_expected.parquet")}')
         """,
         "q23_ann_lsh_topk": _q23_oracle(),
         # q45 probes the PERSISTED index at q23's exact operating point

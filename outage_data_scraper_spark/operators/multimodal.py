@@ -498,9 +498,10 @@ def extract_features(assets: DataFrame, dim: int = 32, fake: bool = True) -> Dat
     """Arrow-batched feature extraction over binary payloads.
 
     ``fake=True``: every row gets the digest fake (plumbing-only mode).
-    ``fake=False``: auto-dispatch — P6 PPM payloads decode for REAL and
-    produce mean-pooled pixel features (decoder='ppm-numpy'); payloads no
-    native decoder can handle fall back to the fake, clearly labeled.
+    ``fake=False``: auto-dispatch — PPM/PNG/JPEG images, PCM-WAV audio
+    and MJPEG-AVI video all decode for REAL (labels ppm-numpy /
+    png-zlib / jpeg-numpy / wav-pcm / mjpeg-avi); payloads no native
+    decoder can handle fall back to the fake, clearly labeled.
     The batch shape (one Arrow batch of payload bytes at a time, features
     as array<float>) is exactly what a GPU encoder stage needs.
     """
@@ -579,8 +580,8 @@ def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
 
 def frame_sample_plan(assets: DataFrame, fps: float = 1.0) -> DataFrame:
     """Video frame-sampling *plan*: one row per (asset, frame_ts) —
-    pure column algebra (sequence+explode); the decode of each frame is
-    the stubbed stage above. Shows the scale shape: a 2-hour video at
+    pure column algebra (sequence+explode); extract_frame_features is
+    the decode stage it feeds. Shows the scale shape: a 2-hour video at
     1 fps fans out to 7200 rows before the decoder stage."""
     return (
         assets.filter(F.col("kind") == "video")
@@ -594,4 +595,57 @@ def frame_sample_plan(assets: DataFrame, fps: float = 1.0) -> DataFrame:
             ).alias("frame_idx"),
         )
         .withColumn("frame_ts_s", F.col("frame_idx") / fps)
+    )
+
+
+FRAME_FEATURES_SCHEMA = (
+    "asset_id long, frame_idx int, n_frames int, fps int, frame_sig string"
+)
+
+
+def extract_frame_features(
+    assets: DataFrame, every: int = 2, dim: int = 8
+) -> DataFrame:
+    """REAL per-frame video features: decode each MJPEG-AVI container
+    once, emit one row per sampled frame (every ``every``-th) with the
+    canonical signature of its mean-pooled pixel features — the stage
+    frame_sample_plan fans out into.
+
+    Scale shape: the container decode amortizes across its frames
+    inside one Arrow batch (never re-decoding the video per frame row,
+    which a plan-side explode-then-decode would do); undecodable or
+    non-AVI payloads contribute zero rows (O23 per-row discipline)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, idxs, totals, fpss, sigs = [], [], [], [], []
+            for asset_id, payload in zip(b["asset_id"], b["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    frames, fps = decode_avi_mjpeg(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    continue
+                for idx in range(0, len(frames), every):
+                    ids.append(asset_id)
+                    idxs.append(idx)
+                    totals.append(len(frames))
+                    fpss.append(fps)
+                    sigs.append(
+                        feature_signature(_mean_pool_features(frames[idx], dim))
+                    )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "n_frames": pd.Series(totals, dtype="int32"),
+                    "fps": pd.Series(fpss, dtype="int32"),
+                    "frame_sig": pd.Series(sigs, dtype="object"),
+                }
+            )
+
+    return (
+        assets.filter(F.col("kind") == "video")
+        .select("asset_id", "payload")
+        .mapInPandas(run, FRAME_FEATURES_SCHEMA)
     )

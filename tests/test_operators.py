@@ -944,3 +944,29 @@ def test_benchmark_overlap_hand_checked(spark):
     # epsilon" ×2 plus "beta gamma delta epsilon zeta"? zeta absent in
     # corpus text, so exactly the one distinct shingle, two instances
     assert got == {10: (2, 1)}, got
+
+
+def test_extract_frame_features_real_video(spark):
+    """q55's decode stage: stride-2 sampling over real MJPEG-AVI,
+    malformed video payloads contribute zero rows."""
+    from pyspark.sql import functions as F
+
+    assets = multimodal.synth_assets(spark, 12)  # ids 2,5,8,11 are video
+    rows = multimodal.extract_frame_features(assets, every=2, dim=8).collect()
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r.asset_id, []).append(r)
+    assert set(by_asset) == {2, 5, 8, 11}
+    for aid, rs in by_asset.items():
+        assert [r.frame_idx for r in sorted(rs, key=lambda r: r.frame_idx)] == [0, 2]
+        assert all(r.n_frames == 4 for r in rs)
+        assert all(r.fps == 4 + aid % 7 for r in rs)
+        assert len({r.frame_sig for r in rs}) == 2  # frames drift → distinct sigs
+    # corrupt one payload: that asset silently drops, others survive
+    corrupt = assets.withColumn(
+        "payload",
+        F.when(F.col("asset_id") == 2, F.lit(b"RIFF\x00\x00\x00\x00AVI garbage"))
+        .otherwise(F.col("payload")),
+    )
+    got = {r.asset_id for r in multimodal.extract_frame_features(corrupt, every=2).collect()}
+    assert got == {5, 8, 11}
