@@ -653,6 +653,38 @@ def q54_decontaminate(spark, sf_dir):
     )
 
 
+def q56_warc_ingest(spark, sf_dir):
+    """Common-Crawl-style WARC ingestion (sources/warc.py): the
+    deterministic 3-file corpus (gzip member-per-record, one plain
+    .warc, one PINNED corrupt member, one must-skip request record) is
+    materialized to scratch, then read through the full distributed
+    path — binaryFile → member-wise gunzip with resync → record walk →
+    HTTP parse → parse_cc text extraction. VALUE-gated against
+    testoracle/q56_expected.parquet (scripts/gen_q56_oracle.py stamps
+    it from the same bytes via the same shared pure parser)."""
+    import hashlib as _hl
+
+    from outage_data_scraper_spark.sources import warc
+
+    d = f"/tmp/spark_graft_warc_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}"
+    os.makedirs(d, exist_ok=True)
+    for name, blob in warc.synth_warc_corpus():
+        p = os.path.join(d, name)
+        if not os.path.exists(p) or os.path.getsize(p) != len(blob):
+            with open(p, "wb") as f:
+                f.write(blob)
+    pages = warc.read_warc(spark, d)
+    return pages.select(
+        "url",
+        "warc_ts",
+        "http_status",
+        "mime",
+        F.length("text").cast("long").alias("n_chars"),
+        F.md5("text").alias("text_sig"),
+        F.element_at(F.split(F.col("warc_file"), "/"), -1).alias("warc_name"),
+    )
+
+
 def q28_multimodal_features(spark, sf_dir):
     """Multimodal feature extraction, VALUE-LEVEL check: image assets
     cycle raw P6 PPM, zlib-deflate PNG and baseline JPEG containers,
@@ -1078,6 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_stratified_mix": q53_stratified_mix,
         "q54_decontaminate": q54_decontaminate,
         "q55_video_frame_features": q55_video_frame_features,
+        "q56_warc_ingest": q56_warc_ingest,
     }
 
 
@@ -1224,6 +1257,12 @@ def oracle_sql() -> dict[str, str]:
         "q55_video_frame_features": f"""
             SELECT asset_id, frame_idx, n_frames, fps, frame_sig
             FROM read_parquet('{os.path.join(_oracle_dir, "q55_expected.parquet")}')
+        """,
+        # q56: committed pages parquet from the SAME corpus bytes via
+        # the shared pure parser (see q56's docstring)
+        "q56_warc_ingest": f"""
+            SELECT url, warc_ts, http_status, mime, n_chars, text_sig, warc_name
+            FROM read_parquet('{os.path.join(_oracle_dir, "q56_expected.parquet")}')
         """,
         "q23_ann_lsh_topk": _q23_oracle(),
         # q45 probes the PERSISTED index at q23's exact operating point

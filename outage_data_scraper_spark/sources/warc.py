@@ -1,0 +1,289 @@
+"""WARC (ISO 28500) source: Common-Crawl-style `.warc` / `.warc.gz`
+ingestion into the canonical pages schema — the loader that builds the
+(url, warc_ts, html, text, lang) table everything downstream reads.
+
+Pure-stdlib record parser (no warcio): WARC/1.0 and 1.1, gzip handled
+as concatenated members (Common Crawl writes ONE gzip member per record
+so ranges can be fetched independently; Python's gzip module reads the
+concatenation transparently). Only `WARC-Type: response` records with
+an `application/http` payload become pages; request/metadata/warcinfo
+records and malformed records are skipped PER RECORD — one corrupt
+record never drops the file, let alone the task (O23 discipline).
+
+Scale shape: `spark.read.format("binaryFile")` distributes one WARC
+file per task — Common Crawl segments are ~1 GB, the natural partition
+unit (a 100 TB crawl is ~10^5 files → 10^5 tasks; set
+`spark.sql.files.maxPartitionBytes` high enough that binaryFile never
+splits a member mid-record, which it cannot anyway since each file is
+one row). Decompress + record walk + text extraction all happen inside
+one Arrow-batched mapInPandas pass; the text-extraction regex is the
+same parse_cc hot path the crawl bench measures. Language ID runs
+AFTERWARDS as JVM column algebra (textkit.lang_id_multi) — no Python.
+
+The reference has no bulk-archive ingestion at all (its scrapers fetch
+live pages one URL at a time — see ga_scraper.py's per-URL requests
+loop); this connector is the batch-side complement the 10^10 posture
+needs.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import zlib
+from collections.abc import Iterator
+from datetime import datetime, timezone
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import textkit
+from ..parsers.families import parse_cc
+
+RAW_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, "
+    "http_status int, mime string, warc_file string"
+)
+
+_GZ_MAGIC = b"\x1f\x8b"
+
+
+def _decompress(blob: bytes) -> bytes:
+    """Transparent multi-member gzip (Common-Crawl member-per-record),
+    member by member: a corrupt member (bad CRC / truncated deflate)
+    drops ONLY itself — we resync on the next gzip magic and keep
+    going, so one damaged record never discards a 1 GB segment."""
+    if blob[:2] != _GZ_MAGIC:
+        return blob
+    out = bytearray()
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        try:
+            d = zlib.decompressobj(wbits=31)
+            chunk = d.decompress(blob[pos:])
+            d.flush()
+            out += chunk
+            rest = d.unused_data
+            pos = n - len(rest) if rest else n
+        except zlib.error:
+            nxt = blob.find(b"\x1f\x8b\x08", pos + 1)
+            if nxt < 0:
+                break
+            pos = nxt
+    return bytes(out)
+
+
+def iter_warc_records(blob: bytes) -> Iterator[tuple[dict, bytes]]:
+    """Yield (warc_headers, payload_bytes) per well-formed record.
+
+    Malformed framing (bad version line, unparsable Content-Length,
+    truncated payload) SKIPS to the next record boundary rather than
+    raising — per-record failure isolation."""
+    data = _decompress(blob)
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # seek the next version line
+        start = data.find(b"WARC/", pos)
+        if start < 0:
+            return
+        hdr_end = data.find(b"\r\n\r\n", start)
+        if hdr_end < 0:
+            return
+        head = data[start:hdr_end].decode("utf-8", errors="replace")
+        lines = head.split("\r\n")
+        if not lines[0].startswith("WARC/1."):
+            pos = start + 5
+            continue
+        headers: dict[str, str] = {}
+        for line in lines[1:]:
+            if ":" in line:
+                k, v = line.split(":", 1)
+                headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            pos = hdr_end + 4
+            continue
+        body_start = hdr_end + 4
+        if length < 0 or body_start + length > n:
+            pos = body_start
+            continue
+        yield headers, data[body_start : body_start + length]
+        pos = body_start + length
+
+
+def _parse_http_payload(payload: bytes) -> tuple[int, str, bytes]:
+    """(status, mime, body) from an application/http response payload."""
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0:
+        return 0, "", payload
+    head = payload[:sep].decode("utf-8", errors="replace")
+    lines = head.split("\r\n")
+    status = 0
+    parts = lines[0].split()
+    if len(parts) >= 2 and parts[0].startswith("HTTP/"):
+        try:
+            status = int(parts[1])
+        except ValueError:
+            status = 0
+    mime = ""
+    for line in lines[1:]:
+        if line.lower().startswith("content-type:"):
+            mime = line.split(":", 1)[1].strip().split(";")[0].strip()
+            break
+    return status, mime, payload[sep + 4 :]
+
+
+def _parse_warc_ts(raw: str):
+    try:
+        return datetime.strptime(raw, "%Y-%m-%dT%H:%M:%SZ").replace(
+            tzinfo=timezone.utc
+        ).replace(tzinfo=None)
+    except ValueError:
+        return None
+
+
+def warc_blob_to_rows(blob: bytes, warc_file: str = "") -> list[dict]:
+    """All response pages in one WARC blob — shared by the Spark reader
+    and the committed-oracle generator so both sides parse identically."""
+    rows = []
+    for headers, payload in iter_warc_records(blob):
+        if headers.get("warc-type") != "response":
+            continue
+        if not headers.get("content-type", "").startswith("application/http"):
+            continue
+        url = headers.get("warc-target-uri", "")
+        if not url:
+            continue
+        status, mime, body = _parse_http_payload(payload)
+        _meta, _children, text = parse_cc(body)
+        rows.append(
+            {
+                "url": url,
+                "warc_ts": _parse_warc_ts(headers.get("warc-date", "")),
+                "html": body,
+                "text": text,
+                "http_status": status,
+                "mime": mime,
+                "warc_file": warc_file,
+            }
+        )
+    return rows
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Read `.warc` / `.warc.gz` files under ``path`` into the canonical
+    pages schema (plus a `lang` column via JVM-side textkit). One file
+    per input row (binaryFile), one Arrow pass per partition."""
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["url", "warc_ts", "html", "text", "http_status", "mime", "warc_file"]
+        for b in batches:
+            rows: list[dict] = []
+            for path_, content in zip(b["path"], b["content"]):
+                rows.extend(warc_blob_to_rows(bytes(content), str(path_)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    raw = files.mapInPandas(run, RAW_SCHEMA)
+    return raw.withColumn("lang", textkit.lang_id_multi(F.col("text")))
+
+
+# --------------------------------------------------- writer (tests/bench)
+
+def synth_warc(records: list[dict], member_per_record: bool = True) -> bytes:
+    """Deterministic WARC/1.0 bytes for tests: ``records`` carry url /
+    ts (ISO-Z string) / html (bytes) / optional status, mime. With
+    ``member_per_record`` each record is its own gzip member (the
+    Common-Crawl layout); otherwise one plain uncompressed stream."""
+    out = bytearray()
+    for i, r in enumerate(records):
+        body = r["html"]
+        status = int(r.get("status", 200))
+        mime = r.get("mime", "text/html")
+        http = (
+            f"HTTP/1.1 {status} OK\r\nContent-Type: {mime}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body
+        head = (
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:uuid:{i:032x}>\r\n"
+            f"WARC-Date: {r['ts']}\r\n"
+            f"WARC-Target-URI: {r['url']}\r\n"
+            "Content-Type: application/http; msgtype=response\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode()
+        rec = head + http + b"\r\n\r\n"
+        if member_per_record:
+            gz = io.BytesIO()
+            # mtime pinned for byte-determinism across runs
+            with gzip.GzipFile(fileobj=gz, mode="wb", mtime=0) as f:
+                f.write(rec)
+            out += gz.getvalue()
+        else:
+            out += rec
+    return bytes(out)
+
+
+def synth_warc_corpus() -> list[tuple[str, bytes]]:
+    """Deterministic 3-file WARC corpus for the q56 value gate: 60
+    response records with varied markup, one non-response record that
+    must be skipped, and one gzip member corrupted IN A FIXED POSITION
+    (file b, member 3) so the gate also pins the member-resync
+    behavior. Shared by the Spark query (q56) and the committed-oracle
+    generator (scripts/gen_q56_oracle.py) — both sides parse the exact
+    same bytes."""
+    import hashlib
+
+    langwords = {
+        0: "the and of to a in is that it for",
+        1: "der und die das nicht ist ein ich",
+        2: "el la de que y en un ser se no",
+        3: "le de un etre et a il avoir ne je",
+    }
+
+    def page(i: int) -> bytes:
+        w = hashlib.md5(f"warc-{i}".encode()).hexdigest()
+        words = " ".join(w[j : j + 4] for j in range(0, 24, 4))
+        rows = "".join(
+            f"<tr><td>cell{i}-{r}</td><td>{r * i}</td></tr>" for r in range(i % 4)
+        )
+        return (
+            f"<html><head><title>Page {i}</title><style>.x{{color:red}}</style>"
+            f"</head><body><h1>Heading {i}</h1><p>{langwords[i % 4]} {words}</p>"
+            f"<table>{rows}</table><script>var p={i};</script></body></html>"
+        ).encode()
+
+    recs = [
+        {
+            "url": f"http://site-{i % 7}.example.com/page/{i}",
+            "ts": f"2024-03-{1 + i % 28:02d}T{i % 24:02d}:00:00Z",
+            "html": page(i),
+            "status": 200 if i % 9 else 404,
+            "mime": "text/html" if i % 11 else "text/plain",
+        }
+        for i in range(60)
+    ]
+    a = synth_warc(recs[:20])
+    b = bytearray(synth_warc(recs[20:40]))
+    c = synth_warc(recs[40:], member_per_record=False)
+    # append a request record that the reader must skip
+    req = (
+        b"WARC/1.0\r\nWARC-Type: request\r\n"
+        b"WARC-Record-ID: <urn:uuid:req>\r\n"
+        b"WARC-Date: 2024-03-01T00:00:00Z\r\n"
+        b"WARC-Target-URI: http://site-0.example.com/skip\r\n"
+        b"Content-Type: application/http; msgtype=request\r\n"
+        b"Content-Length: 18\r\n\r\nGET /skip HTTP/1.1\r\n\r\n"
+    )
+    c = c + req
+    # deterministically corrupt member 3 of file b (record 23 drops)
+    import re as _re
+
+    bounds = [m.start() for m in _re.finditer(b"\x1f\x8b\x08", bytes(b))]
+    b[bounds[3] + 40] ^= 0xFF
+    return [("a.warc.gz", a), ("b.warc.gz", bytes(b)), ("c.warc", c)]

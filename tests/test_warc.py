@@ -1,0 +1,139 @@
+"""WARC source connector tests (sources/warc.py).
+
+The reference fetches live pages one URL at a time (ga_scraper.py's
+per-URL requests loop) and has no archive ingestion; this connector is
+the Common-Crawl-style batch loader for the canonical pages table.
+Covers record framing, HTTP payload parsing, member-wise gzip resync,
+per-record failure isolation, and the distributed read path.
+"""
+
+import os
+import shutil
+
+import pytest
+
+from outage_data_scraper_spark.parsers.families import parse_cc
+from outage_data_scraper_spark.sources import warc
+
+
+def _recs(n, start=0):
+    return [
+        {
+            "url": f"http://ex-{i}.com/p",
+            "ts": f"2024-03-{1 + i % 28:02d}T12:00:{i % 60:02d}Z",
+            "html": (
+                f"<html><head><style>a{{}}</style></head><body><h1>T{i}</h1>"
+                f"<p>word{i} the and of</p><script>x={i}</script></body></html>"
+            ).encode(),
+        }
+        for i in range(start, start + n)
+    ]
+
+
+def test_roundtrip_gzip_and_plain():
+    recs = _recs(8)
+    for member_per_record in (True, False):
+        blob = warc.synth_warc(recs, member_per_record=member_per_record)
+        rows = warc.warc_blob_to_rows(blob, "f")
+        assert [r["url"] for r in rows] == [r["url"] for r in recs]
+        assert all(r["http_status"] == 200 and r["mime"] == "text/html" for r in rows)
+        assert rows[0]["warc_ts"].isoformat() == "2024-03-01T12:00:00"
+        # extracted text is EXACTLY the parse_cc invariant over the body
+        for i, (r, src) in enumerate(zip(rows, recs)):
+            assert r["text"] == parse_cc(src["html"])[2]
+            assert r["text"] == f"T{i} word{i} the and of"
+
+
+def test_non_response_records_skipped():
+    blob = warc.synth_warc(_recs(2), member_per_record=False)
+    req = (
+        b"WARC/1.0\r\nWARC-Type: request\r\n"
+        b"WARC-Date: 2024-03-01T00:00:00Z\r\n"
+        b"WARC-Target-URI: http://ex-0.com/skip\r\n"
+        b"Content-Type: application/http; msgtype=request\r\n"
+        b"Content-Length: 18\r\n\r\nGET /skip HTTP/1.1\r\n\r\n"
+    )
+    info = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+        b"WARC-Date: 2024-03-01T00:00:00Z\r\n"
+        b"Content-Type: application/warc-fields\r\n"
+        b"Content-Length: 10\r\n\r\nrobots: ok\r\n\r\n"
+    )
+    rows = warc.warc_blob_to_rows(info + blob + req)
+    assert [r["url"] for r in rows] == ["http://ex-0.com/p", "http://ex-1.com/p"]
+
+
+def test_corrupt_gzip_member_drops_only_itself():
+    import re
+
+    blob = bytearray(warc.synth_warc(_recs(6)))
+    bounds = [m.start() for m in re.finditer(b"\x1f\x8b\x08", bytes(blob))]
+    assert len(bounds) == 6
+    blob[bounds[2] + 40] ^= 0xFF
+    urls = [r["url"] for r in warc.warc_blob_to_rows(bytes(blob))]
+    assert urls == [f"http://ex-{i}.com/p" for i in (0, 1, 3, 4, 5)]
+
+
+def test_malformed_framing_skips_per_record():
+    good = warc.synth_warc(_recs(2), member_per_record=False)
+    bad_len = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Date: 2024-03-01T00:00:00Z\r\n"
+        b"WARC-Target-URI: http://bad.com/\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n"
+        b"Content-Length: NOT_A_NUMBER\r\n\r\nxxxx\r\n\r\n"
+    )
+    truncated = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Date: 2024-03-01T00:00:00Z\r\n"
+        b"WARC-Target-URI: http://trunc.com/\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n"
+        b"Content-Length: 99999\r\n\r\nshort"
+    )
+    rows = warc.warc_blob_to_rows(bad_len + good + truncated)
+    assert [r["url"] for r in rows] == ["http://ex-0.com/p", "http://ex-1.com/p"]
+    # fuzz: random corruption never raises
+    import random
+
+    rng = random.Random(3)
+    base = warc.synth_warc(_recs(4))
+    for _ in range(300):
+        b = bytearray(base)
+        for _ in range(rng.randrange(1, 6)):
+            b[rng.randrange(len(b))] ^= rng.randrange(1, 256)
+        warc.warc_blob_to_rows(bytes(b))  # must not raise
+
+
+def test_http_payload_parse_variants():
+    s, m, body = warc._parse_http_payload(
+        b"HTTP/1.1 301 Moved\r\nLocation: /x\r\n"
+        b"Content-Type: text/html; charset=utf-8\r\n\r\n<b>x</b>"
+    )
+    assert (s, m, body) == (301, "text/html", b"<b>x</b>")
+    s, m, body = warc._parse_http_payload(b"no http header here")
+    assert s == 0 and body == b"no http header here"
+
+
+def test_read_warc_distributed(spark, tmp_path):
+    d = str(tmp_path / "warcs")
+    os.makedirs(d)
+    for name, blob in warc.synth_warc_corpus():
+        with open(os.path.join(d, name), "wb") as f:
+            f.write(blob)
+    pages = warc.read_warc(spark, d)
+    rows = pages.collect()
+    assert len(rows) == 59  # 60 − the pinned corrupt member
+    by_url = {r.url: r for r in rows}
+    assert all(r.lang in {"en", "de", "es", "fr"} for r in rows)
+    # statuses/mimes survive the HTTP parse
+    assert {r.http_status for r in rows} == {200, 404}
+    assert {r.mime for r in rows} == {"text/html", "text/plain"}
+    # byte-identity: html column is the exact response body
+    src = {
+        r["url"]: r
+    for name, blob in warc.synth_warc_corpus()
+        for r in warc.warc_blob_to_rows(blob, name)
+    }
+    for url, r in by_url.items():
+        assert bytes(r.html) == src[url]["html"]
+        assert r.text == src[url]["text"]
