@@ -685,6 +685,16 @@ def q56_warc_ingest(spark, sf_dir):
     )
 
 
+def q57_bigram_lm_score(spark, sf_dir):
+    """Corpus-trained bigram LM quality score (operators/lm.py): per doc
+    the average negative log-likelihood of its bigrams under the add-one
+    corpus model — the CCNet/KenLM-family filter signal. NLL summed in
+    integer micro-nats so the value gate is immune to float sum order."""
+    from outage_data_scraper_spark.operators.lm import bigram_lm_scores
+
+    return bigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
 def q28_multimodal_features(spark, sf_dir):
     """Multimodal feature extraction, VALUE-LEVEL check: image assets
     cycle raw P6 PPM, zlib-deflate PNG and baseline JPEG containers,
@@ -1111,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_decontaminate": q54_decontaminate,
         "q55_video_frame_features": q55_video_frame_features,
         "q56_warc_ingest": q56_warc_ingest,
+        "q57_bigram_lm_score": q57_bigram_lm_score,
     }
 
 
@@ -1643,6 +1654,34 @@ def oracle_sql() -> dict[str, str]:
             FROM sh
             WHERE doc_id >= 25 AND s IN (SELECT s FROM bench)
             GROUP BY 1
+        """,
+        # q57: per-bigram NLL rounded to integer micro-nats BEFORE the
+        # per-doc sum — integer aggregation is immune to float sum
+        # order; ln matches bit-for-bit (q50 precedent)
+        "q57_bigram_lm_score": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+            uni AS (
+              SELECT t, count(*) AS c1
+              FROM (SELECT unnest(w) AS t FROM toks) GROUP BY 1
+            ),
+            v AS (SELECT count(*)::DOUBLE AS v FROM uni),
+            big AS (
+              SELECT doc_id,
+                     unnest([w[i+1] || ' ' || w[i+2]
+                             for i in generate_series(0, len(w) - 2)]) AS bg
+              FROM toks WHERE len(w) >= 2
+            ),
+            bgc AS (SELECT bg, count(*) AS c12 FROM big GROUP BY 1),
+            scored AS (
+              SELECT doc_id,
+                     CAST(round(-ln((c12 + 1.0) / (c1 + v.v)) * 1e6) AS BIGINT) AS m
+              FROM big JOIN bgc USING (bg)
+                   JOIN uni ON uni.t = split_part(big.bg, ' ', 1), v
+            )
+            SELECT doc_id,
+                   count(*)::BIGINT AS n_bigrams,
+                   round(sum(m) / (count(*) * 1e6), 4) AS avg_nll
+            FROM scored GROUP BY 1
         """,
         # q48: exact mirror of sampling.hash_bucket / split_column
         # (md5 → top-15-hex BIGINT → mod 100 → cumulative thresholds)

@@ -970,3 +970,21 @@ def test_extract_frame_features_real_video(spark):
     )
     got = {r.asset_id for r in multimodal.extract_frame_features(corrupt, every=2).collect()}
     assert got == {5, 8, 11}
+
+
+def test_bigram_lm_scores_hand_checked(spark):
+    """q57: add-one bigram self-perplexity on a 3-doc corpus small
+    enough to compute by hand. V=3 (a,b,z); c(a)=c(b)=3, c(z)=1;
+    P(a b)=(3+1)/(3+3), P(b a)=(1+1)/(3+3)."""
+    import math
+
+    from outage_data_scraper_spark.operators.lm import bigram_lm_scores
+
+    docs = _docs(spark, ["a b a b", "a b", "z"])
+    got = {r.doc_id: (r.n_bigrams, r.avg_nll) for r in bigram_lm_scores(docs).collect()}
+    nll_ab = round(-math.log(4 / 6) * 1e6)
+    nll_ba = round(-math.log(2 / 6) * 1e6)
+    exp0 = round((2 * nll_ab + nll_ba) / 3e6, 4)
+    exp1 = round(nll_ab / 1e6, 4)
+    assert got == {0: (3, exp0), 1: (1, exp1)}, got  # doc 2: no bigrams, no row
+    assert exp0 == 0.6365 and exp1 == 0.4055
