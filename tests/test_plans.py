@@ -241,3 +241,34 @@ def test_ann_index_partition_pruned_probe(spark, tmp_path):
     import os
     n_dirs = len([d for d in os.listdir(ivf_path) if d.startswith("ivf_cell=")])
     assert n_dirs >= 3  # index actually split into multiple lists
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """q54: the benchmark shingle set must broadcast — the 10^10-doc
+    corpus side must never shuffle on the shingle key."""
+    import __spark_entry__ as e
+    from outage_data_scraper_spark.plans import assert_broadcast_join
+
+    q = e.q54_decontaminate(spark, SF)
+    assert_broadcast_join(q, n_min=1)
+
+
+def test_stratified_mix_zero_shuffle(spark):
+    """q53: hash-threshold sampling is decidable per row — the plan must
+    be filter-over-scan with no Exchange at all."""
+    import __spark_entry__ as e
+    from outage_data_scraper_spark.plans import count_exchanges
+
+    assert count_exchanges(e.q53_stratified_mix(spark, SF)) == 0
+
+
+def test_bigram_lm_shuffle_budget(spark):
+    """q57: two count aggregations + two joins + the per-doc agg over a
+    shared corpus scan — the static plan must stay within 7 exchanges
+    (train+score in one pass; a frozen-model variant would broadcast
+    the count tables instead)."""
+    import __spark_entry__ as e
+    from outage_data_scraper_spark.plans import count_exchanges
+
+    n = count_exchanges(e.q57_bigram_lm_score(spark, SF))
+    assert n <= 7, n
