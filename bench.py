@@ -64,6 +64,8 @@ EXTENDED = [
     "q47_near_dup_clusters",
     "q49_span_dedup",
     "q51_clean_corpus_pipeline",
+    "q54_decontaminate",
+    "q57_bigram_lm_score",
 ]
 
 

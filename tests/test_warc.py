@@ -137,3 +137,25 @@ def test_read_warc_distributed(spark, tmp_path):
     for url, r in by_url.items():
         assert bytes(r.html) == src[url]["html"]
         assert r.text == src[url]["text"]
+
+
+def test_warc_to_pages_canonical_and_catalog_append(spark, tmp_path):
+    """An archive batch must land in the SAME pages table the live
+    crawler writes: canonical column set + the (url_bucket, warc_day)
+    partition spec, appended through SnapshotCatalog."""
+    from outage_data_scraper_spark.catalog import SnapshotCatalog
+
+    d = str(tmp_path / "warcs")
+    os.makedirs(d)
+    for name, blob in warc.synth_warc_corpus():
+        with open(os.path.join(d, name), "wb") as f:
+            f.write(blob)
+    pages = warc.warc_to_pages(warc.read_warc(spark, d))
+    assert pages.columns == [
+        "url", "warc_ts", "html", "text", "lang", "url_bucket", "warc_day"
+    ]
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    cat.write("pages", pages, wave=0, partition_by=["url_bucket", "warc_day"])
+    back = cat.read(spark, "pages")
+    assert back.count() == 59
+    assert set(back.columns) >= {"url", "warc_ts", "text", "lang"}
