@@ -695,6 +695,23 @@ def q57_bigram_lm_score(spark, sf_dir):
     return bigram_lm_scores(_t(spark, sf_dir, "documents"))
 
 
+def q58_pagerank(spark, sf_dir):
+    """PageRank crawl-priority signal (operators/graph.py) over the
+    symmetrized q19 near-dup edge list, 5 rounds, damping 0.85 —
+    integer micro-unit ranks make the iterative fixpoint bit-exact
+    cross-engine (the oracle unrolls the 5 rounds as chained CTEs)."""
+    from outage_data_scraper_spark.operators.graph import pagerank_micro
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, k_shingle=3, min_jaccard=0.12)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    out = pagerank_micro(edges, nodes, n_iter=5, damping=0.85)
+    return out.select(F.col("node").alias("doc_id"), "rank_micro")
+
+
 def q28_multimodal_features(spark, sf_dir):
     """Multimodal feature extraction, VALUE-LEVEL check: image assets
     cycle raw P6 PPM, zlib-deflate PNG and baseline JPEG containers,
@@ -1122,6 +1139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_video_frame_features": q55_video_frame_features,
         "q56_warc_ingest": q56_warc_ingest,
         "q57_bigram_lm_score": q57_bigram_lm_score,
+        "q58_pagerank": q58_pagerank,
     }
 
 
@@ -1140,6 +1158,49 @@ _PUNCT_RATIO = (
     "(length(text) - length(regexp_replace(text, '[.,;:!?''\"()\\[\\]-]', '', 'g')))::DOUBLE"
     " / length(text) END"
 )
+
+
+def _q58_oracle(n_iter: int = 5) -> str:
+    """q58's oracle, assembled at call time: the integer-micro PageRank
+    fixpoint unrolled as one chained CTE per round (possible ONLY
+    because every intermediate rank is an integer — see
+    operators/graph.py). (1 - 0.85) is written as that expression so
+    the base-term double is bit-identical to the Spark literal."""
+    rounds = []
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        rounds.append(f"""
+            r{i} AS (
+              SELECT nd.node,
+                     (SELECT CAST(round((1 - 0.85) * 1000000 / n.n) AS BIGINT) FROM n)
+                       + COALESCE(s.s, 0) AS r
+              FROM nodes nd LEFT JOIN (
+                SELECT e.dst AS node,
+                       SUM(CAST(round(0.85 * p.r / dg.d) AS BIGINT)) AS s
+                FROM edges e
+                JOIN {prev} p ON p.node = e.src
+                JOIN deg dg ON dg.src = e.src
+                GROUP BY 1
+              ) s ON s.node = nd.node
+            )""")
+        prev = f"r{i}"
+    return f"""
+            WITH pairs AS (SELECT id_a, id_b FROM ({_Q19_PAIRS_SQL})),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL
+              SELECT id_b, id_a FROM pairs
+            ),
+            deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+            nodes AS (SELECT doc_id AS node FROM documents),
+            n AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+            r0 AS (
+              SELECT node, (SELECT CAST(round(1000000 / n.n) AS BIGINT) FROM n) AS r
+              FROM nodes
+            ),
+            {",".join(rounds)}
+            SELECT node AS doc_id, r AS rank_micro FROM {prev}
+    """
 
 
 def _q23_oracle() -> str:
@@ -1275,6 +1336,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, warc_ts, http_status, mime, n_chars, text_sig, warc_name
             FROM read_parquet('{os.path.join(_oracle_dir, "q56_expected.parquet")}')
         """,
+        "q58_pagerank": _q58_oracle(),
         "q23_ann_lsh_topk": _q23_oracle(),
         # q45 probes the PERSISTED index at q23's exact operating point
         # (n_planes=12, seed=42, multiprobe, k=10) — same oracle; q46 is

@@ -1,0 +1,85 @@
+"""Link-graph algorithms for crawl prioritization.
+
+PageRank is THE frontier-priority signal a web-scale crawler feeds back
+into its queue (the reference's scrapers have a fixed seed list and no
+link analysis; our frontier's priority column is exactly where these
+ranks plug in — frontier/priority.py sorts on it).
+
+Cross-engine exactness: ranks are kept in integer MICRO-units. Each
+round computes, per edge, round(damping · r_u / outdeg_u) as an
+integer BEFORE the destination sum, so every intermediate state is an
+integer both engines reproduce bit-for-bit — a float PageRank's
+per-node sums depend on partition order and can drift an ulp per
+round, compounding across iterations. The integer fixpoint is also
+what makes the DuckDB oracle possible as a finite chained-CTE unroll.
+
+Scale shape (10^10 edges): each round is the canonical join-groupBy
+pair (edges ⋈ ranks on src → sum by dst). Ranks and degrees are
+node-sized; edges dominate. The rank side shuffles on src once per
+round and Catalyst reuses the edge partitioning across rounds;
+localCheckpoint truncates the per-round lineage (the CLAUDE.md
+iterative-loop invariant — Catalyst analysis time on nested iterative
+plans otherwise grows faster than the data). Dangling mass is dropped,
+not redistributed: ranks are consumed ORDINALLY for crawl
+prioritization, and the uniform dangling term shifts all ranks
+equally.
+"""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _half_up(x: float) -> int:
+    """Round-half-up of a double — bit-matches Spark F.round(…, 0) and
+    DuckDB round() on the same double (CLAUDE.md: Decimal(float)
+    .quantize HALF_UP reproduces Spark F.round exactly)."""
+    return int(Decimal(x).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
+
+
+def pagerank_micro(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_iter: int = 5,
+    damping: float = 0.85,
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """PageRank over directed ``edges`` (src, dst) for every row of
+    ``nodes`` (node), returned as (node, rank_micro: long).
+
+    r⁰(v) = round(unit/N);
+    rᵏ(v) = round((1−damping)·unit/N) + Σ_{u→v} round(damping·rᵏ⁻¹(u)/deg(u)).
+    Isolated nodes settle at the base term. The (1−damping) factor is
+    computed as the literal expression ``1 − damping`` so the oracle's
+    SQL constant is the identical double."""
+    n = nodes.count()
+    base = _half_up((1 - damping) * unit / n)
+    r0 = _half_up(unit / n)
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = nodes.select("node", F.lit(r0).cast("long").alias("r"))
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.lit(damping) * F.col("r") / F.col("deg"), 0)
+                .cast("long")
+                .alias("c"),
+            )
+        )
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce(F.col("s"), F.lit(0)))
+                .cast("long")
+                .alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.col("r").alias("rank_micro"))

@@ -988,3 +988,43 @@ def test_bigram_lm_scores_hand_checked(spark):
     exp1 = round(nll_ab / 1e6, 4)
     assert got == {0: (3, exp0), 1: (1, exp1)}, got  # doc 2: no bigrams, no row
     assert exp0 == 0.6365 and exp1 == 0.4055
+
+
+def test_pagerank_micro_matches_sequential_reference(spark):
+    """q58: distributed integer-micro PageRank vs an independent
+    sequential fold with the same rounding rule; isolated nodes settle
+    at the base term; determinism across runs."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from outage_data_scraper_spark.operators.graph import pagerank_micro
+
+    E = [(0, 1), (1, 0), (1, 2), (2, 0), (3, 0)]  # 4 connected + isolated 4
+    N, d, unit, iters = 5, 0.85, 1_000_000, 4
+    edges = spark.createDataFrame(E, "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(N)], "node long")
+    got = {
+        r.node: r.rank_micro
+        for r in pagerank_micro(edges, nodes, n_iter=iters, damping=d).collect()
+    }
+
+    def hu(x):
+        return int(Decimal(x).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
+
+    deg = {}
+    for s, _ in E:
+        deg[s] = deg.get(s, 0) + 1
+    base = hu((1 - d) * unit / N)
+    r = {v: hu(unit / N) for v in range(N)}
+    for _ in range(iters):
+        nxt = {v: base for v in range(N)}
+        for s, t in E:
+            nxt[t] += hu(d * r[s] / deg[s])
+        r = nxt
+    assert got == r, (got, r)
+    assert got[4] == base  # isolated: base term only
+    assert got[0] == max(got.values())  # 3 in-links → top rank
+    again = {
+        x.node: x.rank_micro
+        for x in pagerank_micro(edges, nodes, n_iter=iters, damping=d).collect()
+    }
+    assert again == got
