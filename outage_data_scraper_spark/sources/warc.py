@@ -115,11 +115,12 @@ def iter_warc_records(blob: bytes) -> Iterator[tuple[dict, bytes]]:
         pos = body_start + length
 
 
-def _parse_http_payload(payload: bytes) -> tuple[int, str, bytes]:
-    """(status, mime, body) from an application/http response payload."""
+def _parse_http_payload(payload: bytes) -> tuple[int, str, str, bytes]:
+    """(status, mime, charset, body) from an application/http response
+    payload. charset is the declared one ('' when absent)."""
     sep = payload.find(b"\r\n\r\n")
     if sep < 0:
-        return 0, "", payload
+        return 0, "", "", payload
     head = payload[:sep].decode("utf-8", errors="replace")
     lines = head.split("\r\n")
     status = 0
@@ -129,12 +130,31 @@ def _parse_http_payload(payload: bytes) -> tuple[int, str, bytes]:
             status = int(parts[1])
         except ValueError:
             status = 0
-    mime = ""
+    mime, charset = "", ""
     for line in lines[1:]:
         if line.lower().startswith("content-type:"):
-            mime = line.split(":", 1)[1].strip().split(";")[0].strip()
+            value = line.split(":", 1)[1]
+            segs = [s.strip() for s in value.split(";")]
+            mime = segs[0]
+            for s in segs[1:]:
+                if s.lower().startswith("charset="):
+                    charset = s.split("=", 1)[1].strip().strip('"').lower()
             break
-    return status, mime, payload[sep + 4 :]
+    return status, mime, charset, payload[sep + 4 :]
+
+
+def _body_for_extraction(body: bytes, charset: str) -> bytes:
+    """Transcode a declared non-UTF-8 body to UTF-8 for text
+    extraction (the stored `html` column stays the RAW bytes — the
+    byte-identity invariant is on the archive payload, the extraction
+    operates on the declared encoding). Unknown/invalid charsets fall
+    back to the raw bytes (parse_cc's utf-8-replace decode)."""
+    if not charset or charset in ("utf-8", "utf8", "ascii", "us-ascii"):
+        return body
+    try:
+        return body.decode(charset, errors="replace").encode("utf-8")
+    except LookupError:
+        return body
 
 
 def _parse_warc_ts(raw: str):
@@ -158,8 +178,8 @@ def warc_blob_to_rows(blob: bytes, warc_file: str = "") -> list[dict]:
         url = headers.get("warc-target-uri", "")
         if not url:
             continue
-        status, mime, body = _parse_http_payload(payload)
-        _meta, _children, text = parse_cc(body)
+        status, mime, charset, body = _parse_http_payload(payload)
+        _meta, _children, text = parse_cc(_body_for_extraction(body, charset))
         rows.append(
             {
                 "url": url,
@@ -247,8 +267,9 @@ def synth_warc(records: list[dict], member_per_record: bool = True) -> bytes:
 
 
 def synth_warc_corpus() -> list[tuple[str, bytes]]:
-    """Deterministic 3-file WARC corpus for the q56 value gate: 60
-    response records with varied markup, one non-response record that
+    """Deterministic 3-file WARC corpus for the q56 value gate: 61
+    response records with varied markup (incl. one declared-latin-1
+    page pinning charset transcode), one non-response record that
     must be skipped, and one gzip member corrupted IN A FIXED POSITION
     (file b, member 3) so the gate also pins the member-resync
     behavior. Shared by the Spark query (q56) and the committed-oracle
@@ -285,6 +306,17 @@ def synth_warc_corpus() -> list[tuple[str, bytes]]:
         }
         for i in range(60)
     ]
+    # one declared-latin-1 page pins the charset-transcode path
+    recs.append(
+        {
+            "url": "http://site-l1.example.com/latin",
+            "ts": "2024-03-15T15:00:00Z",
+            "html": "<html><body>caf\xe9 d\xe9j\xe0 vu le der</body></html>".encode(
+                "iso-8859-1"
+            ),
+            "mime": "text/html; charset=ISO-8859-1",
+        }
+    )
     a = synth_warc(recs[:20])
     b = bytearray(synth_warc(recs[20:40]))
     c = synth_warc(recs[40:], member_per_record=False)

@@ -7,7 +7,7 @@ warc_ts, http_status, mime, n_chars and the md5 of the extracted text.
 The driver's oracle SQL SELECTs this file while Spark recomputes
 through binaryFile → member-wise gunzip → record walk → parse_cc — any
 drift in framing, resync, HTTP parsing or text extraction breaks the
-value hash (including the pinned corrupt-member drop: exactly 59 rows).
+value hash (including the pinned corrupt-member drop: exactly 60 rows).
 
 Regenerate ONLY when the WARC parse or corpus changes intentionally:
 python scripts/gen_q56_oracle.py  (from the repo root)

@@ -105,13 +105,36 @@ def test_malformed_framing_skips_per_record():
 
 
 def test_http_payload_parse_variants():
-    s, m, body = warc._parse_http_payload(
+    s, m, cs, body = warc._parse_http_payload(
         b"HTTP/1.1 301 Moved\r\nLocation: /x\r\n"
         b"Content-Type: text/html; charset=utf-8\r\n\r\n<b>x</b>"
     )
-    assert (s, m, body) == (301, "text/html", b"<b>x</b>")
-    s, m, body = warc._parse_http_payload(b"no http header here")
+    assert (s, m, cs, body) == (301, "text/html", "utf-8", b"<b>x</b>")
+    s, m, cs, body = warc._parse_http_payload(b"no http header here")
     assert s == 0 and body == b"no http header here"
+
+
+def test_declared_charset_transcodes_for_extraction():
+    """A latin-1 page keeps its RAW bytes in `html` but extracts text
+    through the declared encoding; unknown charsets fall back to the
+    utf-8-replace path instead of raising."""
+    body = "<html><body>caf\xe9 r\xe9sum\xe9</body></html>".encode("iso-8859-1")
+    rec = [{
+        "url": "http://latin1.example.com/",
+        "ts": "2024-03-05T00:00:00Z",
+        "html": body,
+        "mime": "text/html; charset=ISO-8859-1",
+    }]
+    rows = warc.warc_blob_to_rows(warc.synth_warc(rec))
+    assert rows[0]["html"] == body  # archive bytes untouched
+    assert rows[0]["text"] == "café résumé"
+    assert rows[0]["mime"] == "text/html"
+    # undeclared: mojibake-replace, never an exception
+    rec[0]["mime"] = "text/html"
+    assert "caf" in warc.warc_blob_to_rows(warc.synth_warc(rec))[0]["text"]
+    # unknown charset label: falls back to raw bytes
+    rec[0]["mime"] = "text/html; charset=not-a-real-charset"
+    assert "caf" in warc.warc_blob_to_rows(warc.synth_warc(rec))[0]["text"]
 
 
 def test_read_warc_distributed(spark, tmp_path):
@@ -122,7 +145,7 @@ def test_read_warc_distributed(spark, tmp_path):
             f.write(blob)
     pages = warc.read_warc(spark, d)
     rows = pages.collect()
-    assert len(rows) == 59  # 60 − the pinned corrupt member
+    assert len(rows) == 60  # 61 − the pinned corrupt member
     by_url = {r.url: r for r in rows}
     assert all(r.lang in {"en", "de", "es", "fr"} for r in rows)
     # statuses/mimes survive the HTTP parse
@@ -157,5 +180,5 @@ def test_warc_to_pages_canonical_and_catalog_append(spark, tmp_path):
     cat = SnapshotCatalog(str(tmp_path / "cat"))
     cat.write("pages", pages, wave=0, partition_by=["url_bucket", "warc_day"])
     back = cat.read(spark, "pages")
-    assert back.count() == 59
+    assert back.count() == 60
     assert set(back.columns) >= {"url", "warc_ts", "text", "lang"}
