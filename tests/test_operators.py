@@ -1028,3 +1028,54 @@ def test_pagerank_micro_matches_sequential_reference(spark):
         for x in pagerank_micro(edges, nodes, n_iter=iters, damping=d).collect()
     }
     assert again == got
+
+
+def test_reprioritize_frontier_pagerank_feedback(spark):
+    """Host PageRank feeds the frontier: the ranked host pops before
+    priority-0 hosts, within-host reference order is untouched, and
+    non-pending rows keep their priority."""
+    from outage_data_scraper_spark.frontier.priority import pop_wave
+    from outage_data_scraper_spark.operators.graph import (
+        pagerank_micro, reprioritize_frontier,
+    )
+
+    rows = []
+    for h, host in enumerate(["a.com", "b.com", "c.com"]):
+        for i in range(3):
+            rows.append(
+                (f"http://{host}/{i}", host, 0, 0.0, 0, h, i, 0,
+                 None, None, None, None, "pending", 0)
+            )
+    rows.append(("http://a.com/done", "a.com", 0, 0.0, 0, 0, 9, 0,
+                 None, None, None, None, "fetched", 0))
+    frontier = spark.createDataFrame(
+        rows,
+        "url string, host string, salted_part int, priority double, depth int, "
+        "event_seq int, seed_seq int, child_seq int, state string, layout string, "
+        "emc string, family string, status string, wave int",
+    )
+    # c.com is the hub: a→c, b→c, c→a
+    edges = spark.createDataFrame(
+        [("a.com", "c.com"), ("b.com", "c.com"), ("c.com", "a.com")],
+        "src string, dst string",
+    )
+    hosts = spark.createDataFrame(
+        [("a.com",), ("b.com",), ("c.com",)], "node string"
+    )
+    ranks = pagerank_micro(edges, hosts, n_iter=3)
+    rmap = {r.node: r.rank_micro for r in ranks.collect()}
+    assert rmap["c.com"] == max(rmap.values())
+
+    re_f = reprioritize_frontier(frontier, ranks)
+    # fetched row untouched
+    done = re_f.filter(F.col("status") == "fetched").first()
+    assert done.priority == 0.0
+    popped = pop_wave(re_f, per_host_k=2, num_parts=4).collect()
+    by_host = {}
+    for r in sorted(popped, key=lambda r: (r.priority, r.seed_seq)):
+        by_host.setdefault(r.host, []).append(r.url)
+    # within-host order is still the ordering law (seed_seq ascending)
+    assert by_host["c.com"] == ["http://c.com/0", "http://c.com/1"]
+    # and the hub host carries the lowest (first) priority
+    prios = {r.host: r.priority for r in popped}
+    assert prios["c.com"] < prios["a.com"] < 0 and prios["b.com"] < 0
