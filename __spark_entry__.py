@@ -712,6 +712,42 @@ def q58_pagerank(spark, sf_dir):
     return out.select(F.col("node").alias("doc_id"), "rank_micro")
 
 
+def q59_quality_filter_v2(spark, sf_dir):
+    """Composed modern filter stack, second composition point (q51 is
+    the dedup-centric one): Gopher rules ∧ within-doc repetition cap
+    (dup_span_frac ≤ 0.05) ∧ corpus bigram-LM cap (avg_nll ≤ 3.43,
+    the ~p80 of this corpus) — kept docs with both scalar signals.
+    Thresholds compare the ROUNDED values both engines emit, so the
+    kept set is engine-identical by construction."""
+    from outage_data_scraper_spark.operators.lm import bigram_lm_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", "text", textkit.tokens(F.col("text")).alias("toks"))
+    gop = toked.select(
+        "doc_id", textkit.gopher_keep(F.col("text"), F.col("toks")).alias("keep")
+    )
+    rep = docs.select(
+        "doc_id",
+        F.round(
+            textkit.dup_span_fraction(
+                F.split(textkit.normalized(F.col("text")), " "), 4
+            ),
+            4,
+        ).alias("dup_span_frac"),
+    )
+    lm = bigram_lm_scores(docs).select("doc_id", "avg_nll")
+    return (
+        gop.join(rep, "doc_id")
+        .join(lm, "doc_id")
+        .filter(
+            F.col("keep")
+            & (F.col("dup_span_frac") <= 0.05)
+            & (F.col("avg_nll") <= 3.43)
+        )
+        .select("doc_id", "dup_span_frac", "avg_nll")
+    )
+
+
 def q28_multimodal_features(spark, sf_dir):
     """Multimodal feature extraction, VALUE-LEVEL check: image assets
     cycle raw P6 PPM, zlib-deflate PNG and baseline JPEG containers,
@@ -1140,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_warc_ingest": q56_warc_ingest,
         "q57_bigram_lm_score": q57_bigram_lm_score,
         "q58_pagerank": q58_pagerank,
+        "q59_quality_filter_v2": q59_quality_filter_v2,
     }
 
 
@@ -1314,7 +1351,7 @@ def _merger_reference_oracles(oracle_dir: str) -> dict[str, str]:
 def oracle_sql() -> dict[str, str]:
     _oracle_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "testoracle")
     _q28_expected = os.path.join(_oracle_dir, "q28_expected.parquet")
-    return {
+    oracles = {
         **_merger_reference_oracles(_oracle_dir),
         # the committed expected-signature parquet (see q28's docstring);
         # DuckDB reads it directly — the comparison is value-level because
@@ -2161,3 +2198,15 @@ def oracle_sql() -> dict[str, str]:
             FROM gaps GROUP BY 1
         """,
     }
+    # q59 composes three already-gated oracles (gopher verdict ∧
+    # repetition cap ∧ LM cap) — thresholds compare the ROUNDED values
+    # both engines emit, so the kept set is identical by construction
+    oracles["q59_quality_filter_v2"] = f"""
+        WITH g AS (SELECT doc_id, keep FROM ({oracles["q43_gopher_quality_rules"]})),
+             r AS (SELECT doc_id, dup_span_frac FROM ({oracles["q52_repetition_metrics"]})),
+             l AS (SELECT doc_id, avg_nll FROM ({oracles["q57_bigram_lm_score"]}))
+        SELECT g.doc_id, r.dup_span_frac, l.avg_nll
+        FROM g JOIN r USING (doc_id) JOIN l USING (doc_id)
+        WHERE g.keep AND r.dup_span_frac <= 0.05 AND l.avg_nll <= 3.43
+    """
+    return oracles
