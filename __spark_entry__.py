@@ -669,10 +669,11 @@ def q56_warc_ingest(spark, sf_dir):
     d = f"/tmp/spark_graft_warc_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}"
     os.makedirs(d, exist_ok=True)
     for name, blob in warc.synth_warc_corpus():
-        p = os.path.join(d, name)
-        if not os.path.exists(p) or os.path.getsize(p) != len(blob):
-            with open(p, "wb") as f:
-                f.write(blob)
+        # unconditional write (KB-sized): a size-only freshness check
+        # would silently reuse stale bytes after a same-length corpus
+        # change and gate Spark against bytes the oracle no longer has
+        with open(os.path.join(d, name), "wb") as f:
+            f.write(blob)
     pages = warc.read_warc(spark, d)
     return pages.select(
         "url",
@@ -726,14 +727,15 @@ def q59_quality_filter_v2(spark, sf_dir):
     gop = toked.select(
         "doc_id", textkit.gopher_keep(F.col("text"), F.col("toks")).alias("keep")
     )
+    # tokens hoisted into a prior projection — span_chunks' HOF lambda
+    # re-evaluates a raw split-expression per element (textkit contract)
     rep = docs.select(
+        "doc_id", F.split(textkit.normalized(F.col("text")), " ").alias("rtoks")
+    ).select(
         "doc_id",
-        F.round(
-            textkit.dup_span_fraction(
-                F.split(textkit.normalized(F.col("text")), " "), 4
-            ),
-            4,
-        ).alias("dup_span_frac"),
+        F.round(textkit.dup_span_fraction(F.col("rtoks"), 4), 4).alias(
+            "dup_span_frac"
+        ),
     )
     lm = bigram_lm_scores(docs).select("doc_id", "avg_nll")
     return (
@@ -1201,19 +1203,22 @@ def _q58_oracle(n_iter: int = 5) -> str:
     """q58's oracle, assembled at call time: the integer-micro PageRank
     fixpoint unrolled as one chained CTE per round (possible ONLY
     because every intermediate rank is an integer — see
-    operators/graph.py). (1 - 0.85) is written as that expression so
-    the base-term double is bit-identical to the Spark literal."""
+    operators/graph.py). Every damping factor is ::DOUBLE-cast: bare
+    DuckDB literals type 0.85 * BIGINT as exact DECIMAL, which feeds a
+    DIFFERENT double into round() than Spark's F.lit(0.85) — the casts
+    make both engines round the identical IEEE value."""
     rounds = []
     prev = "r0"
     for i in range(1, n_iter + 1):
         rounds.append(f"""
             r{i} AS (
               SELECT nd.node,
-                     (SELECT CAST(round((1 - 0.85) * 1000000 / n.n) AS BIGINT) FROM n)
+                     (SELECT CAST(round((1::DOUBLE - 0.85::DOUBLE) * 1000000 / n.n)
+                                  AS BIGINT) FROM n)
                        + COALESCE(s.s, 0) AS r
               FROM nodes nd LEFT JOIN (
                 SELECT e.dst AS node,
-                       SUM(CAST(round(0.85 * p.r / dg.d) AS BIGINT)) AS s
+                       SUM(CAST(round(0.85::DOUBLE * p.r / dg.d) AS BIGINT)) AS s
                 FROM edges e
                 JOIN {prev} p ON p.node = e.src
                 JOIN deg dg ON dg.src = e.src

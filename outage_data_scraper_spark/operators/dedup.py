@@ -492,19 +492,14 @@ def span_dedup(
         F.split(textkit.normalized(F.col(text_col)), " ").alias("__toks"),
     )
     tcol = F.col("__toks")
-    n_spans_col = F.ceil(F.size(tcol) / F.lit(float(span_tokens))).cast("int")
-    spans = F.transform(
-        F.sequence(F.lit(0), n_spans_col - 1),
-        lambda i: F.struct(
-            i.alias("pos"),
-            F.array_join(
-                F.slice(tcol, i * span_tokens + 1, span_tokens), " "
-            ).alias("txt"),
+    # one span-unit construction for the whole engine (q49 ≡ q52):
+    # posexplode recovers the in-doc position the reassembly sorts on
+    flat = base.select(
+        F.col(id_col),
+        F.posexplode(textkit.span_chunks(tcol, span_tokens)).alias(
+            "pos", "span_text"
         ),
     )
-    flat = base.filter(F.size(tcol) > 0).select(
-        F.col(id_col), F.explode(spans).alias("s")
-    ).select(id_col, F.col("s.pos").alias("pos"), F.col("s.txt").alias("span_text"))
     counts = flat.groupBy("span_text").agg(
         F.count_distinct(F.col(id_col)).alias("df")
     )

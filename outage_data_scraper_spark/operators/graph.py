@@ -56,6 +56,8 @@ def pagerank_micro(
     computed as the literal expression ``1 − damping`` so the oracle's
     SQL constant is the identical double."""
     n = nodes.count()
+    if n == 0:  # cold start / empty host graph: empty ranks, not a crash
+        return nodes.select("node", F.lit(0).cast("long").alias("rank_micro"))
     base = _half_up((1 - damping) * unit / n)
     r0 = _half_up(unit / n)
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))

@@ -167,6 +167,9 @@ class _BitWriter:
             self.out.append(byte)
             if byte == 0xFF:  # byte stuffing
                 self.out.append(0x00)
+        # drop emitted bits — an unmasked acc grows monotonically and
+        # turns every later shift into an O(total-bits) bigint op
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> None:
         if self.nbits:
@@ -512,8 +515,10 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[list, int]:
     fps = 0
     frames = []
 
-    def walk(data: bytes) -> None:
+    def walk(data: bytes, depth: int = 0) -> None:
         nonlocal fps
+        if depth > 16:  # RIFF nesting is ~3 deep; adversarial nesting
+            raise ValueError("avi: LIST nesting too deep")  # not RecursionError
         pos = 0
         while pos + 8 <= len(data):
             fourcc = data[pos : pos + 4]
@@ -522,7 +527,7 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[list, int]:
             if len(body) != size:
                 raise ValueError("avi: truncated chunk")
             if fourcc == b"LIST":
-                walk(body[4:])
+                walk(body[4:], depth + 1)
             elif fourcc == b"strh" and body[:4] == b"vids":
                 if len(body) < 28:
                     raise ValueError("avi: truncated strh")

@@ -115,12 +115,14 @@ def frontier_rows_from_sitemap(
 
     priority = −sitemap_priority (ordering law pops ASCENDING, sitemap
     hints are 0..1 descending-importance), default 0.5 per the protocol;
-    seed_seq preserves the document's ENTRY order (the parsed `pos`)
-    via a per-file window so equal-priority URLs pop in sitemap order —
-    the same determinism contract as event-file seeds."""
+    seed_seq is a GLOBAL row number over (sitemap_file, pos) — per-file
+    numbering would tie the full ordering-law key across files and make
+    pop order nondeterministic. The global window is a total order, the
+    price of the determinism contract; sitemap batches are protocol-
+    bounded (50k URLs/doc), so the sort is seed-sized, not corpus-sized."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("sitemap_file").orderBy("pos")
+    w = Window.orderBy("sitemap_file", "pos")
     urls = entries.filter(F.col("kind") == "url")
     return urls.select(
         "url",

@@ -59,14 +59,22 @@ def _decompress(blob: bytes) -> bytes:
     out = bytearray()
     pos = 0
     n = len(blob)
+    mv = memoryview(blob)  # chunked feed: never copy the whole tail
+    CHUNK = 1 << 20
     while pos < n:
         try:
             d = zlib.decompressobj(wbits=31)
-            chunk = d.decompress(blob[pos:])
-            d.flush()
-            out += chunk
-            rest = d.unused_data
-            pos = n - len(rest) if rest else n
+            fed = pos
+            while not d.eof and fed < n:
+                piece = mv[fed : fed + CHUNK]
+                out += d.decompress(piece)
+                fed += len(piece)
+            if not d.eof:
+                break  # truncated final member — framing parser copes
+            out += d.flush()
+            # unused_data is at most the tail of the LAST fed chunk, so
+            # the per-member copy is bounded by CHUNK, not by the file
+            pos = fed - len(d.unused_data)
         except zlib.error:
             nxt = blob.find(b"\x1f\x8b\x08", pos + 1)
             if nxt < 0:

@@ -133,3 +133,31 @@ def test_multimodal_dispatch_uses_jpeg_and_avi():
     # malformed jpeg magic → labeled fake, never an exception
     feat, label = multimodal.payload_features(b"\xff\xd8garbage", 8)
     assert label == "fake-blake2b"
+
+
+def test_deeply_nested_avi_list_raises_value_error_not_recursion():
+    """Adversarial RIFF nesting must surface as ValueError (caught per
+    row upstream), never RecursionError (which would abort the task)."""
+    import struct as _struct
+
+    inner = b"\x00" * 4
+    for _ in range(2000):
+        inner = b"LIST" + _struct.pack("<I", len(inner) + 4) + b"hdrl" + inner
+    payload = b"RIFF" + _struct.pack("<I", len(inner) + 4) + b"AVI " + inner
+    with pytest.raises(ValueError):
+        jpeg.decode_avi_mjpeg(payload)
+
+
+def test_bitwriter_acc_stays_bounded():
+    """Regression: an unmasked accumulator turns encode into O(n²)
+    bigint shifts — encoding a 256x256 noisy frame must stay fast."""
+    import time
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (256, 256, 3), dtype=np.uint8)
+    t0 = time.monotonic()
+    enc = jpeg.encode_jpeg(img)
+    wall = time.monotonic() - t0
+    assert wall < 20, wall  # unmasked acc takes minutes here
+    dec = jpeg.decode_jpeg(enc)
+    assert dec.shape == img.shape

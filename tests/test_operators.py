@@ -1079,3 +1079,11 @@ def test_reprioritize_frontier_pagerank_feedback(spark):
     # and the hub host carries the lowest (first) priority
     prios = {r.host: r.priority for r in popped}
     assert prios["c.com"] < prios["a.com"] < 0 and prios["b.com"] < 0
+
+
+def test_pagerank_empty_node_set_returns_empty(spark):
+    from outage_data_scraper_spark.operators.graph import pagerank_micro
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    nodes = spark.createDataFrame([], "node long")
+    assert pagerank_micro(edges, nodes, n_iter=3).count() == 0

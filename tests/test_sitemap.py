@@ -68,3 +68,24 @@ def test_frontier_rows_pop_in_priority_then_document_order(spark, tmp_path):
     assert order == [
         "http://s.example.com/a", "http://s.example.com/c", "http://s.example.com/b"
     ]
+
+
+def test_cross_file_seed_seq_is_a_total_order(spark, tmp_path):
+    """Two files with identical default-priority entries must still get
+    DISTINCT (priority, event_seq, seed_seq, ...) keys — per-file
+    numbering would tie the ordering law across files and make pop
+    order nondeterministic."""
+    d = str(tmp_path / "maps")
+    os.makedirs(d)
+    doc = f'<urlset {NS}><url><loc>http://HOST/p</loc></url></urlset>'
+    with open(os.path.join(d, "a.xml"), "w") as f:
+        f.write(doc.replace("HOST", "h1.com"))
+    with open(os.path.join(d, "b.xml"), "w") as f:
+        f.write(doc.replace("HOST", "h2.com"))
+    frontier = sitemap.frontier_rows_from_sitemap(sitemap.read_sitemaps(spark, d))
+    rows = frontier.collect()
+    keys = {(r.priority, r.event_seq, r.seed_seq, r.depth, r.child_seq) for r in rows}
+    assert len(keys) == len(rows) == 2  # no ties anywhere
+    # and stable across evaluations
+    again = {r.url: r.seed_seq for r in frontier.collect()}
+    assert again == {r.url: r.seed_seq for r in rows}
