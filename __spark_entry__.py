@@ -2149,8 +2149,12 @@ def oracle_sql() -> dict[str, str]:
               FROM brk
             ),
             marked AS (
-              SELECT *, (out >= 0.05 * tracked) AS above,
-                     coalesce(lag(out >= 0.05 * tracked)
+              -- 0.05::DOUBLE: a bare literal types DECIMAL and the exact
+              -- product diverges from Spark's double 0.05*tracked at
+              -- boundary rows (out == 5% of tracked); the reference
+              -- computes in Python floats, so DOUBLE is the true twin
+              SELECT *, (out >= 0.05::DOUBLE * tracked) AS above,
+                     coalesce(lag(out >= 0.05::DOUBLE * tracked)
                               OVER (PARTITION BY utility, seg_id ORDER BY ts), FALSE) AS prev_above
               FROM seg
             ),
