@@ -750,6 +750,30 @@ def q59_quality_filter_v2(spark, sf_dir):
     )
 
 
+def q60_corpus_card(spark, sf_dir):
+    """Corpus card: per (split, lang) doc/token/char totals — the
+    reporting table a training-mix decision is actually made from
+    (split via the deterministic md5 hash split, q48's column). One
+    scan, one partial-aggregated shuffle on the tiny (split, lang) key."""
+    from outage_data_scraper_spark.operators.sampling import split_column
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            split_column(F.col("doc_id")).alias("split"),
+            "lang",
+            textkit.token_count(F.col("text")).alias("nt"),
+            F.length("text").cast("long").alias("nc"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+            F.sum("nc").alias("n_chars"),
+        )
+    )
+
+
 def q28_multimodal_features(spark, sf_dir):
     """Multimodal feature extraction, VALUE-LEVEL check: image assets
     cycle raw P6 PPM, zlib-deflate PNG and baseline JPEG containers,
@@ -1179,6 +1203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_bigram_lm_score": q57_bigram_lm_score,
         "q58_pagerank": q58_pagerank,
         "q59_quality_filter_v2": q59_quality_filter_v2,
+        "q60_corpus_card": q60_corpus_card,
     }
 
 
@@ -1786,6 +1811,19 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_bigrams,
                    round(sum(m) / (count(*) * 1e6), 4) AS avg_nll
             FROM scored GROUP BY 1
+        """,
+        # q60: split via q48's md5 arithmetic; token counts via q14's
+        # _N_TOKS — integer sums, immune to aggregation order
+        "q60_corpus_card": f"""
+            SELECT CASE WHEN ('0x' || substr(md5('split-1' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+                        WHEN ('0x' || substr(md5('split-1' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split,
+                   lang,
+                   count(*)::BIGINT AS n_docs,
+                   sum(({_N_TOKS})::BIGINT)::BIGINT AS n_tokens,
+                   sum(length(text))::BIGINT AS n_chars
+            FROM documents
+            GROUP BY 1, 2
         """,
         # q48: exact mirror of sampling.hash_bucket / split_column
         # (md5 → top-15-hex BIGINT → mod 100 → cumulative thresholds)

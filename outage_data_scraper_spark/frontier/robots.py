@@ -80,3 +80,19 @@ def robots_gate(candidates: DataFrame, robots: DataFrame, default_allow: bool = 
         .withColumn("crawl_delay", F.col("__r_delay"))
         .drop("__r_host", "__r_policy", "__r_disallow", "__r_delay")
     )
+
+
+def sitemap_urls(body: str) -> list[str]:
+    """`Sitemap:` directives from a robots.txt body (UA-independent per
+    the protocol — they live outside user-agent groups). First hop of
+    the robots → sitemap → frontier discovery chain: fetch these, then
+    feed the documents to sources/sitemap.read_sitemaps /
+    frontier_rows_from_sitemap."""
+    out: list[str] = []
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if line.lower().startswith("sitemap:"):
+            url = line.split(":", 1)[1].strip()
+            if url:
+                out.append(url)
+    return out

@@ -216,3 +216,21 @@ def test_small_host_paces_at_full_rate_despite_salt(spark):
     waits = sorted(r.wait_s for r in fetched)
     assert waits[0] == 0.0
     assert all(abs(w - 0.5) < 1e-9 for w in waits[1:]), waits
+
+
+def test_sitemap_directives_extracted_ua_independent():
+    from outage_data_scraper_spark.frontier.robots import sitemap_urls
+
+    body = """# comment
+User-agent: somebody-else
+Disallow: /private
+Sitemap: https://a.example.com/sitemap.xml
+User-agent: *
+Disallow: /tmp
+sitemap: https://a.example.com/sitemap-news.xml.gz  # trailing comment
+Sitemap:
+"""
+    assert sitemap_urls(body) == [
+        "https://a.example.com/sitemap.xml",
+        "https://a.example.com/sitemap-news.xml.gz",
+    ]
