@@ -662,16 +662,16 @@ def q56_warc_ingest(spark, sf_dir):
     HTTP parse → parse_cc text extraction. VALUE-gated against
     testoracle/q56_expected.parquet (scripts/gen_q56_oracle.py stamps
     it from the same bytes via the same shared pure parser)."""
-    import hashlib as _hl
+    import tempfile
 
     from outage_data_scraper_spark.sources import warc
 
-    d = f"/tmp/spark_graft_warc_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}"
-    os.makedirs(d, exist_ok=True)
+    # fresh private dir per call: a shared /tmp path accumulates stale
+    # files from prior corpus revisions (read_warc globs the whole dir)
+    # and races concurrent runs mid-write — both feed Spark bytes the
+    # committed oracle doesn't have
+    d = tempfile.mkdtemp(prefix="spark_graft_warc_")
     for name, blob in warc.synth_warc_corpus():
-        # unconditional write (KB-sized): a size-only freshness check
-        # would silently reuse stale bytes after a same-length corpus
-        # change and gate Spark against bytes the oracle no longer has
         with open(os.path.join(d, name), "wb") as f:
             f.write(blob)
     pages = warc.read_warc(spark, d)

@@ -332,8 +332,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     both caught per row upstream (multimodal.payload_features)."""
     try:
         return _decode_jpeg(payload)
-    except struct.error as e:  # short slice in a corrupt segment
-        raise ValueError(f"jpeg: truncated segment ({e})") from e
+    except (struct.error, IndexError) as e:  # short slice/segment in a
+        raise ValueError(f"jpeg: truncated segment ({e})") from e  # corrupt stream
 
 
 def _decode_jpeg(payload: bytes) -> np.ndarray:
@@ -385,8 +385,11 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             if seg[0] != 8:
                 raise NotImplementedError("jpeg: only 8-bit precision")
             h, w = struct.unpack(">HH", seg[1:5])
-            if h * w > 100_000_000:
-                raise ValueError("jpeg: unreasonable dimensions")
+            # this decode path feeds per-row feature extraction; the
+            # coeff+plane buffers cost ~36 B/px, so cap well below what
+            # a crafted few-hundred-byte SOF could make us allocate
+            if h * w > 8_000_000:
+                raise ValueError("jpeg: dimensions beyond feature-path cap")
             ncomp = seg[5]
             for ci in range(ncomp):
                 cid, samp, qid = seg[6 + 3 * ci : 9 + 3 * ci]

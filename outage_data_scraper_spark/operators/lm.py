@@ -40,7 +40,10 @@ def bigram_lm_scores(
     uni_stream = docs.select(
         F.explode(F.split(textkit.normalized(text), " ")).alias("t")
     )
-    uni = uni_stream.groupBy("t").agg(F.count("*").alias("c1"))
+    # persist BEFORE the eager |V| count: without it the count job and
+    # the scored join each run their own full explode+groupBy over the
+    # corpus — a duplicated corpus-wide shuffle at 10^10 docs
+    uni = uni_stream.groupBy("t").agg(F.count("*").alias("c1")).persist()
     vocab = uni.count()  # one scalar to the driver — the |V| constant
 
     big = docs.select(

@@ -23,13 +23,19 @@ DEFAULT_WEIGHTS: tuple[tuple[str, int], ...] = (
 )
 
 
+def _hash60(id_col: Column, seed: str) -> Column:
+    """md5(seed || id) top-15-hex as a 60-bit long — the ONE hashing
+    chain behind both hash_bucket (q48) and uniform01 (q53); their
+    DuckDB oracle twins mirror this exact construction, so any change
+    here must change both oracles in lockstep."""
+    h = F.md5(F.concat(F.lit(seed), id_col.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+
+
 def hash_bucket(id_col: Column, seed: str = "split-1", buckets: int = 100) -> Column:
     """Deterministic bucket in [0, buckets): md5(seed || id) as a 60-bit
     int, mod buckets."""
-    h = F.md5(F.concat(F.lit(seed), id_col.cast("string")))
-    return F.pmod(
-        F.conv(F.substring(h, 1, 15), 16, 10).cast("long"), F.lit(buckets)
-    )
+    return F.pmod(_hash60(id_col, seed), F.lit(buckets))
 
 
 def split_column(
@@ -66,14 +72,10 @@ def hash_split(
 
 
 def uniform01(id_col: Column, seed: str = "mix-1") -> Column:
-    """Deterministic uniform in [0, 1): md5(seed || id) top-15-hex as a
-    60-bit int over 2^60. Same bit-for-bit in DuckDB as
+    """Deterministic uniform in [0, 1): the shared 60-bit hash over
+    2^60. Same bit-for-bit in DuckDB as
     ('0x' || substr(md5(...), 1, 15))::BIGINT / 2^60."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(seed), id_col.cast("string"))), 1, 15),
-        16, 10,
-    ).cast("long")
-    return h / F.lit(float(1 << 60))
+    return _hash60(id_col, seed) / F.lit(float(1 << 60))
 
 
 def stratified_sample(

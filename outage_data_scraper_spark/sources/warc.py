@@ -62,16 +62,20 @@ def _decompress(blob: bytes) -> bytes:
     mv = memoryview(blob)  # chunked feed: never copy the whole tail
     CHUNK = 1 << 20
     while pos < n:
+        member = bytearray()  # commit to `out` ONLY on clean member end:
+        # a corrupt member that already produced partial output must
+        # drop whole, or its bytes splice into the next record's body
         try:
             d = zlib.decompressobj(wbits=31)
             fed = pos
             while not d.eof and fed < n:
                 piece = mv[fed : fed + CHUNK]
-                out += d.decompress(piece)
+                member += d.decompress(piece)
                 fed += len(piece)
             if not d.eof:
                 break  # truncated final member — framing parser copes
-            out += d.flush()
+            member += d.flush()
+            out += member
             # unused_data is at most the tail of the LAST fed chunk, so
             # the per-member copy is bounded by CHUNK, not by the file
             pos = fed - len(d.unused_data)
@@ -166,12 +170,15 @@ def _body_for_extraction(body: bytes, charset: str) -> bytes:
 
 
 def _parse_warc_ts(raw: str):
-    try:
-        return datetime.strptime(raw, "%Y-%m-%dT%H:%M:%SZ").replace(
-            tzinfo=timezone.utc
-        ).replace(tzinfo=None)
-    except ValueError:
-        return None
+    # WARC/1.0 whole seconds; WARC/1.1 allows fractional seconds
+    for fmt in ("%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S.%fZ"):
+        try:
+            return datetime.strptime(raw, fmt).replace(
+                tzinfo=timezone.utc
+            ).replace(tzinfo=None)
+        except ValueError:
+            continue
+    return None
 
 
 def warc_blob_to_rows(blob: bytes, warc_file: str = "") -> list[dict]:

@@ -161,3 +161,25 @@ def test_bitwriter_acc_stays_bounded():
     assert wall < 20, wall  # unmasked acc takes minutes here
     dec = jpeg.decode_jpeg(enc)
     assert dec.shape == img.shape
+
+
+def test_short_sof_sos_segments_raise_value_error_not_index_error():
+    """Repro from review: SOF0/SOS with a tiny declared seglen must be
+    ValueError (caught per row), never IndexError (task abort)."""
+    for seg in (b"\xff\xc0\x00\x02", b"\xff\xda\x00\x02"):
+        with pytest.raises((ValueError, NotImplementedError)):
+            jpeg.decode_jpeg(b"\xff\xd8" + seg)
+    feat, label = multimodal.payload_features(b"\xff\xd8\xff\xc0\x00\x02", 8)
+    assert label == "fake-blake2b"
+
+
+def test_adversarial_dimensions_rejected_cheaply():
+    """A few-hundred-byte payload declaring huge SOF dims must raise
+    before allocating the coefficient buffers."""
+    import struct as _struct
+
+    good = bytearray(jpeg.encode_jpeg(_smooth(16, 16)))
+    sof = good.find(b"\xff\xc0")
+    good[sof + 5 : sof + 9] = _struct.pack(">HH", 10000, 10000)
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(bytes(good))

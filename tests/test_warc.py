@@ -182,3 +182,32 @@ def test_warc_to_pages_canonical_and_catalog_append(spark, tmp_path):
     back = cat.read(spark, "pages")
     assert back.count() == 60
     assert set(back.columns) >= {"url", "warc_ts", "text", "lang"}
+
+
+def test_large_corrupt_member_drops_whole_not_partial():
+    """A >1MB member corrupted past the chunk boundary must drop WHOLE:
+    committing its partial output would splice other records' bytes
+    into one Frankenstein record and swallow the good records behind it."""
+    import hashlib as _hl
+
+    # incompressible body so the COMPRESSED member exceeds the 1MB chunk
+    big_html = b"<html><body>" + b"".join(
+        _hl.sha256(i.to_bytes(4, "big")).digest() for i in range(60_000)
+    ) + b"</body></html>"
+    recs = [{"url": "http://big.com/", "ts": "2024-03-01T00:00:00Z", "html": big_html}]
+    recs += _recs(5)
+    blob = bytearray(warc.synth_warc(recs))
+    import re
+
+    bounds = [m.start() for m in re.finditer(b"\x1f\x8b\x08", bytes(blob))]
+    blob[bounds[0] + (1 << 20) + 100] ^= 0xFF  # corrupt beyond CHUNK
+    rows = warc.warc_blob_to_rows(bytes(blob))
+    assert [r["url"] for r in rows] == [f"http://ex-{i}.com/p" for i in range(5)]
+    for r, src in zip(rows, _recs(5)):  # byte-identity intact for survivors
+        assert r["html"] == src["html"]
+
+
+def test_warc11_fractional_second_dates_parse():
+    assert warc._parse_warc_ts("2024-03-01T12:00:00.123Z") is not None
+    assert warc._parse_warc_ts("2024-03-01T12:00:00Z") is not None
+    assert warc._parse_warc_ts("not-a-date") is None
