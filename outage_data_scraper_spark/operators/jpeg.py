@@ -186,66 +186,121 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, bits
 
 
-def encode_jpeg(arr: np.ndarray) -> bytes:
-    """Encode HxWx3 uint8 RGB (or HxW grayscale) as baseline JFIF,
-    4:4:4, Annex K quant + Huffman tables. Deterministic."""
+_SAMPLING = {  # name -> (luma_h, luma_v); chroma is always 1x1
+    "444": (1, 1),
+    "422": (2, 1),
+    "420": (2, 2),
+}
+
+
+def _encode_block(bw, zz, tsel, pred, ci, dc_codes, ac_codes):
+    """Entropy-encode one quantized zigzag block; returns new DC pred."""
+    diff = int(zz[0]) - pred[ci]
+    pred[ci] = int(zz[0])
+    size, bits = _magnitude(diff)
+    code, length = dc_codes[tsel][size]
+    bw.write(code, length)
+    if size:
+        bw.write(bits, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz[1:])[0])) + 1 if np.any(zz[1:]) else 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[tsel][0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, length = ac_codes[tsel][(run << 4) | size]
+        bw.write(code, length)
+        bw.write(bits, size)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[tsel][0x00]  # EOB
+        bw.write(code, length)
+
+
+def encode_jpeg(
+    arr: np.ndarray, subsampling: str = "444", restart_interval: int = 0
+) -> bytes:
+    """Encode HxWx3 uint8 RGB (or HxW grayscale) as baseline JFIF with
+    Annex K quant + Huffman tables. Deterministic.
+
+    ``subsampling``: '444' (no chroma subsampling), '422' (2x1 luma,
+    horizontally-halved chroma) or '420' (2x2 luma, box-mean-halved
+    chroma both ways — the dominant real-world layout).
+    ``restart_interval``: emit a DRI segment and RSTn markers every N
+    MCUs (0 = none) — the resync structure real encoders write."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, ncomp = arr.shape
     if ncomp == 1:
         planes = [arr[:, :, 0].astype(np.float64)]
+        samps = [(1, 1)]
     else:
         rgb = arr.astype(np.float64)
         y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
         cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2] + 128.0
         cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2] + 128.0
+        if subsampling not in _SAMPLING:
+            raise ValueError(f"jpeg: unknown subsampling {subsampling!r}")
+        lh, lv = _SAMPLING[subsampling]
+        if (lh, lv) != (1, 1):
+            # pad to the sampling multiple (edge), then box-mean pool
+            ph = (h + lv - 1) // lv * lv
+            pw = (w + lh - 1) // lh * lh
+            def pool(p):
+                p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+                return p.reshape(ph // lv, lv, pw // lh, lh).mean(axis=(1, 3))
+            cb, cr = pool(cb), pool(cr)
         planes = [y, cb, cr]
+        samps = [(lh, lv), (1, 1), (1, 1)]
 
     dc_codes = [_huffman_codes(*_DC_LUMA), _huffman_codes(*_DC_CHROMA)]
     ac_codes = [_huffman_codes(*_AC_LUMA), _huffman_codes(*_AC_CHROMA)]
     quants = [QUANT_LUMA, QUANT_CHROMA]
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
 
-    # quantized zigzag coefficients per component (vectorized DCT)
-    comp_coeffs, by = [], 0
+    # per component: pad the plane to the full MCU grid, then quantized
+    # zigzag coefficients on that grid (vectorized DCT)
+    comp_coeffs, comp_bx = [], []
     for ci, plane in enumerate(planes):
-        q = quants[min(ci, 1)]
-        blocks, by, bx = _blockify(plane - 128.0)
+        hi, vi = samps[ci]
+        gh, gw = mcuy * vi * 8, mcux * hi * 8
+        ph, pw = plane.shape
+        padded = np.pad(plane, ((0, gh - ph), (0, gw - pw)), mode="edge")
+        blocks, _, bx = _blockify(padded - 128.0)
         coef = np.einsum("ij,njk,lk->nil", _T, blocks, _T)
-        qz = np.round(coef / q).astype(np.int32)
+        qz = np.round(coef / quants[min(ci, 1)]).astype(np.int32)
         comp_coeffs.append(qz.reshape(-1, 64)[:, ZIGZAG])
+        comp_bx.append(bx)
 
     bw = _BitWriter()
     pred = [0] * len(planes)
-    for b in range(comp_coeffs[0].shape[0]):  # MCU == one block at 4:4:4
+    rst = 0
+    n_mcus = mcux * mcuy
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()
+            bw.out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) & 7
+            pred = [0] * len(planes)
+        my, mx = divmod(m, mcux)
         for ci in range(len(planes)):
-            tsel = min(ci, 1)
-            zz = comp_coeffs[ci][b]
-            diff = int(zz[0]) - pred[ci]
-            pred[ci] = int(zz[0])
-            size, bits = _magnitude(diff)
-            code, length = dc_codes[tsel][size]
-            bw.write(code, length)
-            if size:
-                bw.write(bits, size)
-            run = 0
-            last_nz = int(np.max(np.nonzero(zz[1:])[0])) + 1 if np.any(zz[1:]) else 0
-            for k in range(1, last_nz + 1):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = ac_codes[tsel][0xF0]  # ZRL
-                    bw.write(code, length)
-                    run -= 16
-                size, bits = _magnitude(v)
-                code, length = ac_codes[tsel][(run << 4) | size]
-                bw.write(code, length)
-                bw.write(bits, size)
-                run = 0
-            if last_nz < 63:
-                code, length = ac_codes[tsel][0x00]  # EOB
-                bw.write(code, length)
+            hi, vi = samps[ci]
+            for v in range(vi):
+                for u in range(hi):
+                    bidx = (my * vi + v) * comp_bx[ci] + (mx * hi + u)
+                    _encode_block(
+                        bw, comp_coeffs[ci][bidx], min(ci, 1), pred, ci,
+                        dc_codes, ac_codes,
+                    )
     bw.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -257,13 +312,16 @@ def encode_jpeg(arr: np.ndarray) -> bytes:
     # SOF0
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * len(planes), 8, h, w, len(planes))
     for ci in range(len(planes)):
-        out += struct.pack("BBB", ci + 1, 0x11, min(ci, 1))
+        hi, vi = samps[ci]
+        out += struct.pack("BBB", ci + 1, (hi << 4) | vi, min(ci, 1))
     # DHT
     for cls, tid, (bits, values) in (
         (0, 0, _DC_LUMA), (1, 0, _AC_LUMA), (0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA),
     )[: 2 if len(planes) == 1 else 4]:
         out += b"\xff\xc4" + struct.pack(">HB", 19 + len(values), (cls << 4) | tid)
         out += bytes(bits) + bytes(values)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOS
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(planes), len(planes))
     for ci in range(len(planes)):
@@ -316,6 +374,18 @@ class _BitReader:
                 return lut[(length, code)]
         raise ValueError("jpeg: bad huffman code")
 
+    def sync_restart(self) -> None:
+        """Byte-align and consume the expected RSTn marker (T.81 E.2.4:
+        pad bits discarded, markers byte-aligned in the scan)."""
+        self.nbits = 0
+        if self.pos + 2 > len(self.data):
+            raise ValueError("jpeg: truncated at restart marker")
+        if self.data[self.pos] != 0xFF or not (
+            0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("jpeg: expected restart marker")
+        self.pos += 2
+
 
 def _extend(bits: int, size: int) -> int:
     if size == 0:
@@ -344,6 +414,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     dc_luts: dict[int, dict] = {}
     ac_luts: dict[int, dict] = {}
     h = w = 0
+    restart_interval = 0
     comps: list[tuple[int, int, int]] = []  # (id, quant_tid, sampling)
     scan_sel: list[tuple[int, int, int]] = []  # (comp_idx, dc_tid, ac_tid)
     while pos + 4 <= len(payload):
@@ -393,14 +464,17 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             ncomp = seg[5]
             for ci in range(ncomp):
                 cid, samp, qid = seg[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
-                    raise NotImplementedError("jpeg: subsampled chroma")
+                hi, vi = samp >> 4, samp & 0xF
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                    raise NotImplementedError("jpeg: sampling factors beyond 2x2")
                 comps.append((cid, qid, samp))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("jpeg: non-baseline SOF")
-        elif marker == 0xDD:
-            raise NotImplementedError("jpeg: restart intervals")
+        elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("jpeg: truncated DRI")
+            restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
             ns = seg[0]
             if len(seg) < 1 + 2 * ns + 3:
@@ -422,43 +496,72 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
         if comps[ci][1] not in quant:
             raise ValueError("jpeg: component references missing quant table")
 
+    samps = [((s >> 4) & 0xF, s & 0xF) for (_, _, s) in comps]
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # per-comp block grid spans the full MCU grid (bcy x bcx)
+    grids = [(mcuy * vi, mcux * hi) for (hi, vi) in samps]
+    coeffs = [np.zeros((bcy * bcx, 64), dtype=np.int32) for (bcy, bcx) in grids]
+
     br = _BitReader(payload, pos)
-    by, bx = (h + 7) // 8, (w + 7) // 8
-    nblocks = by * bx
-    coeffs = [np.zeros((nblocks, 64), dtype=np.int32) for _ in comps]
     pred = [0] * len(comps)
-    for b in range(nblocks):
+
+    def decode_block(ci: int, dc_tid: int, ac_tid: int, bidx: int) -> None:
+        size = br.decode_huffman(dc_luts[dc_tid])
+        if size > 11:  # T.81 F.1.2.1.1: 8-bit DC categories are 0..11
+            raise ValueError("jpeg: DC magnitude category out of range")
+        diff = _extend(br.receive(size), size)
+        pred[ci] += diff
+        if not -(1 << 31) <= pred[ci] < (1 << 31):
+            raise ValueError("jpeg: DC predictor overflow")
+        zz = coeffs[ci][bidx]
+        zz[0] = pred[ci]
+        k = 1
+        while k < 64:
+            rs = br.decode_huffman(ac_luts[ac_tid])
+            run, size = rs >> 4, rs & 0xF
+            if size == 0:
+                if run == 15:
+                    k += 16  # ZRL
+                    continue
+                break  # EOB
+            k += run
+            if k > 63:
+                raise ValueError("jpeg: AC index overflow")
+            zz[k] = _extend(br.receive(size), size)
+            k += 1
+
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            br.sync_restart()
+            pred = [0] * len(comps)
+        my, mx = divmod(m, mcux)
         for (ci, dc_tid, ac_tid) in scan_sel:
-            size = br.decode_huffman(dc_luts[dc_tid])
-            if size > 11:  # T.81 F.1.2.1.1: 8-bit DC categories are 0..11
-                raise ValueError("jpeg: DC magnitude category out of range")
-            diff = _extend(br.receive(size), size)
-            pred[ci] += diff
-            if not -(1 << 31) <= pred[ci] < (1 << 31):
-                raise ValueError("jpeg: DC predictor overflow")
-            zz = coeffs[ci][b]
-            zz[0] = pred[ci]
-            k = 1
-            while k < 64:
-                rs = br.decode_huffman(ac_luts[ac_tid])
-                run, size = rs >> 4, rs & 0xF
-                if size == 0:
-                    if run == 15:
-                        k += 16  # ZRL
-                        continue
-                    break  # EOB
-                k += run
-                if k > 63:
-                    raise ValueError("jpeg: AC index overflow")
-                zz[k] = _extend(br.receive(size), size)
-                k += 1
+            hi, vi = samps[ci]
+            bcx = grids[ci][1]
+            for v in range(vi):
+                for u in range(hi):
+                    decode_block(
+                        ci, dc_tid, ac_tid, (my * vi + v) * bcx + (mx * hi + u)
+                    )
 
     planes = []
     for ci, (cid, qid, _) in enumerate(comps):
+        hi, vi = samps[ci]
+        bcy, bcx = grids[ci]
         deq = (coeffs[ci][:, _UNZIGZAG].reshape(-1, 8, 8)
                * quant[qid][None, :, :]).astype(np.float64)
         blocks = np.einsum("ji,njk,kl->nil", _T, deq, _T) + 128.0
-        planes.append(_deblockify(blocks, by, bx, h, w))
+        # component resolution, then nearest-upsample to full frame
+        ch = (h * vi + vmax - 1) // vmax
+        cw = (w * hi + hmax - 1) // hmax
+        plane = _deblockify(blocks, bcy, bcx, ch, cw)
+        if (hi, vi) != (hmax, vmax):
+            plane = np.repeat(np.repeat(plane, vmax // vi, axis=0),
+                              hmax // hi, axis=1)[:h, :w]
+        planes.append(plane)
 
     if len(planes) == 1:
         g = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)

@@ -183,3 +183,37 @@ def test_adversarial_dimensions_rejected_cheaply():
     good[sof + 5 : sof + 9] = _struct.pack(">HH", 10000, 10000)
     with pytest.raises(ValueError):
         jpeg.decode_jpeg(bytes(good))
+
+
+def test_chroma_subsampling_and_restart_intervals_roundtrip():
+    """Real-world layouts: 4:2:0 / 4:2:2 chroma and DRI/RSTn resync
+    markers decode natively; byte size shrinks with subsampling."""
+    img = _smooth(45, 62)
+    sizes = {}
+    for ss in ("444", "422", "420"):
+        for ri in (0, 3):
+            enc = jpeg.encode_jpeg(img, subsampling=ss, restart_interval=ri)
+            dec = jpeg.decode_jpeg(enc)
+            assert dec.shape == img.shape
+            err = np.abs(dec.astype(int) - img.astype(int))
+            assert err.mean() < 4, (ss, ri, err.mean())
+            sizes[(ss, ri)] = len(enc)
+    assert sizes[("420", 0)] < sizes[("422", 0)] < sizes[("444", 0)]
+    # odd (non-MCU-multiple) dims under 420 + restarts
+    odd = img[:17, :23]
+    d = jpeg.decode_jpeg(jpeg.encode_jpeg(odd, subsampling="420", restart_interval=2))
+    assert d.shape == odd.shape
+
+
+def test_subsampled_corruption_fuzz():
+    img = _smooth(32, 40)
+    good = jpeg.encode_jpeg(img, subsampling="420", restart_interval=2)
+    rng = random.Random(21)
+    for _ in range(1500):
+        b = bytearray(good)
+        for _ in range(rng.randrange(1, 4)):
+            b[rng.randrange(len(b))] ^= rng.randrange(1, 256)
+        try:
+            jpeg.decode_jpeg(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass  # only permitted failure modes
