@@ -774,6 +774,21 @@ def q60_corpus_card(spark, sf_dir):
     )
 
 
+def q61_revisit_schedule(spark, sf_dir):
+    """Adaptive revisit scheduling (frontier/revisit.py): per entity,
+    multiplicative backoff from the tail-unchanged streak of its fetch
+    history — volatile entities revisit at the floor interval, stable
+    ones back off exponentially (shift-based integer arithmetic, so the
+    oracle mirrors it exactly). Events stand in for the fetch log:
+    user_id = URL, event_type = content signature."""
+    from outage_data_scraper_spark.frontier.revisit import revisit_schedule
+
+    ev = _t(spark, sf_dir, "events")
+    return revisit_schedule(
+        ev, id_col="user_id", ts_col="ts", sig_col="event_type"
+    )
+
+
 def q28_multimodal_features(spark, sf_dir):
     """Multimodal feature extraction, VALUE-LEVEL check: image assets
     cycle raw P6 PPM, zlib-deflate PNG and baseline JPEG containers,
@@ -1204,6 +1219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_pagerank": q58_pagerank,
         "q59_quality_filter_v2": q59_quality_filter_v2,
         "q60_corpus_card": q60_corpus_card,
+        "q61_revisit_schedule": q61_revisit_schedule,
     }
 
 
@@ -1824,6 +1840,37 @@ def oracle_sql() -> dict[str, str]:
                    sum(length(text))::BIGINT AS n_chars
             FROM documents
             GROUP BY 1, 2
+        """,
+        # q61: tail-unchanged streak → shift-based backoff; every value
+        # integer (BIGINT shift, epoch seconds) so the gate is exact
+        "q61_revisit_schedule": """
+            WITH marked AS (
+              SELECT user_id AS entity, ts,
+                     (lag(event_type) OVER w IS NULL
+                      OR event_type <> lag(event_type) OVER w) AS changed
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            lc AS (
+              SELECT *, max(CASE WHEN changed THEN ts END)
+                          OVER (PARTITION BY entity) AS last_change_ts
+              FROM marked
+            ),
+            agg AS (
+              SELECT entity, count(*)::BIGINT AS n_fetches, max(ts) AS last_ts,
+                     sum(CASE WHEN ts > last_change_ts THEN 1 ELSE 0 END)::BIGINT AS tail_streak
+              FROM lc GROUP BY 1
+            ),
+            iv AS (
+              SELECT *, CASE WHEN tail_streak = 0 THEN 3600
+                             ELSE least(greatest(
+                                    86400::BIGINT << least(tail_streak - 1, 20)::INT,
+                                    3600), 2592000) END AS next_interval_s
+              FROM agg
+            )
+            SELECT entity, n_fetches, tail_streak,
+                   next_interval_s::BIGINT AS next_interval_s,
+                   (epoch(last_ts)::BIGINT + next_interval_s)::BIGINT AS next_fetch_epoch
+            FROM iv
         """,
         # q48: exact mirror of sampling.hash_bucket / split_column
         # (md5 → top-15-hex BIGINT → mod 100 → cumulative thresholds)

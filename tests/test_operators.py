@@ -1087,3 +1087,40 @@ def test_pagerank_empty_node_set_returns_empty(spark):
     edges = spark.createDataFrame([], "src long, dst long")
     nodes = spark.createDataFrame([], "node long")
     assert pagerank_micro(edges, nodes, n_iter=3).count() == 0
+
+
+def test_revisit_schedule_backoff_hand_checked(spark):
+    """q61's policy: volatile → floor; stable → base<<(streak−1)
+    clamped at max; first-ever fetch counts as changed."""
+    from outage_data_scraper_spark.frontier.revisit import revisit_schedule
+
+    rows = []
+    # u1: sig changes at last fetch → streak 0 → min interval
+    for i, sig in enumerate(["a", "a", "b"]):
+        rows.append(("u1", f"2024-03-01 10:0{i}:00", sig))
+    # u2: 2 trailing unchanged → 86400 << 1
+    for i, sig in enumerate(["a", "b", "b", "b"]):
+        rows.append(("u2", f"2024-03-01 10:0{i}:00", sig))
+    # u3: single fetch → changed → streak 0 → min
+    rows.append(("u3", "2024-03-01 10:00:00", "x"))
+    # u4: q then z×25 → last change at fetch 1 → 24 trailing unchanged
+    # → shift capped at 20 → clamped to max_s
+    for i in range(26):
+        rows.append(("u4", f"2024-03-01 10:{i:02d}:00", "z" if i else "q"))
+    hist = spark.createDataFrame(
+        rows, "url string, fetch_ts string, content_sig string"
+    ).withColumn("fetch_ts", F.to_timestamp("fetch_ts"))
+    got = {
+        r.entity: (r.n_fetches, r.tail_streak, r.next_interval_s)
+        for r in revisit_schedule(hist).collect()
+    }
+    assert got["u1"] == (3, 0, 3600)
+    assert got["u2"] == (4, 2, 86400 << 1)
+    assert got["u3"] == (1, 0, 3600)
+    assert got["u4"] == (26, 24, 30 * 86400)  # clamped at max
+    # epoch arithmetic: last fetch + interval
+    u2 = {r.entity: r for r in revisit_schedule(hist).collect()}["u2"]
+    import datetime as _dt
+
+    last = _dt.datetime(2024, 3, 1, 10, 3).timestamp()
+    assert u2.next_fetch_epoch == int(last) + (86400 << 1)
