@@ -8,12 +8,14 @@ decoded only PPM/PNG/WAV natively and fell back to a labeled fake for
 JPEG. The encoder exists so synth_assets can stamp deterministic,
 REAL-decodable JPEG payloads; the decoder is the product path.
 
-Scope is honest and explicit: baseline sequential Huffman, 8-bit
-precision, 1 or 3 components with 1x1 sampling (4:4:4). Progressive
-scans, subsampled chroma, arithmetic coding, and 12-bit precision raise
-NotImplementedError/ValueError, which the per-row handlers upstream
-(multimodal.payload_features) catch — a malformed or exotic payload
-never aborts a Spark task (O23 failure-side-output design).
+Scope is honest and explicit: 8-bit Huffman JPEG — baseline sequential
+(SOF0) AND progressive (SOF2, spectral selection + successive
+approximation, T.81 G.2), sampling factors up to 2x2 (4:4:4 / 4:2:2 /
+4:2:0), restart intervals. Arithmetic coding, hierarchical/lossless
+SOFs and 12-bit precision raise NotImplementedError/ValueError, which
+the per-row handlers upstream (multimodal.payload_features) catch — a
+malformed or exotic payload never aborts a Spark task (O23
+failure-side-output design).
 
 DCT path is vectorized numpy over all 8x8 blocks at once (einsum with
 the orthonormal DCT-II matrix); only the entropy coding is a Python
@@ -223,17 +225,11 @@ def _encode_block(bw, zz, tsel, pred, ci, dc_codes, ac_codes):
         bw.write(code, length)
 
 
-def encode_jpeg(
-    arr: np.ndarray, subsampling: str = "444", restart_interval: int = 0
-) -> bytes:
-    """Encode HxWx3 uint8 RGB (or HxW grayscale) as baseline JFIF with
-    Annex K quant + Huffman tables. Deterministic.
-
-    ``subsampling``: '444' (no chroma subsampling), '422' (2x1 luma,
-    horizontally-halved chroma) or '420' (2x2 luma, box-mean-halved
-    chroma both ways — the dominant real-world layout).
-    ``restart_interval``: emit a DRI segment and RSTn markers every N
-    MCUs (0 = none) — the resync structure real encoders write."""
+def _prepare_coeffs(arr: np.ndarray, subsampling: str):
+    """Color transform + subsample + MCU-grid quantized zigzag coeffs —
+    shared by the baseline and progressive encoders so both emit the
+    EXACT same coefficients (the bit-identical-pixels test hinges on
+    it)."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, ncomp = arr.shape
@@ -259,8 +255,6 @@ def encode_jpeg(
         planes = [y, cb, cr]
         samps = [(lh, lv), (1, 1), (1, 1)]
 
-    dc_codes = [_huffman_codes(*_DC_LUMA), _huffman_codes(*_DC_CHROMA)]
-    ac_codes = [_huffman_codes(*_AC_LUMA), _huffman_codes(*_AC_CHROMA)]
     quants = [QUANT_LUMA, QUANT_CHROMA]
     hmax = max(s[0] for s in samps)
     vmax = max(s[1] for s in samps)
@@ -280,6 +274,47 @@ def encode_jpeg(
         qz = np.round(coef / quants[min(ci, 1)]).astype(np.int32)
         comp_coeffs.append(qz.reshape(-1, 64)[:, ZIGZAG])
         comp_bx.append(bx)
+    return h, w, samps, quants, mcux, mcuy, comp_coeffs, comp_bx
+
+
+def _headers(h, w, samps, quants, sof_marker: bytes) -> bytearray:
+    """SOI + JFIF APP0 + DQT + SOF + DHT shared by both encoders."""
+    n = len(samps)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, q in enumerate(quants[: min(n, 2)]):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
+            int(x) for x in q.reshape(-1)[ZIGZAG]
+        )
+    out += sof_marker + struct.pack(">HBHHB", 8 + 3 * n, 8, h, w, n)
+    for ci in range(n):
+        hi, vi = samps[ci]
+        out += struct.pack("BBB", ci + 1, (hi << 4) | vi, min(ci, 1))
+    for cls, tid, (bits, values) in (
+        (0, 0, _DC_LUMA), (1, 0, _AC_LUMA), (0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA),
+    )[: 2 if n == 1 else 4]:
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(values), (cls << 4) | tid)
+        out += bytes(bits) + bytes(values)
+    return out
+
+
+def encode_jpeg(
+    arr: np.ndarray, subsampling: str = "444", restart_interval: int = 0
+) -> bytes:
+    """Encode HxWx3 uint8 RGB (or HxW grayscale) as baseline JFIF with
+    Annex K quant + Huffman tables. Deterministic.
+
+    ``subsampling``: '444' (no chroma subsampling), '422' (2x1 luma,
+    horizontally-halved chroma) or '420' (2x2 luma, box-mean-halved
+    chroma both ways — the dominant real-world layout).
+    ``restart_interval``: emit a DRI segment and RSTn markers every N
+    MCUs (0 = none) — the resync structure real encoders write."""
+    h, w, samps, quants, mcux, mcuy, comp_coeffs, comp_bx = _prepare_coeffs(
+        arr, subsampling
+    )
+    planes = comp_coeffs  # one entry per component
+    dc_codes = [_huffman_codes(*_DC_LUMA), _huffman_codes(*_DC_CHROMA)]
+    ac_codes = [_huffman_codes(*_AC_LUMA), _huffman_codes(*_AC_CHROMA)]
 
     bw = _BitWriter()
     pred = [0] * len(planes)
@@ -303,23 +338,7 @@ def encode_jpeg(
                     )
     bw.flush()
 
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    for tid, q in enumerate(quants[: min(len(planes), 2)]):
-        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
-            int(x) for x in q.reshape(-1)[ZIGZAG]
-        )
-    # SOF0
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * len(planes), 8, h, w, len(planes))
-    for ci in range(len(planes)):
-        hi, vi = samps[ci]
-        out += struct.pack("BBB", ci + 1, (hi << 4) | vi, min(ci, 1))
-    # DHT
-    for cls, tid, (bits, values) in (
-        (0, 0, _DC_LUMA), (1, 0, _AC_LUMA), (0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA),
-    )[: 2 if len(planes) == 1 else 4]:
-        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(values), (cls << 4) | tid)
-        out += bytes(bits) + bytes(values)
+    out = _headers(h, w, samps, [QUANT_LUMA, QUANT_CHROMA], b"\xff\xc0")
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOS
@@ -329,6 +348,168 @@ def encode_jpeg(
     out += b"\x00\x3f\x00"
     out += bw.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_progressive(arr: np.ndarray, subsampling: str = "444") -> bytes:
+    """Progressive (SOF2) encoder over the SAME quantized coefficients
+    as encode_jpeg — it exists to generate real test vectors for the
+    progressive decode paths, so its scan script deliberately exercises
+    all of them: interleaved DC first + refinement, per-component AC
+    spectral bands, and AC successive-approximation refinement
+    (T.81 G.1; EOB runs are emitted per block — EOB0 — because the
+    Annex K baseline AC tables carry no EOBn>0 symbols).
+
+    Invariant the tests pin: decode(progressive) == decode(baseline)
+    BIT-IDENTICAL, since both streams carry identical coefficients."""
+    h, w, samps, quants, mcux, mcuy, comp_coeffs, comp_bx = _prepare_coeffs(
+        arr, subsampling
+    )
+    n = len(comp_coeffs)
+    dc_codes = [_huffman_codes(*_DC_LUMA), _huffman_codes(*_DC_CHROMA)]
+    ac_codes = [_huffman_codes(*_AC_LUMA), _huffman_codes(*_AC_CHROMA)]
+
+    out = _headers(h, w, samps, quants, b"\xff\xc2")
+
+    def sos_header(comp_ids, ss, se, ah, al) -> bytes:
+        hdr = b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comp_ids), len(comp_ids))
+        for ci in comp_ids:
+            hdr += struct.pack("BB", ci + 1, (min(ci, 1) << 4) | min(ci, 1))
+        return hdr + struct.pack("BBB", ss, se, (ah << 4) | al)
+
+    def mcu_block_indices(ci):
+        """Block indices of comp ci in interleaved MCU order."""
+        hi, vi = samps[ci]
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for v in range(vi):
+                for u in range(hi):
+                    yield (my * vi + v) * comp_bx[ci] + (mx * hi + u)
+
+    def comp_block_indices(ci):
+        """Block indices in the comp's own (non-interleaved) raster."""
+        hi, vi = samps[ci]
+        hmax = max(s[0] for s in samps)
+        vmax = max(s[1] for s in samps)
+        cw = (w * hi + hmax - 1) // hmax
+        ch = (h * vi + vmax - 1) // vmax
+        for r in range((ch + 7) // 8):
+            for c in range((cw + 7) // 8):
+                yield r * comp_bx[ci] + c
+
+    def dc_scan(ah, al):
+        bw = _BitWriter()
+        pred = [0] * n
+        iters = [mcu_block_indices(ci) for ci in range(n)]
+        for m in range(mcux * mcuy):
+            for ci in range(n):
+                hi, vi = samps[ci]
+                for _ in range(hi * vi):
+                    bidx = next(iters[ci])
+                    v = int(comp_coeffs[ci][bidx][0])
+                    if ah == 0:
+                        sv = v >> al  # arithmetic shift, T.81 G.1.2.1
+                        diff = sv - pred[ci]
+                        pred[ci] = sv
+                        size, bits = _magnitude(diff)
+                        code, length = dc_codes[min(ci, 1)][size]
+                        bw.write(code, length)
+                        if size:
+                            bw.write(bits, size)
+                    else:
+                        bw.write((v >> al) & 1, 1)
+        bw.flush()
+        return sos_header(list(range(n)), 0, 0, ah, al) + bw.out
+
+    def ac_scan(ci, ss, se, ah, al):
+        bw = _BitWriter()
+        acs = ac_codes[min(ci, 1)]
+        eobrun = 0  # only ever 0/1: EOB0 per block (see docstring)
+
+        def emit_eob(held):
+            nonlocal eobrun
+            if eobrun:
+                code, length = acs[0x00]
+                bw.write(code, length)
+                eobrun = 0
+            for b in held:
+                bw.write(b, 1)
+            held.clear()
+
+        for bidx in comp_block_indices(ci):
+            zz = comp_coeffs[ci][bidx]
+            if ah == 0:  # first pass for this band
+                run = 0
+                for k in range(ss, se + 1):
+                    v = int(zz[k])
+                    t = abs(v) >> al
+                    if t == 0:
+                        run += 1
+                        continue
+                    emit_eob([])
+                    while run > 15:
+                        code, length = acs[0xF0]
+                        bw.write(code, length)
+                        run -= 16
+                    sv = t if v >= 0 else -t
+                    size, bits = _magnitude(sv)
+                    code, length = acs[(run << 4) | size]
+                    bw.write(code, length)
+                    bw.write(bits, size)
+                    run = 0
+                if run > 0:
+                    eobrun = 1
+                    emit_eob([])
+            else:  # refinement pass (T.81 G.1.2.3 / jcphuff)
+                absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+                eob_pos = ss - 1
+                for i, t in enumerate(absv):
+                    if t == 1:
+                        eob_pos = ss + i
+                run = 0
+                held: list[int] = []
+                for k in range(ss, se + 1):
+                    t = absv[k - ss]
+                    if t == 0:
+                        run += 1
+                        continue
+                    # ZRLs not foldable into the trailing EOB; held
+                    # correction bits follow EACH symbol (jcphuff order)
+                    while run > 15 and k <= eob_pos:
+                        code, length = acs[0xF0]
+                        bw.write(code, length)
+                        run -= 16
+                        for b in held:
+                            bw.write(b, 1)
+                        held.clear()
+                    if t > 1:
+                        held.append(t & 1)  # correction bit (next mag bit)
+                        continue
+                    code, length = acs[(run << 4) | 1]
+                    bw.write(code, length)
+                    bw.write(1 if int(zz[k]) >= 0 else 0, 1)
+                    for b in held:
+                        bw.write(b, 1)
+                    held.clear()
+                    run = 0
+                if run > 0 or held:
+                    eobrun = 1
+                    emit_eob(held)
+        bw.flush()
+        return sos_header([ci], ss, se, ah, al) + bw.out
+
+    # scan script: every progressive decode path gets exercised
+    out += dc_scan(0, 1)
+    for ci in range(n):
+        out += ac_scan(ci, 1, 5, 0, 2)
+    for ci in range(n):
+        out += ac_scan(ci, 6, 63, 0, 2)
+    for ci in range(n):
+        out += ac_scan(ci, 1, 63, 2, 1)
+    for ci in range(n):
+        out += ac_scan(ci, 1, 63, 1, 0)
+    out += dc_scan(1, 0)
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -395,11 +576,197 @@ def _extend(bits: int, size: int) -> int:
     return bits
 
 
+def _decode_scan(
+    payload, entropy_start, coeffs, comps, samps, grids, mcux, mcuy,
+    hmax, vmax, h, w, scan_sel, ss, se, ah, al, dc_luts, ac_luts, quant,
+    restart_interval, progressive,
+) -> int:
+    """Decode ONE scan's entropy-coded segment into the coefficient
+    grids (sequential full-band, progressive DC/AC first/refinement —
+    T.81 F.2 + G.2) and return the byte offset of the next marker."""
+    if not (0 <= ss <= se <= 63):
+        raise ValueError("jpeg: bad spectral band")
+    if progressive and ss == 0 and se != 0:
+        raise ValueError("jpeg: progressive DC scan must have Se=0")
+    if not progressive and (ss != 0 or se != 63 or ah != 0 or al != 0):
+        raise ValueError("jpeg: sequential scan must cover the full band")
+    if progressive and ss > 0 and len(scan_sel) != 1:
+        raise ValueError("jpeg: progressive AC scan must be single-component")
+    for (ci, dc_tid, ac_tid) in scan_sel:
+        if ss == 0 and dc_tid not in dc_luts:
+            raise ValueError("jpeg: scan references missing DC table")
+        if se > 0 and ac_tid not in ac_luts:
+            raise ValueError("jpeg: scan references missing AC table")
+        if comps[ci][1] not in quant:
+            raise ValueError("jpeg: component references missing quant table")
+
+    br = _BitReader(payload, entropy_start)
+    pred = [0] * len(comps)
+    eobrun = 0
+
+    def dc_first(ci, dc_tid, zz):
+        size = br.decode_huffman(dc_luts[dc_tid])
+        if size > 11:  # T.81 F.1.2.1.1: 8-bit DC categories are 0..11
+            raise ValueError("jpeg: DC magnitude category out of range")
+        diff = _extend(br.receive(size), size)
+        pred[ci] += diff
+        if not -(1 << 31) <= pred[ci] < (1 << 31):
+            raise ValueError("jpeg: DC predictor overflow")
+        zz[0] = pred[ci] << al
+
+    def dc_refine(zz):
+        if br.read_bit():
+            zz[0] = int(zz[0]) | (1 << al)
+
+    def ac_sequential(ac_tid, zz):
+        k = ss if ss else 1
+        while k <= se:
+            rs = br.decode_huffman(ac_luts[ac_tid])
+            run, size = rs >> 4, rs & 0xF
+            if size == 0:
+                if run == 15:
+                    k += 16  # ZRL
+                    continue
+                break  # EOB
+            k += run
+            if k > 63:
+                raise ValueError("jpeg: AC index overflow")
+            zz[k] = _extend(br.receive(size), size)
+            k += 1
+
+    def ac_first(ac_tid, zz):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = br.decode_huffman(ac_luts[ac_tid])
+            run, size = rs >> 4, rs & 0xF
+            if size == 0:
+                if run == 15:
+                    k += 16  # ZRL
+                    continue
+                eobrun = (1 << run) - 1
+                if run:
+                    eobrun += br.receive(run)
+                break
+            k += run
+            if k > se:
+                raise ValueError("jpeg: AC index beyond band")
+            zz[k] = _extend(br.receive(size), size) << al
+            k += 1
+
+    def ac_refine(ac_tid, zz):
+        # T.81 G.2 / libjpeg decode_mcu_AC_refine
+        nonlocal eobrun
+        p1, m1 = 1 << al, -1 << al
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = br.decode_huffman(ac_luts[ac_tid])
+                run, size = rs >> 4, rs & 0xF
+                if size == 0:
+                    if run != 15:
+                        # NOTE: unlike ac_first, the run here INCLUDES
+                        # the current block — its band tail still takes
+                        # correction bits in the sweep below, then the
+                        # decrement counts it (T.81 G.2 / jdphuff)
+                        eobrun = 1 << run
+                        if run:
+                            eobrun += br.receive(run)
+                        break
+                    val = 0  # ZRL: skip 16 zero-history positions
+                else:
+                    if size != 1:
+                        raise ValueError("jpeg: bad AC refinement size")
+                    val = p1 if br.read_bit() else m1
+                while k <= se:
+                    c = int(zz[k])
+                    if c != 0:
+                        if br.read_bit() and (c & p1) == 0:
+                            zz[k] = c + (p1 if c >= 0 else m1)
+                    else:
+                        if run == 0:
+                            break
+                        run -= 1
+                    k += 1
+                if val and k <= se:
+                    zz[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:  # correction bits for the EOB-covered tail
+                c = int(zz[k])
+                if c != 0 and br.read_bit() and (c & p1) == 0:
+                    zz[k] = c + (p1 if c >= 0 else m1)
+                k += 1
+            eobrun -= 1
+
+    def decode_unit_block(ci, dc_tid, ac_tid, zz):
+        if not progressive:
+            dc_first(ci, dc_tid, zz)
+            ac_sequential(ac_tid, zz)
+        elif ss == 0:
+            if ah == 0:
+                dc_first(ci, dc_tid, zz)
+            else:
+                dc_refine(zz)
+        else:
+            if ah == 0:
+                ac_first(ac_tid, zz)
+            else:
+                ac_refine(ac_tid, zz)
+
+    if len(scan_sel) > 1:
+        # interleaved MCU order
+        n_units = mcux * mcuy
+        for m in range(n_units):
+            if restart_interval and m and m % restart_interval == 0:
+                br.sync_restart()
+                pred[:] = [0] * len(comps)
+                eobrun = 0
+            my, mx = divmod(m, mcux)
+            for (ci, dc_tid, ac_tid) in scan_sel:
+                hi, vi = samps[ci]
+                bcx = grids[ci][1]
+                for v in range(vi):
+                    for u in range(hi):
+                        decode_unit_block(
+                            ci, dc_tid, ac_tid,
+                            coeffs[ci][(my * vi + v) * bcx + (mx * hi + u)],
+                        )
+    else:
+        # non-interleaved (single-component scan, T.81 A.2.2): data
+        # units walk the component's OWN block grid, not the MCU grid
+        (ci, dc_tid, ac_tid) = scan_sel[0]
+        hi, vi = samps[ci]
+        cw = (w * hi + hmax - 1) // hmax
+        ch = (h * vi + vmax - 1) // vmax
+        cbw, cbh = (cw + 7) // 8, (ch + 7) // 8
+        bcx = grids[ci][1]
+        n_units = cbw * cbh
+        for m in range(n_units):
+            if restart_interval and m and m % restart_interval == 0:
+                br.sync_restart()
+                pred[:] = [0] * len(comps)
+                eobrun = 0
+            r, c = divmod(m, cbw)
+            decode_unit_block(ci, dc_tid, ac_tid, coeffs[ci][r * bcx + c])
+
+    # the scan's entropy data ends at the next marker (pad bits dropped)
+    p = br.pos
+    n = len(payload)
+    while p + 1 < n and not (payload[p] == 0xFF and payload[p + 1] != 0x00):
+        p += 1
+    return p
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode baseline sequential JPEG (8-bit, 1x1 sampling) to HxWx3
-    uint8 RGB. Raises ValueError on malformed input and
-    NotImplementedError on progressive/subsampled/12-bit streams —
-    both caught per row upstream (multimodal.payload_features)."""
+    """Decode 8-bit Huffman JPEG (baseline sequential OR progressive,
+    sampling up to 2x2, restart intervals) to HxWx3 uint8 RGB. Raises
+    ValueError on malformed input and NotImplementedError on
+    arithmetic-coded/hierarchical/12-bit streams — both caught per row
+    upstream (multimodal.payload_features)."""
     try:
         return _decode_jpeg(payload)
     except (struct.error, IndexError) as e:  # short slice/segment in a
@@ -415,8 +782,15 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     ac_luts: dict[int, dict] = {}
     h = w = 0
     restart_interval = 0
+    progressive = False
+    n_scans = 0
     comps: list[tuple[int, int, int]] = []  # (id, quant_tid, sampling)
     scan_sel: list[tuple[int, int, int]] = []  # (comp_idx, dc_tid, ac_tid)
+    samps: list[tuple[int, int]] = []
+    grids: list[tuple[int, int]] = []
+    coeffs: list[np.ndarray] = []
+    mcux = mcuy = hmax = vmax = 0
+    dc_pred_shifted: list[int] = []
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("jpeg: marker sync lost")
@@ -452,7 +826,8 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 values = list(seg[p + 17 : p + 17 + nvals])
                 (ac_luts if cls else dc_luts)[tid] = _huffman_lut(bits, values)
                 p += 17 + nvals
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             if seg[0] != 8:
                 raise NotImplementedError("jpeg: only 8-bit precision")
             h, w = struct.unpack(">HH", seg[1:5])
@@ -468,84 +843,49 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 if not (1 <= hi <= 2 and 1 <= vi <= 2):
                     raise NotImplementedError("jpeg: sampling factors beyond 2x2")
                 comps.append((cid, qid, samp))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("jpeg: non-baseline SOF")
+            raise NotImplementedError("jpeg: unsupported SOF variant")
         elif marker == 0xDD:  # DRI
             if len(seg) < 2:
                 raise ValueError("jpeg: truncated DRI")
             restart_interval = struct.unpack(">H", seg[:2])[0]
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — decode this scan's entropy data now
             ns = seg[0]
             if len(seg) < 1 + 2 * ns + 3:
                 raise ValueError("jpeg: truncated SOS header")
+            scan_sel = []
             for si in range(ns):
                 cid, tids = seg[1 + 2 * si], seg[2 + 2 * si]
                 idx = next((i for i, c in enumerate(comps) if c[0] == cid), None)
                 if idx is None:
                     raise ValueError("jpeg: SOS references unknown component")
                 scan_sel.append((idx, tids >> 4, tids & 0xF))
-            pos += seglen
-            break
+            ss, se, ahl = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah, al = ahl >> 4, ahl & 0xF
+            if not comps or h == 0:
+                raise ValueError("jpeg: SOS before SOF")
+            if not coeffs:  # first scan: allocate the coefficient grids
+                samps = [((s >> 4) & 0xF, s & 0xF) for (_, _, s) in comps]
+                hmax = max(s[0] for s in samps)
+                vmax = max(s[1] for s in samps)
+                mcux = (w + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+                grids = [(mcuy * vi, mcux * hi) for (hi, vi) in samps]
+                coeffs = [
+                    np.zeros((bcy * bcx, 64), dtype=np.int32)
+                    for (bcy, bcx) in grids
+                ]
+            pos = _decode_scan(
+                payload, pos + seglen, coeffs, comps, samps, grids,
+                mcux, mcuy, hmax, vmax, h, w, scan_sel, ss, se, ah, al,
+                dc_luts, ac_luts, quant, restart_interval, progressive,
+            )
+            n_scans += 1
+            continue
         pos += seglen
-    if not comps or not scan_sel or h == 0:
+    if not coeffs or n_scans == 0:
         raise ValueError("jpeg: missing SOF/SOS")
-    for (ci, dc_tid, ac_tid) in scan_sel:
-        if dc_tid not in dc_luts or ac_tid not in ac_luts:
-            raise ValueError("jpeg: scan references missing huffman table")
-        if comps[ci][1] not in quant:
-            raise ValueError("jpeg: component references missing quant table")
-
-    samps = [((s >> 4) & 0xF, s & 0xF) for (_, _, s) in comps]
-    hmax = max(s[0] for s in samps)
-    vmax = max(s[1] for s in samps)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    # per-comp block grid spans the full MCU grid (bcy x bcx)
-    grids = [(mcuy * vi, mcux * hi) for (hi, vi) in samps]
-    coeffs = [np.zeros((bcy * bcx, 64), dtype=np.int32) for (bcy, bcx) in grids]
-
-    br = _BitReader(payload, pos)
-    pred = [0] * len(comps)
-
-    def decode_block(ci: int, dc_tid: int, ac_tid: int, bidx: int) -> None:
-        size = br.decode_huffman(dc_luts[dc_tid])
-        if size > 11:  # T.81 F.1.2.1.1: 8-bit DC categories are 0..11
-            raise ValueError("jpeg: DC magnitude category out of range")
-        diff = _extend(br.receive(size), size)
-        pred[ci] += diff
-        if not -(1 << 31) <= pred[ci] < (1 << 31):
-            raise ValueError("jpeg: DC predictor overflow")
-        zz = coeffs[ci][bidx]
-        zz[0] = pred[ci]
-        k = 1
-        while k < 64:
-            rs = br.decode_huffman(ac_luts[ac_tid])
-            run, size = rs >> 4, rs & 0xF
-            if size == 0:
-                if run == 15:
-                    k += 16  # ZRL
-                    continue
-                break  # EOB
-            k += run
-            if k > 63:
-                raise ValueError("jpeg: AC index overflow")
-            zz[k] = _extend(br.receive(size), size)
-            k += 1
-
-    for m in range(mcux * mcuy):
-        if restart_interval and m and m % restart_interval == 0:
-            br.sync_restart()
-            pred = [0] * len(comps)
-        my, mx = divmod(m, mcux)
-        for (ci, dc_tid, ac_tid) in scan_sel:
-            hi, vi = samps[ci]
-            bcx = grids[ci][1]
-            for v in range(vi):
-                for u in range(hi):
-                    decode_block(
-                        ci, dc_tid, ac_tid, (my * vi + v) * bcx + (mx * hi + u)
-                    )
 
     planes = []
     for ci, (cid, qid, _) in enumerate(comps):

@@ -12,7 +12,8 @@ filters in numpy), baseline JPEG (operators/jpeg.py: Huffman + IDCT in
 pure numpy), MJPEG-in-AVI video (RIFF walk → per-frame JPEG decode),
 and PCM WAV (RIFF chunk walk + frombuffer → per-window RMS features).
 So image, video and audio paths all exercise genuine pixel/sample math
-end-to-end. WebP/progressive-JPEG and compressed audio (MP3/AAC) stay
+end-to-end (JPEG covers baseline AND progressive, 4:2:0/4:2:2, restart
+markers). WebP and compressed audio (MP3/AAC) stay
 honestly stubbed behind NotImplementedError (this container ships no
 codec libraries); dispatch is per payload with a clearly-marked
 deterministic fake fallback for undecodable kinds so the distributed

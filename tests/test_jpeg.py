@@ -118,9 +118,51 @@ def test_non_baseline_markers_raise_not_implemented():
     good = bytearray(jpeg.encode_jpeg(img))
     sof = good.find(b"\xff\xc0")
     assert sof > 0
-    good[sof + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
+    good[sof + 1] = 0xC3  # rewrite SOF0 → SOF3 (lossless)
     with pytest.raises(NotImplementedError):
         jpeg.decode_jpeg(bytes(good))
+    # SOF2 with a full-band sequential scan is INVALID progressive —
+    # rejected as malformed, not silently half-decoded
+    bad = bytearray(jpeg.encode_jpeg(img))
+    bad[bad.find(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(bytes(bad))
+
+
+def test_progressive_bit_identical_to_baseline():
+    """The load-bearing invariant: a progressive stream carries the
+    SAME quantized coefficients as the baseline stream of the same
+    image, so both must decode to bit-identical pixels — this pins
+    every progressive path (DC first/refine, AC spectral bands, AC
+    successive-approximation refinement with held-bit ordering)."""
+    rng = np.random.default_rng(7)
+    cases = [
+        _smooth(40, 56),
+        rng.integers(0, 256, (33, 29, 3), dtype=np.uint8),
+        (rng.integers(0, 2, (24, 24, 1)) * 255 * np.ones((1, 1, 3))).astype(np.uint8),
+    ]
+    for img in cases:
+        for ss in ("444", "420"):
+            b = jpeg.decode_jpeg(jpeg.encode_jpeg(img, subsampling=ss))
+            p = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(img, subsampling=ss))
+            assert (p == b).all()
+    g = (np.add.outer(np.arange(20) * 4, np.arange(30) * 3) % 200).astype(np.uint8)
+    assert (jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(g))
+            == jpeg.decode_jpeg(jpeg.encode_jpeg(g))).all()
+
+
+def test_progressive_corruption_fuzz():
+    img = _smooth(40, 56)
+    good = jpeg.encode_jpeg_progressive(img, subsampling="420")
+    rng = random.Random(31)
+    for _ in range(1500):
+        b = bytearray(good)
+        for _ in range(rng.randrange(1, 4)):
+            b[rng.randrange(len(b))] ^= rng.randrange(1, 256)
+        try:
+            jpeg.decode_jpeg(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass  # only permitted failure modes
 
 
 def test_multimodal_dispatch_uses_jpeg_and_avi():
