@@ -33,7 +33,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType
 
-from .jpeg import decode_avi_mjpeg, decode_jpeg, encode_avi_mjpeg, encode_jpeg
+from .jpeg import (
+    decode_avi_mjpeg,
+    decode_jpeg,
+    encode_avi_mjpeg,
+    encode_jpeg,
+    encode_jpeg_progressive,
+)
 
 FEATURES_SCHEMA = "asset_id long, kind string, feat array<float>, feat_dim int, decoder string"
 
@@ -329,12 +335,22 @@ def asset_payload(i: int, kind: str) -> bytes:
             axis=2,
         ).astype(np.uint8)
         # cycle container formats: raw PPM, zlib-deflate PNG (filters
-        # cycled), baseline JPEG — all real-decodable downstream
-        c = (i // 3) % 3
+        # cycled), baseline JPEG (subsampling cycled), PROGRESSIVE JPEG
+        # — all real-decodable downstream, so q28's committed-signature
+        # gate covers every decode path including T.81 G.2
+        c = (i // 3) % 4
         if c == 1:
             return encode_png(img, filter_mode="cycle")
         if c == 2:
-            return encode_jpeg(img)
+            return encode_jpeg(
+                img,
+                subsampling=("444", "422", "420")[i % 3],
+                restart_interval=(0, 2)[i % 2],
+            )
+        if c == 3:
+            return encode_jpeg_progressive(
+                img, subsampling=("444", "420")[i % 2]
+            )
         return encode_ppm(img)
     if kind == "audio":
         # real 16-bit PCM WAV: deterministic tone + hash noise, 0.2 s at
