@@ -259,3 +259,118 @@ def test_subsampled_corruption_fuzz():
             jpeg.decode_jpeg(bytes(b))
         except (ValueError, NotImplementedError):
             pass  # only permitted failure modes
+
+
+_AC_SPEC = ([1, 2] + [0] * 14, [0x10, 0x01, 0x00])
+
+
+def _custom_tables():
+    """(dc_codes, ac_codes) for the hand-assembled streams below: a
+    CUSTOM AC table carrying the EOBn symbol (0x10) that real
+    progressive encoders emit but ours does not — values 0x10 (EOB1,
+    1-bit code '0'), 0x01 and 0x00 (2-bit codes '10'/'11')."""
+    from outage_data_scraper_spark.operators.jpeg import (
+        _DC_LUMA, _huffman_codes,
+    )
+
+    return _huffman_codes(*_DC_LUMA), _huffman_codes(*_AC_SPEC)
+
+
+def _custom_stream(scans):
+    """Hand-assemble a 4-block (8x32 grayscale) progressive stream."""
+    import struct as _struct
+
+    from outage_data_scraper_spark.operators.jpeg import (
+        QUANT_LUMA, ZIGZAG, _DC_LUMA,
+    )
+
+    ac_spec = _AC_SPEC
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + _struct.pack(">HB", 67, 0) + bytes(
+        int(x) for x in QUANT_LUMA.reshape(-1)[ZIGZAG]
+    )
+    out += b"\xff\xc2" + _struct.pack(">HBHHB", 11, 8, 8, 32, 1)
+    out += _struct.pack("BBB", 1, 0x11, 0)
+    for cls, spec in ((0, _DC_LUMA), (1, ac_spec)):
+        bits, values = spec
+        out += b"\xff\xc4" + _struct.pack(">HB", 19 + len(values), (cls << 4) | 0)
+        out += bytes(bits) + bytes(values)
+    for (ss, se, ah, al), payload_bits in scans:
+        out += b"\xff\xda" + _struct.pack(">HB", 8, 1)
+        out += _struct.pack("BB", 1, 0x00)
+        out += _struct.pack("BBB", ss, se, (ah << 4) | al)
+        bw = jpeg._BitWriter()
+        for code, length in payload_bits:
+            bw.write(code, length)
+        bw.flush()
+        out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _expected_pixels(coef_map):
+    """Dequantize + IDCT the 4 hand-chosen blocks exactly as the
+    decoder does; coef_map: {block_idx: {zigzag_k: value}}."""
+    from outage_data_scraper_spark.operators.jpeg import (
+        QUANT_LUMA, _T, _UNZIGZAG,
+    )
+
+    out = np.zeros((8, 32), dtype=np.uint8)
+    for b in range(4):
+        zz = np.zeros(64, dtype=np.int64)
+        for k, v in coef_map.get(b, {}).items():
+            zz[k] = v
+        deq = zz[_UNZIGZAG].reshape(8, 8) * QUANT_LUMA
+        px = _T.T @ deq.astype(np.float64) @ _T + 128.0
+        out[:, b * 8 : (b + 1) * 8] = np.clip(np.round(px), 0, 255)
+    return np.stack([out] * 3, axis=2)
+
+
+def test_eobrun_multi_block_ac_first_decode():
+    """EOBn>1 in an AC-first scan (real progressive encoders emit these
+    with custom tables): EOB1 + extra bit 1 covers blocks 1-2 after
+    block 0; block 3 codes its own coefficient."""
+    dc, ac = _custom_tables()
+    stream = _custom_stream([
+        # DC first scan: 4 blocks, diff 0 each (DC code for size 0)
+        ((0, 0, 0, 0), [dc[0]] * 4),
+        # AC first scan (Al=0): block0: (r=0,s=1) coeff +1 at k=1, then
+        # EOB1 with extra bit 1 -> covers blocks 1 and 2;
+        # block3: coeff -1 at k=1, then EOB0... EOB0 is symbol 0x00
+        ((1, 63, 0, 0), [
+            ac[0x01], (1, 1),            # +1 at k=1
+            ac[0x10], (1, 1),            # EOB1, extra bit 1 => run 2
+            ac[0x01], (0, 1),            # block3: -1 at k=1
+            ac[0x00],                    # EOB0 ends block3
+        ]),
+    ])
+    dec = jpeg.decode_jpeg(stream)
+    exp = _expected_pixels({0: {1: 1}, 3: {1: -1}})
+    assert (dec == exp).all()
+
+
+def test_eobrun_multi_block_ac_refine_decode():
+    """EOBn>1 in an AC-REFINEMENT scan: the run INCLUDES the current
+    block, whose band tail still takes correction bits; covered blocks
+    with nonzero history each consume one correction bit."""
+    dc, ac = _custom_tables()
+    stream = _custom_stream([
+        ((0, 0, 0, 0), [dc[0]] * 4),
+        # AC first at Al=1: blocks 0 and 3 get ±1<<1 = ±2 at k=1
+        ((1, 63, 0, 1), [
+            ac[0x01], (1, 1), ac[0x10], (1, 1),   # +1@k1; EOB1+bit -> 2 blocks
+            ac[0x01], (0, 1), ac[0x00],           # -1@k1; EOB0
+        ]),
+        # AC refine Ah=1,Al=0: EOB1 + extra bit 1 => eobrun=3 covering
+        # blocks 0-2 (block0's coeff takes a correction bit 1 -> |2|+1);
+        # block3: EOB0, its coeff corrects with bit 1 -> -3
+        ((1, 63, 1, 0), [
+            ac[0x10], (1, 1),            # EOB1 + bit -> covers blocks 0..2
+            (1, 1),                      # correction bit for block0 k=1
+            ac[0x00],                    # block3 EOB0
+            (1, 1),                      # correction bit for block3 k=1
+        ]),
+    ])
+    dec = jpeg.decode_jpeg(stream)
+    exp = _expected_pixels({0: {1: 3}, 3: {1: -3}})
+    assert (dec == exp).all()
