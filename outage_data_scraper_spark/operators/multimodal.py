@@ -13,7 +13,8 @@ pure numpy), MJPEG-in-AVI video (RIFF walk → per-frame JPEG decode),
 and PCM WAV (RIFF chunk walk + frombuffer → per-window RMS features).
 So image, video and audio paths all exercise genuine pixel/sample math
 end-to-end (JPEG covers baseline AND progressive, 4:2:0/4:2:2, restart
-markers). WebP and compressed audio (MP3/AAC) stay
+markers; GIF covers LZW, interlace and animations). WebP and
+compressed audio (MP3/AAC) stay
 honestly stubbed behind NotImplementedError (this container ships no
 codec libraries); dispatch is per payload with a clearly-marked
 deterministic fake fallback for undecodable kinds so the distributed
@@ -33,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType
 
+from .gif import decode_gif, decode_gif_frames, encode_gif
 from .jpeg import (
     decode_avi_mjpeg,
     decode_jpeg,
@@ -287,18 +289,21 @@ def _audio_features(samples: np.ndarray, dim: int) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Decode an image payload. P6 PPM, 8-bit PNG and baseline JPEG
-    decode for real (pure numpy / stdlib zlib); other compressed formats
-    require a codec library absent from this container."""
+    """Decode an image payload. P6 PPM, 8-bit PNG, JPEG (baseline AND
+    progressive) and GIF decode for real (pure numpy / stdlib zlib);
+    other compressed formats require a codec library absent from this
+    container."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     raise NotImplementedError(
         "WebP/HEIC/… decode requires a codec library not present in this "
-        "container; P6 PPM, 8-bit PNG and baseline JPEG decode natively"
+        "container; PPM, PNG, JPEG and GIF decode natively"
     )
 
 
@@ -335,10 +340,10 @@ def asset_payload(i: int, kind: str) -> bytes:
             axis=2,
         ).astype(np.uint8)
         # cycle container formats: raw PPM, zlib-deflate PNG (filters
-        # cycled), baseline JPEG (subsampling cycled), PROGRESSIVE JPEG
-        # — all real-decodable downstream, so q28's committed-signature
-        # gate covers every decode path including T.81 G.2
-        c = (i // 3) % 4
+        # cycled), baseline JPEG (subsampling cycled), PROGRESSIVE
+        # JPEG, GIF (interlace cycled) — all real-decodable downstream,
+        # so q28's committed-signature gate covers every decode path
+        c = (i // 3) % 5
         if c == 1:
             return encode_png(img, filter_mode="cycle")
         if c == 2:
@@ -351,6 +356,8 @@ def asset_payload(i: int, kind: str) -> bytes:
             return encode_jpeg_progressive(
                 img, subsampling=("444", "420")[i % 2]
             )
+        if c == 4:
+            return encode_gif(img, interlace=bool(i % 2))
         return encode_ppm(img)
     if kind == "audio":
         # real 16-bit PCM WAV: deterministic tone + hash noise, 0.2 s at
@@ -407,14 +414,16 @@ def synth_assets(spark: SparkSession, n: int = 100) -> DataFrame:
         payload_for(F.col("asset_id"), F.col("kind")).alias("payload"),
         F.when(
             F.col("kind") == "image",
-            # mirror asset_payload's container cycle: ppm / png / jpeg
+            # mirror asset_payload's 5-way container cycle
             F.element_at(
                 F.array(
                     F.lit("image/x-portable-pixmap"),
                     F.lit("image/png"),
                     F.lit("image/jpeg"),
+                    F.lit("image/jpeg"),
+                    F.lit("image/gif"),
                 ),
-                (F.pmod(F.floor(F.col("asset_id") / 3), 3) + 1).cast("int"),
+                (F.pmod(F.floor(F.col("asset_id") / 3), 5) + 1).cast("int"),
             ),
         )
         .when(F.col("kind") == "audio", F.lit("audio/wav"))
@@ -451,6 +460,12 @@ def payload_features(raw: bytes, dim: int) -> tuple[np.ndarray, str]:
         elif raw[:2] == b"\xff\xd8":
             feat = _mean_pool_features(decode_jpeg(raw), dim)
             label = "jpeg-numpy"
+        elif raw[:6] in (b"GIF87a", b"GIF89a"):
+            frames = decode_gif_frames(raw)
+            feat = np.mean(
+                [_mean_pool_features(f, dim) for f in frames], axis=0
+            ).astype(np.float32)
+            label = "gif-lzw"
         elif raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
             feat = _audio_features(decode_wav(raw)[0], dim)
             label = "wav-pcm"
@@ -574,6 +589,8 @@ def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
                         img = decode_png(raw)
                     elif raw[:2] == b"\xff\xd8":
                         img = decode_jpeg(raw)
+                    elif raw[:6] in (b"GIF87a", b"GIF89a"):
+                        img = decode_gif(raw)
                 except (ValueError, struct.error, NotImplementedError):
                     img = None  # malformed payload → null row, not a task abort
                 if img is not None:
@@ -639,8 +656,12 @@ def extract_frame_features(
             for asset_id, payload in zip(b["asset_id"], b["payload"]):
                 if payload is None:
                     continue
+                raw = bytes(payload)
                 try:
-                    frames, fps = decode_avi_mjpeg(bytes(payload))
+                    if raw[:6] in (b"GIF87a", b"GIF89a"):
+                        frames, fps = decode_gif_frames(raw), 0
+                    else:
+                        frames, fps = decode_avi_mjpeg(raw)
                 except (ValueError, NotImplementedError):
                     continue
                 for idx in range(0, len(frames), every):

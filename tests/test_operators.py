@@ -272,7 +272,7 @@ def test_real_image_features_from_pixels(spark):
     by_kind = {}
     for r in rows:
         by_kind.setdefault(r.kind, set()).add(r.decoder)
-    assert by_kind["image"] == {"ppm-numpy", "png-zlib", "jpeg-numpy"}
+    assert by_kind["image"] == {"ppm-numpy", "png-zlib", "jpeg-numpy", "gif-lzw"}
     assert by_kind["audio"] == {"wav-pcm"}
     assert by_kind["video"] == {"mjpeg-avi"}
     img_feats = {r.asset_id: r.feat for r in rows if r.kind == "image"}
