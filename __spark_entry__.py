@@ -653,6 +653,9 @@ def q54_decontaminate(spark, sf_dir):
     )
 
 
+_WARC_SCRATCH = None
+
+
 def q56_warc_ingest(spark, sf_dir):
     """Common-Crawl-style WARC ingestion (sources/warc.py): the
     deterministic 3-file corpus (gzip member-per-record, one plain
@@ -666,14 +669,18 @@ def q56_warc_ingest(spark, sf_dir):
 
     from outage_data_scraper_spark.sources import warc
 
-    # fresh private dir per call: a shared /tmp path accumulates stale
-    # files from prior corpus revisions (read_warc globs the whole dir)
-    # and races concurrent runs mid-write — both feed Spark bytes the
-    # committed oracle doesn't have
-    d = tempfile.mkdtemp(prefix="spark_graft_warc_")
-    for name, blob in warc.synth_warc_corpus():
-        with open(os.path.join(d, name), "wb") as f:
-            f.write(blob)
+    # one private dir PER PROCESS (cached): fresh-per-call leaks a dir
+    # every invocation, while a shared fixed path accumulates stale
+    # files from prior corpus revisions and races concurrent runs —
+    # the process cache gives both isolation and boundedness
+    global _WARC_SCRATCH
+    if _WARC_SCRATCH is None:
+        d = tempfile.mkdtemp(prefix="spark_graft_warc_")
+        for name, blob in warc.synth_warc_corpus():
+            with open(os.path.join(d, name), "wb") as f:
+                f.write(blob)
+        _WARC_SCRATCH = d
+    d = _WARC_SCRATCH
     pages = warc.read_warc(spark, d)
     return pages.select(
         "url",
@@ -791,13 +798,15 @@ def q61_revisit_schedule(spark, sf_dir):
 
 def q28_multimodal_features(spark, sf_dir):
     """Multimodal feature extraction, VALUE-LEVEL check: image assets
-    cycle raw P6 PPM, zlib-deflate PNG and baseline JPEG containers,
-    audio assets carry 16-bit PCM WAV, video assets carry MJPEG-in-AVI
+    cycle raw P6 PPM, zlib-deflate PNG, baseline JPEG (444/422/420,
+    with and without restart markers), PROGRESSIVE JPEG and GIF
+    containers; audio assets carry 16-bit PCM WAV, video MJPEG-in-AVI
     — ALL decoding FOR REAL (pure-numpy bitmap parse / stdlib-zlib
-    inflate + unfilter / T.81 Huffman+IDCT / RIFF chunk walk →
-    mean-pooled pixel features, per-window RMS audio features, averaged
-    per-frame video features; decoder= 'ppm-numpy' / 'png-zlib' /
-    'jpeg-numpy' / 'wav-pcm' / 'mjpeg-avi' — zero fake rows). Each
+    inflate + unfilter / T.81 Huffman+IDCT incl. G.2 progressive /
+    LZW / RIFF chunk walk → mean-pooled pixel features, per-window RMS
+    audio features, averaged per-frame video features; decoder=
+    'ppm-numpy' / 'png-zlib' / 'jpeg-numpy' / 'gif-lzw' / 'wav-pcm' /
+    'mjpeg-avi' — zero fake rows). Each
     asset's feature vector is reduced to a canonical md5 signature AT
     THE SOURCE (multimodal.feature_signature) and compared against
     testoracle/q28_expected.parquet — signatures stamped by
@@ -1848,7 +1857,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT user_id AS entity, ts,
                      (lag(event_type) OVER w IS NULL
                       OR event_type <> lag(event_type) OVER w) AS changed
-              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
             ),
             lc AS (
               SELECT *, max(CASE WHEN changed THEN ts END)

@@ -45,7 +45,10 @@ def revisit_schedule(
 ) -> DataFrame:
     """Per entity: (id, n_fetches, tail_streak, next_interval_s,
     next_fetch_epoch) from its fetch/change history."""
-    wk = Window.partitionBy(id_col).orderBy(ts_col)
+    # sig joins the ORDER BY as a deterministic tiebreak: duplicate
+    # (entity, ts) fetches would otherwise order by engine whim and
+    # flip the changed flags vs the oracle (the q50 tiebreak rule)
+    wk = Window.partitionBy(id_col).orderBy(ts_col, sig_col)
     prev = F.lag(F.col(sig_col)).over(wk)
     marked = history.select(
         F.col(id_col).alias("entity"),

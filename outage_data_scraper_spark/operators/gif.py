@@ -150,18 +150,25 @@ def _read_subblocks(payload: bytes, pos: int) -> tuple[bytes, int]:
         pos += size
 
 
-def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
-    """All frames of a GIF as HxWx3 uint8 canvases (logical screen
-    size; each frame overlaid on the previous canvas at its left/top).
-    Raises ValueError on malformed input."""
+def decode_gif_frames(
+    payload: bytes, max_frames: int | None = None
+) -> list[np.ndarray]:
+    """Frames of a GIF as HxWx3 uint8 canvases (logical screen size;
+    each frame overlaid on the previous canvas at its left/top),
+    optionally stopping after ``max_frames``. Raises ValueError on
+    malformed input. Decode budget: a sub-KB payload can DECLARE a huge
+    screen x many frames, so total decoded pixels are capped — the
+    per-row feature path must never allocate GBs from crafted bytes
+    (same discipline as the JPEG dimension cap)."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("gif: bad signature")
     if len(payload) < 13:
         raise ValueError("gif: truncated header")
     w, h = struct.unpack("<HH", payload[6:10])
     packed, bg, _aspect = payload[10], payload[11], payload[12]
-    if w == 0 or h == 0 or w * h > 8_000_000:
+    if w == 0 or h == 0 or w * h > 4_000_000:
         raise ValueError("gif: unreasonable dimensions")
+    budget = 32_000_000  # total decoded pixels across all frames
     pos = 13
     global_pal = None
     if packed & 0x80:
@@ -222,9 +229,14 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
                 rows = _deinterlace(rows)
             if int(rows.max()) >= len(pal):
                 raise ValueError("gif: pixel index outside palette")
+            budget -= w * h
+            if budget < 0:
+                raise ValueError("gif: decode budget exceeded")
             canvas = canvas.copy()
             canvas[top : top + fh, left : left + fw] = pal[rows]
             frames.append(canvas)
+            if max_frames is not None and len(frames) >= max_frames:
+                return frames
         else:
             raise ValueError(f"gif: unknown block 0x{block:02x}")
     if not frames:
@@ -233,8 +245,8 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
 
 
 def decode_gif(payload: bytes) -> np.ndarray:
-    """First frame of a GIF as HxWx3 uint8 RGB."""
-    return decode_gif_frames(payload)[0]
+    """First frame of a GIF as HxWx3 uint8 RGB (decode stops there)."""
+    return decode_gif_frames(payload, max_frames=1)[0]
 
 
 # --------------------------------------------------------------- encode
@@ -290,7 +302,10 @@ def encode_gif(
             raise ValueError("gif: frames must share dimensions")
         fl = f.reshape(-1, 3)
         if exact:
-            idx = np.array([lut[tuple(c)] for c in fl], dtype=np.uint8)
+            # vectorized: dict lookups only per DISTINCT frame color
+            fcolors, inv = np.unique(fl, axis=0, return_inverse=True)
+            fidx = np.array([lut[tuple(c)] for c in fcolors], dtype=np.uint8)
+            idx = fidx[inv]
         else:
             idx = _cube_index(fl)
         rows = idx.reshape(h, w)

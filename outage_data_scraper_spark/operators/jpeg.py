@@ -790,7 +790,6 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     grids: list[tuple[int, int]] = []
     coeffs: list[np.ndarray] = []
     mcux = mcuy = hmax = vmax = 0
-    dc_pred_shifted: list[int] = []
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("jpeg: marker sync lost")

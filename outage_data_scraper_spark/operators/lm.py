@@ -40,10 +40,14 @@ def bigram_lm_scores(
     uni_stream = docs.select(
         F.explode(F.split(textkit.normalized(text), " ")).alias("t")
     )
-    # persist BEFORE the eager |V| count: without it the count job and
-    # the scored join each run their own full explode+groupBy over the
-    # corpus — a duplicated corpus-wide shuffle at 10^10 docs
-    uni = uni_stream.groupBy("t").agg(F.count("*").alias("c1")).persist()
+    # materialize BEFORE the eager |V| count: without it the count job
+    # and the scored join each run their own full explode+groupBy over
+    # the corpus. localCheckpoint (not persist): checkpointed blocks
+    # are freed by the ContextCleaner when the DataFrame is GC'd, so
+    # repeated calls in one session don't pin vocab-sized tables in
+    # executor storage forever
+    uni = uni_stream.groupBy("t").agg(F.count("*").alias("c1"))
+    uni = uni.localCheckpoint(eager=True)
     vocab = uni.count()  # one scalar to the driver — the |V| constant
 
     big = docs.select(

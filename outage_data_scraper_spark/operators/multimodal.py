@@ -343,21 +343,25 @@ def asset_payload(i: int, kind: str) -> bytes:
         # cycled), baseline JPEG (subsampling cycled), PROGRESSIVE
         # JPEG, GIF (interlace cycled) — all real-decodable downstream,
         # so q28's committed-signature gate covers every decode path
-        c = (i // 3) % 5
+        # variant selectors derive from j = i//3, NOT i: image ids are
+        # exactly the multiples of 3, so i%k would be constant and the
+        # subsampling/restart/interlace variants would never cycle
+        j = i // 3
+        c = j % 5
         if c == 1:
             return encode_png(img, filter_mode="cycle")
         if c == 2:
             return encode_jpeg(
                 img,
-                subsampling=("444", "422", "420")[i % 3],
-                restart_interval=(0, 2)[i % 2],
+                subsampling=("444", "422", "420")[j % 3],
+                restart_interval=(0, 2)[j % 2],
             )
         if c == 3:
             return encode_jpeg_progressive(
-                img, subsampling=("444", "420")[i % 2]
+                img, subsampling=("444", "420")[j % 2]
             )
         if c == 4:
-            return encode_gif(img, interlace=bool(i % 2))
+            return encode_gif(img, interlace=bool(j % 2))
         return encode_ppm(img)
     if kind == "audio":
         # real 16-bit PCM WAV: deterministic tone + hash noise, 0.2 s at
@@ -389,10 +393,11 @@ ASSET_KINDS = ("image", "audio", "video")
 
 def synth_assets(spark: SparkSession, n: int = 100) -> DataFrame:
     """Deterministic synthetic asset table, generated distributed via
-    spark.range. Image assets carry REAL P6 PPM / PNG / baseline-JPEG
-    payloads (pixels are a deterministic gradient+hash pattern, built
-    executor-side in a pandas UDF); audio assets carry REAL 16-bit PCM
-    WAV (tone + hash noise); video assets carry REAL MJPEG-in-AVI."""
+    spark.range. Image assets cycle REAL P6 PPM / PNG / baseline-JPEG
+    (444/422/420, with and without restart markers) / progressive-JPEG
+    / GIF containers (pixels are a deterministic gradient+hash pattern,
+    built executor-side in a pandas UDF); audio assets carry REAL
+    16-bit PCM WAV (tone + hash noise); video REAL MJPEG-in-AVI."""
 
     @F.pandas_udf(BinaryType())
     def payload_for(ids: pd.Series, kinds: pd.Series) -> pd.Series:

@@ -1122,5 +1122,5 @@ def test_revisit_schedule_backoff_hand_checked(spark):
     u2 = {r.entity: r for r in revisit_schedule(hist).collect()}["u2"]
     import datetime as _dt
 
-    last = _dt.datetime(2024, 3, 1, 10, 3).timestamp()
+    last = _dt.datetime(2024, 3, 1, 10, 3, tzinfo=_dt.timezone.utc).timestamp()
     assert u2.next_fetch_epoch == int(last) + (86400 << 1)
