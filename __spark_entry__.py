@@ -483,9 +483,14 @@ def q34_ann_ivf_topk(spark, sf_dir):
 
 def _ann_index_dir(sf_dir: str, kind: str) -> str:
     import hashlib as _hl
+    import os as _os
 
+    # pid-keyed: q45/q46 REBUILD the index every invocation (so staleness
+    # across code changes can't happen), but two concurrent driver runs on
+    # the same sf_dir must not overwrite each other's hive partitions while
+    # the other's probe scans them
     tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
-    return f"/tmp/spark_graft_ann_{kind}_{tag}"
+    return f"/tmp/spark_graft_ann_{kind}_{tag}_{_os.getpid()}"
 
 
 def q45_ann_lsh_index(spark, sf_dir):
@@ -711,7 +716,12 @@ def q58_pagerank(spark, sf_dir):
     from outage_data_scraper_spark.operators.graph import pagerank_micro
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, k_shingle=3, min_jaccard=0.12)
+    # localCheckpoint before the symmetrizing union: both union branches
+    # read `pairs`, and without it the expensive shingle-join pair-mining
+    # subtree executes twice (same pattern connected_components uses)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, k_shingle=3, min_jaccard=0.12
+    ).localCheckpoint(eager=True)
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))

@@ -79,19 +79,23 @@ def run_headline(spark) -> dict[str, float]:
 
     qs = entrymod.queries()
     # warm-run timing: first execution per query pays codegen JIT +
-    # shuffle-file setup; report the steady-state (best of 2) like any
-    # standard suite. The session itself is also pre-warmed once.
+    # shuffle-file setup; report the steady-state like any standard
+    # suite. The session itself is also pre-warmed once. Best-of-3 with
+    # INTERLEAVED passes (run the whole suite three times, min per
+    # query across passes) rather than 3 back-to-back runs per query:
+    # a machine-drift burst then dents one PASS, not one query's entire
+    # sample set — the same additive-noise reasoning as the crawl
+    # pairs (BENCH.md protocol).
     _noop_materialize(qs[HEADLINE[0]](spark, SF_DIR))
-    out = {}
-    for name in HEADLINE + EXTENDED:
-        best = float("inf")
-        df = qs[name](spark, SF_DIR)
-        for _ in range(2):
+    names = HEADLINE + EXTENDED
+    dfs = {name: qs[name](spark, SF_DIR) for name in names}
+    best = {name: float("inf") for name in names}
+    for _ in range(3):
+        for name in names:
             t0 = time.monotonic()
-            _noop_materialize(df)
-            best = min(best, time.monotonic() - t0)
-        out[name] = round(best, 3)
-    return out
+            _noop_materialize(dfs[name])
+            best[name] = min(best[name], time.monotonic() - t0)
+    return {name: round(best[name], 3) for name in names}
 
 
 def crawl_job(spark, n_urls: int, num_parts: int) -> float:
@@ -332,7 +336,17 @@ def main():
         # children share the crawl children's pins (strictly serialized —
         # only one child runs at a time) so every round samples engine
         # AND hardware ceiling in the same machine-state window.
-        pin2, pin8 = f"{total - 10}-{total - 9}", f"{total - 8}-{total - 1}"
+        if total >= 12:
+            pin2, pin8 = f"{total - 10}-{total - 9}", f"{total - 8}-{total - 1}"
+        elif total >= 10:
+            # not enough cores to also keep 0-1 (OS interrupt load) clear;
+            # still disjoint, so the pair comparison stays faithful
+            pin2, pin8 = "0-1", "2-9"
+        else:
+            raise SystemExit(
+                f"scaling bench needs >=10 CPUs for disjoint 2+8 pins "
+                f"(have {total}); set SPARK_GRAFT_SKIP_SCALING=1"
+            )
         r2 = _PairRunner(
             f"bench._pair_child('local[2]', {CRAWL_URLS}, 32)", pin2)
         r8 = _PairRunner(

@@ -6,6 +6,8 @@ decompression, global/local palettes, the 4-pass interlace layout, and
 multi-frame animations (frames composited left/top onto the logical
 screen — the overlay semantics browsers apply for disposal 0/1; other
 disposal modes degrade to overlay, documented, never wrong-shaped).
+The Graphic Control Extension's transparency index IS honored: marked
+pixels show the prior canvas through instead of an opaque palette color.
 
 The encoder exists to generate deterministic test vectors and synth
 assets (standard table-building LZW with width growth and code-12
@@ -184,17 +186,24 @@ def decode_gif_frames(
     if global_pal is not None and bg < len(global_pal):
         canvas[:] = global_pal[bg]
     frames: list[np.ndarray] = []
+    transp: int | None = None  # GCE transparent index for the next image
     n_bytes = len(payload)
     while pos < n_bytes:
         block = payload[pos]
         pos += 1
         if block == 0x3B:  # trailer
             break
-        if block == 0x21:  # extension: label + sub-blocks, all skipped
+        if block == 0x21:  # extension
             if pos >= n_bytes:
                 raise ValueError("gif: truncated extension")
+            label = payload[pos]
             pos += 1
-            _, pos = _read_subblocks(payload, pos)
+            ext_data, pos = _read_subblocks(payload, pos)
+            if label == 0xF9 and len(ext_data) >= 4 and (ext_data[0] & 0x01):
+                # Graphic Control Extension transparency: pixels of the
+                # NEXT image equal to this index show through to the
+                # prior canvas instead of compositing the palette color
+                transp = ext_data[3]
         elif block == 0x2C:  # image descriptor
             if pos + 9 > n_bytes:
                 raise ValueError("gif: truncated image descriptor")
@@ -227,13 +236,25 @@ def decode_gif_frames(
             )
             if fpacked & 0x40:
                 rows = _deinterlace(rows)
-            if int(rows.max()) >= len(pal):
+            opaque = rows if transp is None else rows[rows != transp]
+            if opaque.size and int(opaque.max()) >= len(pal):
                 raise ValueError("gif: pixel index outside palette")
             budget -= w * h
             if budget < 0:
                 raise ValueError("gif: decode budget exceeded")
             canvas = canvas.copy()
-            canvas[top : top + fh, left : left + fw] = pal[rows]
+            region = canvas[top : top + fh, left : left + fw]
+            if transp is None:
+                region[:] = pal[rows]
+            else:
+                # transparent index may legally sit outside the palette
+                # (only opaque pixels were range-checked): clip for the
+                # lookup, then restore the see-through pixels
+                patch = pal[np.minimum(rows, len(pal) - 1)]
+                keep = rows == transp
+                patch[keep] = region[keep]
+                region[:] = patch
+            transp = None  # a GCE governs exactly one following image
             frames.append(canvas)
             if max_frames is not None and len(frames) >= max_frames:
                 return frames

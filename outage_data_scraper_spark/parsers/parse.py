@@ -48,12 +48,16 @@ def _parse_fetched_batch(batch: pd.DataFrame) -> pd.DataFrame:
     Tuple-based row building (no per-row dicts) — this loop is the
     per-page hot path of the whole engine."""
     rows: list[tuple] = []
-    cols = [batch[c].to_numpy() for c in _CARRY]
-    status_a = batch["status"].to_numpy()
-    reason_a = batch["reason"].to_numpy()
-    html_a = batch["html"].to_numpy()
+    # .tolist(), not .to_numpy(): numpy scalars (np.int64/np.str_) in the
+    # row tuples make the output pd.DataFrame(...) construction ~5× slower
+    # (pandas re-infers each cell); native Python objects skip that.
+    cols = [batch[c].tolist() for c in _CARRY]
+    status_a = batch["status"].tolist()
+    reason_a = batch["reason"].tolist()
+    html_a = batch["html"].tolist()
+    carries = list(zip(*cols)) if cols and cols[0] else []
     for i in range(len(batch)):
-        carry = tuple(c[i] for c in cols)
+        carry = carries[i]
         status, reason, html = status_a[i], reason_a[i], html_a[i]
         if status != 200 or html is None:
             rows.append(carry + ("error", None, None, None, None, None, status, reason))
@@ -128,11 +132,22 @@ def fused_fetch_parse(
         for lo in range(0, len(pdf), 10_000):
             batch = pdf.iloc[lo : lo + 10_000].reset_index(drop=True).copy()
             status, reason, html = [], [], []
-            lanes_col = batch["n_lanes"] if has_lanes_col else [None] * len(batch)
+            # hoist per-row conversions out of the fetch loop: iterate
+            # native Python lists (zip over pandas Series yields numpy
+            # scalars) and precompute the lane divisors vectorized
+            # instead of a pd.isna() call per row
+            if has_lanes_col:
+                lanes_l = [
+                    None if pd.isna(x) else int(x) for x in batch["n_lanes"].tolist()
+                ]
+            else:
+                lanes_l = [None] * len(batch)
+            acquire = pacer.acquire
             for url, h, fam, ln in zip(
-                batch["url"], batch["host"], batch["family"], lanes_col
+                batch["url"].tolist(), batch["host"].tolist(),
+                batch["family"].tolist(), lanes_l,
             ):
-                pacer.acquire(h, lanes=None if ln is None or pd.isna(ln) else int(ln))
+                acquire(h, lanes=ln)
                 try:
                     s, r, payload = fetcher(url, fam)
                 except Exception as e:

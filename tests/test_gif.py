@@ -96,3 +96,71 @@ def test_frame_features_dispatch_gif_animation(spark):
     rows = multimodal.extract_frame_features(assets, every=2, dim=8).collect()
     assert [r.frame_idx for r in sorted(rows, key=lambda r: r.frame_idx)] == [0, 2]
     assert all(r.n_frames == 4 and r.fps == 0 for r in rows)
+
+
+def _hand_gif(pal, items, table_bits=2, mcs=2):
+    """Hand-assemble a GIF89a: global palette `pal` (padded to
+    2**table_bits entries), then per item (idx_rows, transp) an optional
+    GCE + full-screen image block LZW-encoded at `mcs`."""
+    import struct
+
+    h, w = items[0][0].shape
+    size = 1 << table_bits
+    table = np.zeros((size, 3), dtype=np.uint8)
+    table[: len(pal)] = pal
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (table_bits - 1), 0, 0]) + table.tobytes()
+    for rows, transp in items:
+        if transp is not None:
+            out += bytes([0x21, 0xF9, 0x04, 0x01, 0, 0, transp, 0x00])
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out += bytes([mcs])
+        data = gif._lzw_encode(rows.tobytes(), mcs)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gce_transparency_composites_through():
+    """ADVICE r4: GCE transparency index must show the PRIOR canvas
+    through, not composite the palette entry as an opaque color."""
+    pal = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 255, 0]], np.uint8
+    )
+    f1 = np.array([[0, 1], [2, 3]], np.uint8)
+    f2 = np.array([[3, 1], [1, 1]], np.uint8)  # idx 1 transparent below
+    frames = gif.decode_gif_frames(_hand_gif(pal, [(f1, None), (f2, 1)]))
+    assert len(frames) == 2
+    assert (frames[0] == pal[f1]).all()
+    expect = pal[f2].copy()
+    expect[f2 == 1] = frames[0][f2 == 1]  # see-through pixels
+    assert (frames[1] == expect).all()
+    # a GCE governs exactly ONE image: a third frame without its own GCE
+    # renders index 1 opaque again
+    frames3 = gif.decode_gif_frames(
+        _hand_gif(pal, [(f1, None), (f2, 1), (f2, None)])
+    )
+    assert (frames3[2] == pal[f2]).all()
+
+
+def test_gce_transparent_index_outside_palette():
+    """A transparent index >= palette size is legal (those pixels never
+    hit the palette); opaque out-of-range pixels still raise."""
+    pal = np.array([[10, 20, 30], [200, 100, 50]], np.uint8)
+    f1 = np.array([[0, 1], [1, 0]], np.uint8)
+    f2 = np.array([[5, 0], [0, 5]], np.uint8)  # 5 transparent, >= len(pal)
+    frames = gif.decode_gif_frames(
+        _hand_gif(pal, [(f1, None), (f2, 5)], table_bits=1, mcs=3)
+    )
+    expect = pal[np.minimum(f2, 1)].copy()
+    expect[f2 == 5] = frames[0][f2 == 5]
+    assert (frames[1] == expect).all()
+    # same stream WITHOUT the GCE: index 5 is out of range -> ValueError
+    with pytest.raises(ValueError):
+        gif.decode_gif_frames(
+            _hand_gif(pal, [(f1, None), (f2, None)], table_bits=1, mcs=3)
+        )
