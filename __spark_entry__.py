@@ -708,6 +708,22 @@ def q57_bigram_lm_score(spark, sf_dir):
     return bigram_lm_scores(_t(spark, sf_dir, "documents"))
 
 
+def q62_bigram_lm_frozen(spark, sf_dir):
+    """FROZEN-model bigram LM scoring (operators/lm.py): train once,
+    broadcast the count tables, score in a map-only pass with ZERO wide
+    shuffles (plan-asserted in tests/test_plans.py) — the shape a
+    100 TB scoring pass actually uses. Trained on the same corpus it
+    scores, the result provably equals the self-trained q57 path, so
+    q57's oracle gates it value-exact."""
+    from outage_data_scraper_spark.operators.lm import (
+        score_bigram_lm_frozen,
+        train_bigram_lm,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return score_bigram_lm_frozen(docs, train_bigram_lm(docs))
+
+
 def q58_pagerank(spark, sf_dir):
     """PageRank crawl-priority signal (operators/graph.py) over the
     symmetrized q19 near-dup edge list, 5 rounds, damping 0.85 —
@@ -1239,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_quality_filter_v2": q59_quality_filter_v2,
         "q60_corpus_card": q60_corpus_card,
         "q61_revisit_schedule": q61_revisit_schedule,
+        "q62_bigram_lm_frozen": q62_bigram_lm_frozen,
     }
 
 
@@ -2322,4 +2339,8 @@ def oracle_sql() -> dict[str, str]:
         FROM g JOIN r USING (doc_id) JOIN l USING (doc_id)
         WHERE g.keep AND r.dup_span_frac <= 0.05 AND l.avg_nll <= 3.43
     """
+    # frozen-model scoring provably equals the self-trained path on the
+    # same corpus (pytest parity + zero-shuffle plan test), so the q57
+    # oracle gates q62 value-exact too
+    oracles["q62_bigram_lm_frozen"] = oracles["q57_bigram_lm_score"]
     return oracles

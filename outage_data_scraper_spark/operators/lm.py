@@ -24,6 +24,8 @@ passes here; a frozen-model variant broadcasts the count tables.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -71,4 +73,120 @@ def bigram_lm_scores(
     return scored.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_bigrams"),
         F.round(F.sum("micro_nll") / (F.count("*") * 1e6), 4).alias("avg_nll"),
+    )
+
+
+@dataclass
+class FrozenBigramLM:
+    """Driver-held add-one bigram model: unigram / bigram count tables +
+    the |V| smoothing constant. ``min_count`` flooring at train time
+    bounds the table size (standard n-gram pruning; CCNet ships its
+    KenLM models to every worker the same way) — |V| is counted BEFORE
+    flooring so smoothing matches the unfloored model."""
+
+    uni: dict
+    big: dict
+    vocab: int
+
+
+def train_bigram_lm(
+    docs: DataFrame, text_col: str = "text", min_count: int = 1
+) -> FrozenBigramLM:
+    """Train once: the same two count aggregations bigram_lm_scores
+    runs, collected into driver dicts. At web scale the floored tables
+    are vocab-sized (tens of millions of entries), which is exactly what
+    production pipelines broadcast as a model file; the 100 TB corpus
+    itself never re-shuffles at scoring time."""
+    text = F.col(text_col)
+    uni = (
+        docs.select(F.explode(F.split(textkit.normalized(text), " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c1"))
+        .localCheckpoint(eager=True)
+    )
+    vocab = uni.count()
+    if min_count > 1:
+        uni = uni.filter(F.col("c1") >= min_count)
+    bgc = (
+        docs.select(F.explode(textkit.word_shingles(text, 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("c12"))
+    )
+    if min_count > 1:
+        bgc = bgc.filter(F.col("c12") >= min_count)
+    return FrozenBigramLM(
+        uni={r["t"]: r["c1"] for r in uni.collect()},
+        big={r["bg"]: r["c12"] for r in bgc.collect()},
+        vocab=vocab,
+    )
+
+
+def score_bigram_lm_frozen(
+    docs: DataFrame,
+    model: FrozenBigramLM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score-only pass under a frozen model: ZERO wide shuffles — the
+    plan is scan → JVM tokenize → one mapInPandas (model tables arrive
+    via a Spark broadcast variable; lookups are C-speed pd.Series.map).
+    This is the shape a 100 TB scoring pass actually uses: train once
+    on a sample, broadcast the tables, stream the corpus through
+    map-only tasks.
+
+    Value parity with the self-trained path on the same corpus is exact
+    (pytest-asserted): tokenization stays JVM-side (identical strings),
+    per-bigram NLL is HALF_UP-rounded to integer micro-nats before the
+    per-doc sum (np.floor(x+0.5) ≡ Spark F.round for the non-negative
+    NLL), and the final avg is Decimal-quantized like F.round(_, 4)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast((model.uni, model.big, float(model.vocab)))
+    toks_df = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(textkit.normalized(F.col(text_col)), " ").alias("toks"),
+    )
+
+    def run(batches):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        uni, big, v = bc.value
+        q4 = Decimal("0.0001")
+        for pdf in batches:
+            ids, counts, flat_bg, flat_t1 = [], [], [], []
+            for doc_id, toks in zip(pdf["doc_id"].tolist(), pdf["toks"].tolist()):
+                n = len(toks) - 1
+                if n < 1:
+                    continue  # <2 tokens: no bigrams, no row (parity)
+                ids.append(doc_id)
+                counts.append(n)
+                flat_t1.extend(toks[:-1])
+                flat_bg.extend(
+                    a + " " + b for a, b in zip(toks[:-1], toks[1:])
+                )
+            if not ids:
+                continue
+            c12 = pd.Series(flat_bg, dtype=object).map(big).fillna(0).to_numpy(float)
+            c1 = pd.Series(flat_t1, dtype=object).map(uni).fillna(0).to_numpy(float)
+            nll = -np.log((c12 + 1.0) / (c1 + v)) * 1e6
+            micro = np.floor(nll + 0.5).astype(np.int64)  # HALF_UP, nll >= 0
+            offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            sums = np.add.reduceat(micro, offsets)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(ids, dtype=np.int64),
+                    "n_bigrams": np.asarray(counts, dtype=np.int64),
+                    "avg_nll": [
+                        float(
+                            Decimal(s / (n * 1e6)).quantize(q4, ROUND_HALF_UP)
+                        )
+                        for s, n in zip(sums.tolist(), counts)
+                    ],
+                }
+            )
+
+    return toks_df.mapInPandas(
+        run, "doc_id long, n_bigrams long, avg_nll double"
     )

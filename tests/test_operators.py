@@ -1124,3 +1124,37 @@ def test_revisit_schedule_backoff_hand_checked(spark):
 
     last = _dt.datetime(2024, 3, 1, 10, 3, tzinfo=_dt.timezone.utc).timestamp()
     assert u2.next_fetch_epoch == int(last) + (86400 << 1)
+
+
+def test_frozen_lm_parity_and_unseen_tokens(spark):
+    """q62 (VERDICT r4 item 8): the frozen-model scoring pass must equal
+    the self-trained path value-for-value on the training corpus; on NEW
+    text it must apply the same add-one smoothing with unseen counts = 0
+    (P = 1/(0+V) for an unseen bigram after an unseen token)."""
+    import math
+
+    from outage_data_scraper_spark.operators.lm import (
+        bigram_lm_scores,
+        score_bigram_lm_frozen,
+        train_bigram_lm,
+    )
+
+    corpus = _docs(spark, ["a b a b", "a b", "z", "", "b a b z a"])
+    model = train_bigram_lm(corpus)
+    # the empty doc tokenizes to [""] (F.split semantics), so "" IS a
+    # vocab entry — identical in both paths by construction
+    assert model.vocab == 4 and set(model.uni) == {"a", "b", "z", ""}
+    self_t = {r.doc_id: (r.n_bigrams, r.avg_nll)
+              for r in bigram_lm_scores(corpus).collect()}
+    frozen = {r.doc_id: (r.n_bigrams, r.avg_nll)
+              for r in score_bigram_lm_frozen(corpus, model).collect()}
+    assert frozen == self_t, (frozen, self_t)
+    # unseen data: "q q" -> c1(q)=0, c12=0 -> NLL = -ln(1/4) per bigram
+    new = _docs(spark, ["q q"])
+    row = score_bigram_lm_frozen(new, model).collect()[0]
+    assert row.n_bigrams == 1
+    assert row.avg_nll == round(round(-math.log(1 / 4) * 1e6) / 1e6, 4)
+    # min_count flooring drops rare entries but keeps |V| unfloored
+    floored = train_bigram_lm(corpus, min_count=2)
+    assert floored.vocab == 4 and "" not in floored.uni
+    assert set(floored.uni) == {"a", "b", "z"}

@@ -272,3 +272,13 @@ def test_bigram_lm_shuffle_budget(spark):
 
     n = count_exchanges(e.q57_bigram_lm_score(spark, SF))
     assert n <= 7, n
+
+
+def test_frozen_lm_scoring_zero_shuffle(spark):
+    """q62: the frozen-model scoring pass must be map-only — scan →
+    JVM tokenize → mapInPandas, ZERO exchanges (the model rides a
+    broadcast variable; VERDICT r4 item 8)."""
+    import __spark_entry__ as e
+    from outage_data_scraper_spark.plans import count_exchanges
+
+    assert count_exchanges(e.q62_bigram_lm_frozen(spark, SF)) == 0
