@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType
 
 from .gif import decode_gif, decode_gif_frames, encode_gif
+from .webp import decode_webp, encode_webp
 from .jpeg import (
     decode_avi_mjpeg,
     decode_jpeg,
@@ -290,9 +291,9 @@ def _audio_features(samples: np.ndarray, dim: int) -> np.ndarray:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload. P6 PPM, 8-bit PNG, JPEG (baseline AND
-    progressive) and GIF decode for real (pure numpy / stdlib zlib);
-    other compressed formats require a codec library absent from this
-    container."""
+    progressive), GIF and lossless WebP (VP8L) decode for real (pure
+    numpy / stdlib zlib); other compressed formats require a codec
+    library absent from this container."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
@@ -301,9 +302,11 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_jpeg(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return decode_webp(payload)  # VP8L; lossy VP8 raises inside
     raise NotImplementedError(
-        "WebP/HEIC/… decode requires a codec library not present in this "
-        "container; PPM, PNG, JPEG and GIF decode natively"
+        "HEIC/AVIF/… decode requires a codec library not present in this "
+        "container; PPM, PNG, JPEG, GIF and VP8L-WebP decode natively"
     )
 
 
@@ -341,13 +344,14 @@ def asset_payload(i: int, kind: str) -> bytes:
         ).astype(np.uint8)
         # cycle container formats: raw PPM, zlib-deflate PNG (filters
         # cycled), baseline JPEG (subsampling cycled), PROGRESSIVE
-        # JPEG, GIF (interlace cycled) — all real-decodable downstream,
-        # so q28's committed-signature gate covers every decode path
+        # JPEG, GIF (interlace cycled), lossless WebP (transform set
+        # cycled) — all real-decodable downstream, so q28's
+        # committed-signature gate covers every decode path
         # variant selectors derive from j = i//3, NOT i: image ids are
         # exactly the multiples of 3, so i%k would be constant and the
         # subsampling/restart/interlace variants would never cycle
         j = i // 3
-        c = j % 5
+        c = j % 6
         if c == 1:
             return encode_png(img, filter_mode="cycle")
         if c == 2:
@@ -362,6 +366,20 @@ def asset_payload(i: int, kind: str) -> bytes:
             )
         if c == 4:
             return encode_gif(img, interlace=bool(j % 2))
+        if c == 5:
+            # cycle the VP8L transform stack: plain, subtract-green +
+            # predictor, palette-free cross-color, color-cache sizes —
+            # each variant exercises a distinct decoder branch
+            v = j % 4
+            if v == 1:
+                return encode_webp(img, subtract_green=True, predictor_mode=2)
+            if v == 2:
+                return encode_webp(
+                    img, color_transform=(32, 16, 8), cache_bits=0
+                )
+            if v == 3:
+                return encode_webp(img, predictor_mode=11, meta_split=True)
+            return encode_webp(img)
         return encode_ppm(img)
     if kind == "audio":
         # real 16-bit PCM WAV: deterministic tone + hash noise, 0.2 s at
@@ -471,6 +489,9 @@ def payload_features(raw: bytes, dim: int) -> tuple[np.ndarray, str]:
                 [_mean_pool_features(f, dim) for f in frames], axis=0
             ).astype(np.float32)
             label = "gif-lzw"
+        elif raw[:4] == b"RIFF" and raw[8:12] == b"WEBP":
+            feat = _mean_pool_features(decode_webp(raw), dim)
+            label = "webp-vp8l"
         elif raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
             feat = _audio_features(decode_wav(raw)[0], dim)
             label = "wav-pcm"

@@ -245,8 +245,13 @@ def test_multimodal_plumbing(spark):
 def test_decode_stub_raises_for_compressed_only():
     import pytest as _pytest
 
-    # WebP has no native decoder in this container — honest stub
+    # lossless WebP (VP8L) decodes natively since r5; LOSSY VP8 stays an
+    # honest stub — a well-formed container whose only chunk is VP8
+    lossy = b"RIFF" + (12).to_bytes(4, "little") + b"WEBPVP8 " + (4).to_bytes(4, "little") + b"\x00" * 4
     with _pytest.raises(NotImplementedError):
+        multimodal.decode_image(lossy)
+    # truncated WebP chunk header is malformed, not a stub
+    with _pytest.raises(ValueError):
         multimodal.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
     # JPEG now decodes natively; malformed JPEG bytes raise ValueError
     with _pytest.raises(ValueError):
@@ -272,7 +277,9 @@ def test_real_image_features_from_pixels(spark):
     by_kind = {}
     for r in rows:
         by_kind.setdefault(r.kind, set()).add(r.decoder)
-    assert by_kind["image"] == {"ppm-numpy", "png-zlib", "jpeg-numpy", "gif-lzw"}
+    assert by_kind["image"] == {
+        "ppm-numpy", "png-zlib", "jpeg-numpy", "gif-lzw", "webp-vp8l"
+    }
     assert by_kind["audio"] == {"wav-pcm"}
     assert by_kind["video"] == {"mjpeg-avi"}
     img_feats = {r.asset_id: r.feat for r in rows if r.kind == "image"}
