@@ -17,6 +17,7 @@ import json
 import re
 import xml.etree.ElementTree as ET
 from datetime import datetime, timezone
+from html.parser import HTMLParser
 
 from .html_table import extract_tables, table_records
 
@@ -611,6 +612,78 @@ def parse_nc6(payload: bytes) -> ParseOut:
     return {"per_county": table_records(tables[0])}, []
 
 
+# -- FL9: Duke Energy clicked-through outage summary (fl_scraper.py:357–485).
+# The reference drives a browser through three clicks (jurisdiction →
+# "Report & View Outages" → "Outage Summary" → table toggle) and then reads
+# div/span rows BY CLASS, not via an HTML <table>: rows are
+# `outage-summary-table-content-row`, cells
+# `outage-summary-table-content-body-item` (fl_scraper.py:462–474), into
+# fixed columns (fl_scraper.py:396–402). The click-through itself is
+# browser-scope (SURVEY O5); the engine parses the captured POST-click DOM.
+# The zero filter is `!= 0` (int) against DOM strings — a no-op
+# (fl_scraper.py:369) — so every row is kept, zeros included.
+
+_FL9_KEYS = (
+    "Location", "Number of Outages", "Affected Customers",
+    "Percentage Affected", "Last Updated",
+)
+
+
+class _Fl9Dom(HTMLParser):
+    """Class-selector extraction of the Duke summary rows: depth-tracked so
+    nested markup inside a row/cell can't close it early."""
+
+    def __init__(self):
+        super().__init__()
+        self.rows: list[list[str]] = []
+        self._cells: list[str] | None = None
+        self._cell: list[str] | None = None
+        self._row_depth = 0
+        self._cell_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        classes = (dict(attrs).get("class") or "").split()
+        if self._cell is not None:
+            self._cell_depth += 1
+        elif self._cells is not None and "outage-summary-table-content-body-item" in classes:
+            self._cell = []
+            self._cell_depth = 0
+        elif self._cells is not None:
+            self._row_depth += 1
+        elif "outage-summary-table-content-row" in classes:
+            self._cells = []
+            self._row_depth = 0
+
+    def handle_endtag(self, tag):
+        if self._cell is not None:
+            if self._cell_depth:
+                self._cell_depth -= 1
+            else:
+                # .text semantics: whitespace-normalized visible text
+                self._cells.append(" ".join("".join(self._cell).split()))
+                self._cell = None
+        elif self._cells is not None:
+            if self._row_depth:
+                self._row_depth -= 1
+            else:
+                self.rows.append(self._cells)
+                self._cells = None
+
+    def handle_data(self, data):
+        if self._cell is not None:
+            self._cell.append(data)
+
+
+def parse_fl9(payload: bytes) -> ParseOut:
+    dom = _Fl9Dom()
+    dom.feed(payload.decode())
+    # reference indexes cells[0..4] unconditionally (fl_scraper.py:469–474)
+    # — a short row there is an IndexError; here it is dropped, which is
+    # the per-URL-failure-capture analog of that crash
+    rows = [dict(zip(_FL9_KEYS, cells)) for cells in dom.rows if len(cells) >= 5]
+    return {"per_county": rows}, []
+
+
 # -- cc: Common-Crawl-style page (bench family) --------------------------------
 
 _TAG_STRIP = re.compile(r"<script.*?</script>|<style.*?</style>|<[^>]+>", re.S)
@@ -673,6 +746,7 @@ PARSERS: dict[str, callable] = {
     "ny1": parse_ny1,
     "tn2": parse_tn2,
     "nc7": parse_nc7,
+    "fl9": parse_fl9,
     "nc6": parse_nc6,
     "il1": parse_il1,
     "ny3_county": parse_ny3_county,

@@ -84,7 +84,7 @@ FAMILY_BY_STATE_LAYOUT: dict[tuple[str, str], str] = {
     ("tx", "7"): "tx7",
     ("tx", "10"): "tx10",
     # FL singles
-    ("fl", "8"): "nc6",  # Duke 5-col summary (fl_scraper.py:357; no-op zero filter)
+    ("fl", "8"): "fl9",  # Duke clicked-through summary DOM (fl_scraper.py:357–485)
     ("fl", "6"): "fl1",
     ("fl", "7"): "fl3",
     ("fl", "9"): "fl5",

@@ -704,6 +704,42 @@ def render_nc6(url: str) -> bytes:
     ).encode()
 
 
+# -- FL9: Duke clicked-through outage summary (fl_scraper.py:357–485) --------
+
+def render_fl9(url: str) -> bytes:
+    """POST-click Duke outage-summary DOM: the jurisdiction/summary
+    click-through is browser-scope (SURVEY O5), so the fixture captures the
+    DOM *after* Scraper9's three clicks — div rows and span cells carrying
+    the exact class names the reference selects on (fl_scraper.py:462–467).
+    Same per-url values as render_nc6: fl:8 and nc:6 scrape the same Duke
+    widget through different DOMs, and the twin test asserts record-level
+    equality between the two parses."""
+    h = _h(url)
+    rows = "".join(
+        '<div class="outage-summary-table-content-row">'
+        f'<span class="outage-summary-table-content-body-item">Area{_rnd(h, i, 25)}</span>'
+        f'<span class="outage-summary-table-content-body-item">{0 if _rnd(h, 5 + i, 3) == 0 else _rnd(h, 6 + i, 40)}</span>'
+        f'<span class="outage-summary-table-content-body-item">{_rnd(h, 7 + i, 900)}</span>'
+        f'<span class="outage-summary-table-content-body-item"><span>{_rnd(h, 8 + i, 100)}%</span></span>'
+        f'<span class="outage-summary-table-content-body-item">2024-01-0{1 + _rnd(h, 9 + i, 9)}</span>'
+        "</div>"
+        for i in range(2 + _rnd(h, 0, 5))
+    )
+    return (
+        "<html><body><app-root><outage-home><section><county-panel>"
+        '<h3 class="maps-panel-title">Report &amp; View Outages</h3>'
+        '<div class="outage-summary-table-content">'
+        '<div class="outage-summary-table-header-row">'
+        '<span class="outage-summary-table-header-item">Location</span>'
+        '<span class="outage-summary-table-header-item">Number of Outages</span>'
+        '<span class="outage-summary-table-header-item">Affected Customers</span>'
+        '<span class="outage-summary-table-header-item">Percentage Affected</span>'
+        '<span class="outage-summary-table-header-item">Last Updated</span>'
+        "</div>"
+        f"{rows}</div></county-panel></section></outage-home></app-root></body></html>"
+    ).encode()
+
+
 # -- NY3: iframe county table + URL-templated town pages (ny_scraper.py:230–313)
 
 def ny3_counties(url: str) -> list[str]:
@@ -853,6 +889,7 @@ FAMILY_RENDERERS: dict[str, callable] = {
     "tn2": render_tn2,
     "nc7": render_nc7,
     "nc6": render_nc6,
+    "fl9": render_fl9,
     # tx5 reports share the kubra payload shape; the file_title keyword is
     # what parse_tx5_report's content probes classify on
     "tx5_report": render_kubra_report,

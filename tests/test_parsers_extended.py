@@ -246,8 +246,69 @@ def test_nc6_fl8_routing():
     from outage_data_scraper_spark.parsers import registry
 
     assert registry.family_for("nc", "6") == "nc6"
-    assert registry.family_for("fl", "8") == "nc6"
+    assert registry.family_for("fl", "8") == "fl9"  # dedicated since r5
     assert registry.family_for("nc", "7") == "nc7"
+
+
+def test_fl9_clicked_through_dom():
+    """FL9 parses the POST-click Duke DOM by class selectors (fl_scraper.py:
+    462–474): div rows / span cells, reference column set, and the same
+    no-op int-vs-string zero filter as nc6 — every row kept."""
+    saw_zero = False
+    for i in range(8):
+        url = f"https://fl9-{i}.example/#/current-outages/fl"
+        lv, children, _ = families.parse_payload("fl9", fixtures.render_fl9(url), url)
+        assert children == []
+        assert lv["per_county"], "fixture always renders >=2 rows"
+        for r in lv["per_county"]:
+            assert set(r) == {
+                "Location", "Number of Outages", "Affected Customers",
+                "Percentage Affected", "Last Updated",
+            }
+            assert "%" in r["Percentage Affected"]  # nested-span cell text
+            saw_zero |= r["Number of Outages"] == "0"
+    assert saw_zero  # zeros survive: reference filter is a no-op (fl_scraper.py:369)
+
+
+def test_fl9_nc6_semantic_twins():
+    """fl:8 and nc:6 scrape the same Duke widget through different DOMs;
+    the fixtures share per-url values, so the two parses must agree
+    record-for-record (the consolidation the r4 routing relied on, now
+    asserted instead of assumed)."""
+    for i in range(6):
+        url = f"https://duke-{i}.example/summary"
+        fl, _, _ = families.parse_payload("fl9", fixtures.render_fl9(url), url)
+        nc, _, _ = families.parse_payload("nc6", fixtures.render_nc6(url), url)
+        assert fl["per_county"] == nc["per_county"]
+
+
+def test_fl9_header_and_nesting_robustness():
+    """The header row (different class) is not data; nested markup inside a
+    cell can't close it early; short rows drop instead of crashing (the
+    reference would IndexError, fl_scraper.py:469)."""
+    html = (
+        '<div class="outage-summary-table-header-row">'
+        '<span class="outage-summary-table-header-item">Location</span></div>'
+        '<div class="outage-summary-table-content-row">'
+        '<span class="outage-summary-table-content-body-item">A <b>B</b> C</span>'
+        '<span class="outage-summary-table-content-body-item">1</span>'
+        '<span class="outage-summary-table-content-body-item">2</span>'
+        '<span class="outage-summary-table-content-body-item"><span><i>3%</i></span></span>'
+        '<span class="outage-summary-table-content-body-item">2024-01-01</span>'
+        "</div>"
+        '<div class="outage-summary-table-content-row">'
+        '<span class="outage-summary-table-content-body-item">short</span>'
+        "</div>"
+    ).encode()
+    lv, children, _ = families.parse_payload("fl9", html, "u")
+    assert children == []
+    assert lv["per_county"] == [{
+        "Location": "A B C",
+        "Number of Outages": "1",
+        "Affected Customers": "2",
+        "Percentage Affected": "3%",
+        "Last Updated": "2024-01-01",
+    }]
 
 
 def test_tx5_report_keeps_all_columns_drops_gotomap():
