@@ -47,33 +47,58 @@ def pop_wave(
         # no extra shuffle; it sizes the adaptive fetch lanes below
         .withColumn("cnt", F.count(F.lit(1)).over(wc))
     )
-    return (
-        popped.withColumn(
-            "n_lanes", urlkit.adaptive_lanes(F.col("cnt"), num_parts, salt, lane_cap)
-        )
-        .withColumn(
-            "salted_part",
-            urlkit.salted_part(
+    # single projection for both derived columns (withColumns, not two
+    # chained withColumn Projects): every Project node costs analyzer +
+    # optimizer time PER WAVE on the driver — fixed wall that does not
+    # shrink with cluster size, i.e. pure scaling-efficiency loss
+    lanes = urlkit.adaptive_lanes(F.col("cnt"), num_parts, salt, lane_cap)
+    return popped.withColumns(
+        {
+            "n_lanes": lanes,
+            "salted_part": urlkit.salted_part(
                 F.col("host"), F.col("url"), num_parts, salt,
-                rn=F.col("rn"), lanes=F.col("n_lanes"),
+                rn=F.col("rn"), lanes=lanes,
             ),
-        )
-        .drop("rn", "cnt")
-    )
+        }
+    ).drop("rn", "cnt")
+
+
+def _registry_map_expr():
+    """The (state, layout) → family registry as a FOLDABLE map literal:
+    Catalyst constant-folds it once at plan time and every row does a
+    single map probe. The earlier form (per-wave ``createDataFrame`` +
+    broadcast join) cost ~120 ms of driver round-trip plus join planning
+    EVERY wave — fixed driver wall, the exact thing the 2→8 scaling
+    bench punishes. Semantically identical to the left join: a literal
+    ships with the plan to every executor, and ``try_element_at``
+    returns NULL for unmapped (state, layout) — the left join's null
+    family — without tripping ANSI's strict element_at."""
+    return F.expr(_REGISTRY_MAP_SQL)
+
+
+def _build_registry_map_sql() -> str:
+    # one SQL string built at import → ONE py4j round trip per wave
+    # (120 F.lit() Column constructions cost ~100 ms of py4j chatter
+    # per call — more than the createDataFrame they replaced)
+    from ..parsers.registry import FAMILY_BY_STATE_LAYOUT
+
+    parts = [
+        f"'{s}:{l}', '{fam}'"  # no state/layout/family contains ':' or quotes
+        for (s, l), fam in FAMILY_BY_STATE_LAYOUT.items()
+    ]
+    return "map(" + ", ".join(parts) + ")"
+
+
+_REGISTRY_MAP_SQL = _build_registry_map_sql()
 
 
 def with_family(df: DataFrame) -> DataFrame:
-    """Attach the site-family dispatch column via a broadcast join against
-    the (state, layout) → family registry (SURVEY.md O3: the reference's
-    factory-class chain, re-expressed as a dispatch dimension)."""
-    from ..parsers.registry import FAMILY_BY_STATE_LAYOUT
-
-    spark = df.sparkSession
-    dim = spark.createDataFrame(
-        [(s, l, fam) for (s, l), fam in FAMILY_BY_STATE_LAYOUT.items()],
-        "state string, layout string, family string",
-    )
-    return df.join(F.broadcast(dim), ["state", "layout"], "left")
+    """Attach the site-family dispatch column (SURVEY.md O3: the
+    reference's factory-class chain, re-expressed as a dispatch
+    dimension — here a constant-folded map literal, the degenerate
+    broadcast of a dim small enough to inline into the plan)."""
+    key = F.concat_ws(":", F.col("state"), F.col("layout"))
+    return df.withColumn("family", F.try_element_at(_registry_map_expr(), key))
 
 
 def expand_endpoints(frontier: DataFrame) -> DataFrame:
@@ -84,27 +109,40 @@ def expand_endpoints(frontier: DataFrame) -> DataFrame:
     holds. Data-driven from sources.fixtures.FAMILY_ENDPOINTS."""
     from ..sources.fixtures import FAMILY_ENDPOINTS
 
-    suffixes = F.lit(None)
-    expr = None
-    for fam, eps in FAMILY_ENDPOINTS.items():
-        arr = F.array(*[F.lit(e) for e in eps])
-        expr = F.when(F.col("family") == fam, arr) if expr is None else expr.when(
-            F.col("family") == fam, arr
-        )
-    suffixes = expr.otherwise(F.array(F.lit("")))
+    # family → suffix-array as one foldable map literal built as a single
+    # SQL string (same reasoning as _registry_map_expr: a 10-branch
+    # when-chain re-analyzes per wave; a constant-folded map is one node,
+    # and one F.expr is one py4j round trip). NULL/unlisted family → [""]
+    # — identical to the old when-chain's otherwise branch.
+    parts = [
+        f"'{fam}', array({', '.join(repr(e) for e in eps)})"
+        for fam, eps in FAMILY_ENDPOINTS.items()
+    ]
+    suffixes = F.expr(
+        "coalesce(try_element_at(map(" + ", ".join(parts) + "), family), array(''))"
+    )
     exploded = frontier.select(
         "*", F.posexplode(suffixes).alias("__pos", "__suffix")
     )
-    return (
-        exploded.withColumn("url", F.concat(F.col("url"), F.col("__suffix")))
-        .withColumn("child_seq", F.col("child_seq") + F.col("__pos"))
-        .drop("__pos", "__suffix")
-    )
+    # one closing Project instead of withColumn+withColumn+drop (three):
+    # per-wave analyzer/optimizer time is fixed driver wall — scaling loss
+    out_cols = [
+        F.concat(F.col("url"), F.col("__suffix")).alias("url") if c == "url"
+        else (F.col("child_seq") + F.col("__pos")).alias("child_seq") if c == "child_seq"
+        else F.col(c)
+        for c in frontier.columns
+    ]
+    return exploded.select(*out_cols)
 
 
 def seeds_to_frontier(seeds: DataFrame) -> DataFrame:
     """Lift the seeds table into frontier rows (depth 0, wave 0, pending),
     with family dispatch and endpoint fan-out applied."""
+    # family inlined into the lift Project (it only needs state/layout) —
+    # one Project instead of two per wave
+    family = F.try_element_at(
+        _registry_map_expr(), F.concat_ws(":", F.col("state"), F.col("layout"))
+    )
     base = seeds.select(
         F.col("url"),
         urlkit.host(F.col("url")).alias("host"),
@@ -119,8 +157,9 @@ def seeds_to_frontier(seeds: DataFrame) -> DataFrame:
         F.col("emc"),
         F.lit("pending").alias("status"),
         F.lit(0).alias("wave"),
+        family.alias("family"),
     )
-    return expand_endpoints(with_family(base))
+    return expand_endpoints(base)
 
 
 def merge_children(
