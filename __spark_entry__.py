@@ -724,6 +724,29 @@ def q62_bigram_lm_frozen(spark, sf_dir):
     return score_bigram_lm_frozen(docs, train_bigram_lm(docs))
 
 
+def q63_dup_substring_spans(spark, sf_dir):
+    """ExactSubstr duplicated-substring measurement (Lee et al. 2021
+    §4.1, re-expressed relationally — dedup.duplicated_substring_spans):
+    every 8-token SLIDING window occurring at ≥2 positions anywhere in
+    the corpus (including the same document) is duplicated; per doc the
+    overlapping windows merge into maximal spans via gaps-and-islands.
+    Complements q49's C4 chunking: sliding windows catch SHIFTED copies
+    disjoint chunks miss. One wide shuffle on window text (partial-agg)
+    + a per-doc regroup; oracle mirrors windows, count, island merge."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.duplicated_substring_spans(docs, window_tokens=8, min_count=2)
+
+
+def q64_boilerplate_dictionary(spark, sf_dir):
+    """Corpus boilerplate dictionary (dedup.boilerplate_dictionary): the
+    top-20 most widespread 4-token spans (q49's unit, ndocs ≥ 5) with
+    occurrence and distinct-doc counts — the audit artifact a cleaning
+    run ships before cutting. Deterministic top-k: (ndocs DESC,
+    occurrences DESC, span_text) so ties break engine-identically."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.boilerplate_dictionary(docs, window_tokens=4, df_min=5, top_k=20)
+
+
 def q58_pagerank(spark, sf_dir):
     """PageRank crawl-priority signal (operators/graph.py) over the
     symmetrized q19 near-dup edge list, 5 rounds, damping 0.85 —
@@ -1256,6 +1279,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_corpus_card": q60_corpus_card,
         "q61_revisit_schedule": q61_revisit_schedule,
         "q62_bigram_lm_frozen": q62_bigram_lm_frozen,
+        "q63_dup_substring_spans": q63_dup_substring_spans,
+        "q64_boilerplate_dictionary": q64_boilerplate_dictionary,
     }
 
 
@@ -2343,4 +2368,67 @@ def oracle_sql() -> dict[str, str]:
     # same corpus (pytest parity + zero-shuffle plan test), so the q57
     # oracle gates q62 value-exact too
     oracles["q62_bigram_lm_frozen"] = oracles["q57_bigram_lm_score"]
+    # q63: sliding 8-token windows (positions 0..len-8, the exact set
+    # word_shingles emits) → corpus-wide occurrence count (>= 2 counts
+    # POSITIONS, so a within-doc repeat is duplicated — suffix-array
+    # semantics) → per-doc gaps-and-islands merge into maximal spans
+    oracles["q63_dup_substring_spans"] = f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+        wins AS (
+          SELECT doc_id,
+                 unnest([{{'pos': i, 'txt': array_to_string(w[i+1 : i+8], ' ')}}
+                         for i in generate_series(0, len(w) - 8)]) AS s
+          FROM toks WHERE len(w) >= 8
+        ),
+        flat AS (SELECT doc_id, s.pos AS pos, s.txt AS wtext FROM wins),
+        cnt AS (SELECT wtext FROM flat GROUP BY 1 HAVING count(*) >= 2),
+        dup AS (SELECT f.doc_id, f.pos FROM flat f JOIN cnt USING (wtext)),
+        run AS (
+          SELECT doc_id, pos,
+                 max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rend
+          FROM dup
+        ),
+        isl AS (
+          SELECT doc_id, pos,
+                 sum(CASE WHEN rend IS NULL OR pos > rend THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM run
+        ),
+        sp AS (
+          SELECT doc_id, island, min(pos) AS s, max(pos) + 8 AS e, count(*) AS nw
+          FROM isl GROUP BY 1, 2
+        ),
+        per AS (
+          SELECT doc_id, sum(nw) AS ndw, count(*) AS nds, sum(e - s) AS dt
+          FROM sp GROUP BY 1
+        )
+        SELECT t.doc_id,
+               coalesce(p.ndw, 0)::BIGINT AS n_dup_windows,
+               coalesce(p.nds, 0)::BIGINT AS n_dup_spans,
+               coalesce(p.dt, 0)::BIGINT AS dup_tokens,
+               round(coalesce(p.dt, 0)::DOUBLE / len(t.w), 4) AS dup_frac
+        FROM toks t LEFT JOIN per p USING (doc_id)
+    """
+    # q64: q49's disjoint 4-token chunk unit; deterministic top-k via
+    # (ndocs DESC, occurrences DESC, span_text)
+    oracles["q64_boilerplate_dictionary"] = f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+        spans AS (
+          SELECT doc_id,
+                 unnest([array_to_string(w[i*4+1 : i*4+4], ' ')
+                         for i in generate_series(0, CAST(ceil(len(w)/4.0) AS INT) - 1)]) AS span_text
+          FROM toks WHERE len(w) > 0
+        ),
+        agg AS (
+          SELECT span_text,
+                 count(*)::BIGINT AS occurrences,
+                 count(DISTINCT doc_id)::BIGINT AS ndocs
+          FROM spans GROUP BY 1
+        )
+        SELECT span_text, occurrences, ndocs
+        FROM agg WHERE ndocs >= 5
+        ORDER BY ndocs DESC, occurrences DESC, span_text
+        LIMIT 20
+    """
     return oracles

@@ -663,3 +663,137 @@ def benchmark_overlap(
         F.count("*").cast("long").alias("n_hits"),
         F.countDistinct("s").cast("long").alias("n_shingles"),
     )
+
+
+def duplicated_substring_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-substring measurement (Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models Better"
+    §4.1): any ``window_tokens``-token sliding window whose exact text
+    occurs at ≥ ``min_count`` positions ANYWHERE in the corpus
+    (including elsewhere in the same document — the suffix-array
+    semantics) is duplicated; per document, overlapping/adjacent
+    duplicated windows merge into MAXIMAL spans. Unlike span_dedup
+    (C4 disjoint-chunk boilerplate with a distinct-document threshold),
+    this measures every position, so it catches shifted copies chunking
+    misses.
+
+    Returns one row per input document:
+      (doc_id, n_dup_windows, n_dup_spans, dup_tokens, dup_frac)
+    where dup_tokens is the total token coverage of the merged spans
+    and dup_frac = dup_tokens / n_tokens (rounded 4dp).
+
+    Plan shape — the distributed re-expression of the paper's
+    suffix-array pass: sliding windows via one narrow posexplode
+    (positions ARE window starts); ONE wide shuffle keyed on window
+    text for the corpus-wide occurrence count (partial-aggregated
+    map-side); survivors (a tiny fraction of positions on a cleaned
+    corpus) regroup per document where a gaps-and-islands window merge
+    (running max of span end) builds maximal intervals. Nothing ever
+    materializes per-window lists; at 100 TB the count table after the
+    ≥min_count filter is the duplicated-substring dictionary — the
+    same broadcastable-dictionary scale path as span_dedup.
+    """
+    w = window_tokens
+    flat = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(textkit.word_shingles(F.col(text_col), w)).alias("pos", "wtext"),
+    )
+    # groupBy (partial-aggregated map-side) + join back, NOT a window
+    # over the raw text key: the count table after the ≥min_count filter
+    # is the duplicated-substring dictionary — small on a cleaned corpus
+    # and broadcastable at scale, where a window would materialize every
+    # occurrence of a hot boilerplate window in one task
+    counts = (
+        flat.groupBy("wtext")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("wtext")
+    )
+    dup = flat.join(counts, "wtext").select("doc_id", "pos")
+    prior = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run_end = F.max(F.col("pos") + w).over(prior)
+    flagged = dup.withColumn(
+        "flag",
+        F.when(run_end.isNull() | (F.col("pos") > run_end), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    seq = Window.partitionBy("doc_id").orderBy("pos")
+    islands = flagged.withColumn("island", F.sum("flag").over(seq))
+    spans = islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + w).alias("e"),
+        F.count("*").alias("nw"),
+    )
+    per = spans.groupBy("doc_id").agg(
+        F.sum("nw").cast("long").alias("n_dup_windows"),
+        F.count("*").cast("long").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s")).cast("long").alias("dup_tokens"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(textkit.normalized(F.col(text_col)), " ")).alias("n_toks"),
+    )
+    return base.join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0)).cast("double") / F.col("n_toks"), 4
+        ).alias("dup_frac"),
+    )
+
+
+def boilerplate_dictionary(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 4,
+    df_min: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """The corpus' boilerplate DICTIONARY as a first-class artifact:
+    the top-k most widespread exact ``window_tokens``-token spans
+    (disjoint chunks, the q49/span_dedup unit) with their occurrence
+    and distinct-document counts — the report a cleaning run ships so
+    humans can audit WHAT the span-dedup pass is about to cut (nav
+    bars, cookie banners, license blurbs).
+
+    Deterministic top-k: ordered by (ndocs DESC, occurrences DESC,
+    span_text) so ties break identically in any engine. One shuffle
+    (span-text agg, partial-aggregated); the top-k itself is a tiny
+    driver-side sort — no second wide exchange at any corpus size
+    because the ≥df_min filter runs before the ordering.
+    """
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(textkit.normalized(F.col(text_col)), " ").alias("toks"),
+    )
+    # tokens hoisted into their own projection: span_chunks' HOF lambda
+    # re-evaluates referenced subtrees per element otherwise
+    flat = toked.select(
+        "doc_id",
+        F.explode(textkit.span_chunks(F.col("toks"), window_tokens)).alias(
+            "span_text"
+        ),
+    )
+    agg = flat.groupBy("span_text").agg(
+        F.count("*").cast("long").alias("occurrences"),
+        F.countDistinct("doc_id").cast("long").alias("ndocs"),
+    )
+    return (
+        agg.filter(F.col("ndocs") >= df_min)
+        .orderBy(F.desc("ndocs"), F.desc("occurrences"), F.asc("span_text"))
+        .limit(top_k)
+    )

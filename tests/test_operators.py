@@ -1165,3 +1165,95 @@ def test_frozen_lm_parity_and_unseen_tokens(spark):
     floored = train_bigram_lm(corpus, min_count=2)
     assert floored.vocab == 4 and "" not in floored.uni
     assert set(floored.uni) == {"a", "b", "z"}
+
+
+def test_duplicated_substring_spans_hand_checked(spark):
+    """Two docs share an 8-token run at DIFFERENT offsets (the shifted
+    copy C4 chunking misses); one doc repeats a run within itself; one
+    doc is fully unique. Hand-derived window/span/token counts."""
+    from outage_data_scraper_spark.operators.dedup import duplicated_substring_spans
+
+    common = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            # doc 0: common at offset 0, then 4 unique tokens
+            (0, common + " u1 u2 u3 u4"),
+            # doc 1: 3 unique tokens, common at offset 3
+            (1, "v1 v2 v3 " + common),
+            # doc 2: within-doc repeat of its own 8-token run
+            (2, "p q r s t u v w p q r s t u v w"),
+            # doc 3: all unique
+            (3, "one two three four five six seven eight nine"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in duplicated_substring_spans(docs).collect()}
+    # docs 0/1: exactly one duplicated window each (the shared run),
+    # merged span covers its 8 tokens
+    for d in (0, 1):
+        assert out[d].n_dup_windows == 1, out[d]
+        assert out[d].n_dup_spans == 1
+        assert out[d].dup_tokens == 8
+    assert out[0].dup_frac == round(8 / 12, 4)
+    assert out[1].dup_frac == round(8 / 11, 4)
+    # doc 2: 16 tokens; windows at pos 0..8; pos 0 ("p..w") == pos 8, so
+    # both duplicated -> islands merge [0,8) and [8,16) into ONE span of
+    # 16 tokens; the 7 bridging windows (pos 1..7) are unique
+    assert out[2].n_dup_windows == 2
+    assert out[2].n_dup_spans == 1
+    assert out[2].dup_tokens == 16
+    assert out[2].dup_frac == 1.0
+    # doc 3: nothing duplicated — still one output row, all zeros
+    assert out[3].n_dup_windows == 0
+    assert out[3].n_dup_spans == 0
+    assert out[3].dup_tokens == 0
+    assert out[3].dup_frac == 0.0
+
+
+def test_duplicated_substring_spans_gap_splits_islands(spark):
+    """Two duplicated runs separated by enough unique tokens must yield
+    TWO maximal spans, not one."""
+    from outage_data_scraper_spark.operators.dedup import duplicated_substring_spans
+
+    run_a = "a1 a2 a3 a4 a5 a6 a7 a8"
+    run_b = "b1 b2 b3 b4 b5 b6 b7 b8"
+    gap = "g1 g2 g3 g4 g5 g6 g7 g8 g9 g10"
+    docs = spark.createDataFrame(
+        [
+            (0, run_a + " " + gap + " " + run_b),
+            (1, run_a),
+            (2, run_b),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in duplicated_substring_spans(docs).collect()}
+    assert out[0].n_dup_spans == 2
+    assert out[0].dup_tokens == 16
+    # the 8-token donor docs are themselves single spans
+    assert out[1].n_dup_spans == 1 and out[1].dup_tokens == 8
+    assert out[2].n_dup_spans == 1 and out[2].dup_tokens == 8
+
+
+def test_boilerplate_dictionary_orders_and_counts(spark):
+    """Chunk unit parity with span_dedup + deterministic tiebreak."""
+    from outage_data_scraper_spark.operators.dedup import boilerplate_dictionary
+
+    banner = "click here to subscribe"
+    legal = "all rights reserved worldwide"
+    rows = []
+    # banner in 6 docs (one doc has it twice -> occurrences 7, ndocs 6)
+    for i in range(6):
+        extra = " " + banner if i == 0 else ""
+        rows.append((i, banner + extra))
+    # legal in 5 docs
+    for i in range(6, 11):
+        rows.append((i, legal))
+    # below-threshold span in 2 docs
+    rows.append((11, "rare span of text"))
+    rows.append((12, "rare span of text"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = boilerplate_dictionary(docs, window_tokens=4, df_min=5, top_k=20).collect()
+    assert [(r.span_text, r.occurrences, r.ndocs) for r in got] == [
+        (banner, 7, 6),
+        (legal, 5, 5),
+    ]

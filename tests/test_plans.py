@@ -282,3 +282,33 @@ def test_frozen_lm_scoring_zero_shuffle(spark):
     from outage_data_scraper_spark.plans import count_exchanges
 
     assert count_exchanges(e.q62_bigram_lm_frozen(spark, SF)) == 0
+
+
+def test_dup_substring_spans_shuffle_budget(spark):
+    """q63: window-text count agg (partial-aggregated) + join back +
+    per-doc island windows + final left join to the doc base — the
+    static plan must stay within 6 exchanges, and the window-text
+    aggregation must partial-aggregate map-side (a plain window over
+    the raw text key would materialize every occurrence of a hot
+    boilerplate window in one task)."""
+    import __spark_entry__ as e
+    from outage_data_scraper_spark.plans import count_exchanges
+
+    q = e.q63_dup_substring_spans(spark, SF)
+    n = count_exchanges(q)
+    assert n <= 6, n
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_boilerplate_dictionary_single_wide_agg(spark):
+    """q64: one wide exchange for the span-text aggregation; the top-k
+    itself must be a TakeOrdered (driver-sized), never a global Sort
+    exchange."""
+    import __spark_entry__ as e
+    from outage_data_scraper_spark.plans import count_exchanges
+
+    q = e.q64_boilerplate_dictionary(spark, SF)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert count_exchanges(q) <= 2
