@@ -737,6 +737,18 @@ def q63_dup_substring_spans(spark, sf_dir):
     return dedup.duplicated_substring_spans(docs, window_tokens=8, min_count=2)
 
 
+def q65_sq8_quantized_ann(spark, sf_dir):
+    """ANN over int8 SCALAR-QUANTIZED embeddings (similarity.sq8_*):
+    per-dimension (min, max−min) codebook from one partial-aggregated
+    64-key shuffle, uniform 256-level codes (4× smaller than float32 —
+    the column a 100 TB embedding scan actually reads), midpoint
+    reconstruction, symmetric quantized cosine top-10 vs vec_id 0.
+    Every step is frozen double arithmetic in the exact expression
+    shape the oracle mirrors; ranking on the ROUNDED score + id."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.sq8_cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
 def q64_boilerplate_dictionary(spark, sf_dir):
     """Corpus boilerplate dictionary (dedup.boilerplate_dictionary): the
     top-20 most widespread 4-token spans (q49's unit, ndocs ≥ 5) with
@@ -1281,6 +1293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_bigram_lm_frozen": q62_bigram_lm_frozen,
         "q63_dup_substring_spans": q63_dup_substring_spans,
         "q64_boilerplate_dictionary": q64_boilerplate_dictionary,
+        "q65_sq8_quantized_ann": q65_sq8_quantized_ann,
     }
 
 
@@ -2409,6 +2422,31 @@ def oracle_sql() -> dict[str, str]:
                coalesce(p.dt, 0)::BIGINT AS dup_tokens,
                round(coalesce(p.dt, 0)::DOUBLE / len(t.w), 4) AS dup_frac
         FROM toks t LEFT JOIN per p USING (doc_id)
+    """
+    # q65: SQ8 codebook = per-dim (min, max-min) computed IN SQL (min/
+    # max are exact, no float-sum-order exposure); quantize/reconstruct
+    # in the same left-assoc double expression shapes as sq8_codes/
+    # sq8_dequantize; rank on the ROUNDED quantized cosine + id
+    oracles["q65_sq8_quantized_ann"] = """
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        dims AS (
+          SELECT u.i AS i, min(u.x) AS mn, max(u.x) - min(u.x) AS s
+          FROM (SELECT unnest(list_transform(e, (x, i) -> {'i': i, 'x': x})) AS u FROM v)
+          GROUP BY 1
+        ),
+        st AS (SELECT list(mn ORDER BY i) AS mns, list(s ORDER BY i) AS ss FROM dims),
+        deq AS (
+          SELECT vec_id,
+                 list_transform(
+                   list_transform(e, (x, i) -> CASE WHEN ss[i] > 0
+                       THEN least(255, greatest(0, floor((x - mns[i]) / ss[i] * 256)))
+                       ELSE 0 END),
+                   (c, i) -> mns[i] + (c + 0.5) * ss[i] / 256) AS d
+          FROM v, st
+        )
+        SELECT vec_id,
+               round(list_cosine_similarity(d, (SELECT d FROM deq WHERE vec_id = 0)), 4) AS cos_sim
+        FROM deq ORDER BY cos_sim DESC, vec_id LIMIT 10
     """
     # q64: q49's disjoint 4-token chunk unit; deterministic top-k via
     # (ndocs DESC, occurrences DESC, span_text)

