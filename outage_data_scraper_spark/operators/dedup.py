@@ -150,6 +150,25 @@ def minhash_signature(
     return F.aggregate(shingles, init, _merge)
 
 
+def minhash_signature_stage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 5,
+    num_perm: int = 32,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """The (id, signature) stage of minhash LSH, pre-checkpoint: spread
+    the (possibly 1-split) input round-robin, THEN run the signature
+    fold, so the tokenizer parallelizes. Exposed separately because
+    minhash_lsh_candidates checkpoints this boundary (truncating the
+    plan), and the spread-before-signature shape must stay assertable."""
+    return _spread(docs).select(
+        F.col(id_col),
+        minhash_signature(F.col(text_col), k_shingle, num_perm, hash_fn).alias("sig"),
+    )
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -178,17 +197,12 @@ def minhash_lsh_candidates(
     # shingle scan per band hash (measured on a 50k-doc corpus: 98.7 s
     # for pair mining vs 7.8 s with the boundary; identical output).
     # Lazy (eager=False): materializes at the first action, bounded at
-    # num_perm longs + one id per doc.
-    sig = (
-        _spread(docs)
-        .select(
-            F.col(id_col),
-            minhash_signature(F.col(text_col), k_shingle, num_perm, hash_fn).alias(
-                "sig"
-            ),
-        )
-        .localCheckpoint(eager=False)
-    )
+    # num_perm longs + one id per doc. The checkpoint truncates lineage,
+    # so the _spread/projection plan shape is asserted on the pre-
+    # checkpoint stage (minhash_signature_stage) in tests/test_plans.py.
+    sig = minhash_signature_stage(
+        docs, id_col, text_col, k_shingle, num_perm, hash_fn
+    ).localCheckpoint(eager=False)
 
     # Guard docs that produce NO shingles (null text or < k_shingle
     # tokens): their signature is [null × num_perm], and since concat_ws

@@ -183,16 +183,30 @@ def test_minhash_lsh_plan_spreads_before_signature(spark):
     from outage_data_scraper_spark.operators import dedup
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # The shipped operator localCheckpoints the signature boundary (the
+    # banded projection + self-join would otherwise re-inline the fold
+    # 32x), which truncates the downstream plan — so the spread-before-
+    # signature shape is asserted on the pre-checkpoint stage the
+    # operator itself builds from:
+    sig_plan = (
+        dedup.minhash_signature_stage(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    agg = sig_plan.find("aggregate(")  # the signature fold projection
+    rr = sig_plan.find("RoundRobinPartitioning")
+    assert agg != -1 and rr != -1
+    assert agg < rr, "signature projection planned below the spread repartition"
+    # And the full candidates plan: guard stays inside the explode (no
+    # tokenizer predicate in any Filter), heavy Generate present.
     q = dedup.minhash_lsh_candidates(docs)
     plan = q._jdf.queryExecution().executedPlan().toString()
     filter_lines = [ln for ln in plan.splitlines() if "Filter " in ln]
     assert not any(
         "split(" in ln for ln in filter_lines
     ), "tokenizer predicate pushed below repartition"
-    gen = plan.find("Generate explode")
-    rr = plan.find("RoundRobinPartitioning")
-    assert gen != -1 and rr != -1
-    assert gen < rr, "signature projection planned below the spread repartition"
+    assert plan.find("Generate explode") != -1
 
 
 def test_minhash_empty_docs_skip_banding(spark):
