@@ -19,7 +19,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from outage_data_scraper_spark.functions import textkit, urlkit
-from outage_data_scraper_spark.operators import dedup, multimodal, similarity
+from outage_data_scraper_spark.operators import (
+    compress,
+    dedup,
+    multimodal,
+    pii,
+    similarity,
+)
 from outage_data_scraper_spark.operators.sessionize import ganz_events, sessionize_sql
 from outage_data_scraper_spark.operators.standardize import (
     compute_outage_metrics,
@@ -749,6 +755,64 @@ def q65_sq8_quantized_ann(spark, sf_dir):
     return similarity.sq8_cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
 
 
+def q66_pii_scrub_report(spark, sf_dir):
+    """PII audit + redaction (operators/pii.py): per-doc counts of
+    emails / SSN-shaped ids / US phones / IPv4s and the md5 of the
+    scrubbed text. The corpus has no organic PII, so the query injects
+    it deterministically from doc_id (doc_id%3 → email, %5 → IPv4,
+    %7 → phone, %11 → SSN) with the SAME concat/lpad expressions in
+    both engines — every count and every scrubbed md5 is then a real
+    cross-engine check of the regex+replace semantics. Pure projection:
+    zero shuffles at any corpus size; patterns live in the Java∩RE2
+    regex subset (pii.py module docstring)."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" from 192.168."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                (did % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(F.lit(" ssn 123-45-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+    enriched = docs.select("doc_id", injected.alias("text"))
+    return pii.pii_report(enriched).orderBy("doc_id")
+
+
+def q67_compression_signal(spark, sf_dir):
+    """zlib compression-ratio quality signal (operators/compress.py):
+    per-doc UTF-8 byte length, zlib-6 compressed length, and ratio in
+    basis points via integer DIV — integer-exact end to end. One
+    Arrow-batched Pandas UDF in a pure projection (zero shuffles; the
+    pass runs at scan speed at any corpus size). DuckDB has no zlib, so
+    the oracle SELECTs a committed parquet stamped by the same
+    compressed_len_py over the same input, guarded by an input digest
+    (scripts/gen_q67_oracle.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return compress.compression_signal(docs).orderBy("doc_id")
+
+
 def q64_boilerplate_dictionary(spark, sf_dir):
     """Corpus boilerplate dictionary (dedup.boilerplate_dictionary): the
     top-20 most widespread 4-token spans (q49's unit, ndocs ≥ 5) with
@@ -1294,6 +1358,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_dup_substring_spans": q63_dup_substring_spans,
         "q64_boilerplate_dictionary": q64_boilerplate_dictionary,
         "q65_sq8_quantized_ann": q65_sq8_quantized_ann,
+        "q66_pii_scrub_report": q66_pii_scrub_report,
+        "q67_compression_signal": q67_compression_signal,
     }
 
 
@@ -1468,11 +1534,40 @@ def _merger_reference_oracles(oracle_dir: str) -> dict[str, str]:
     }
 
 
+def _q67_reference_oracle(oracle_dir: str) -> dict[str, str]:
+    """q67: DuckDB has no zlib, so the expected rows are stamped by the
+    SAME Python zlib the engine's Pandas UDF calls
+    (scripts/gen_q67_oracle.py). Input-digest-guarded like q35/q37:
+    regenerated testdata degrades the entry to rows-only instead of
+    failing against stale expectations."""
+    import hashlib
+    import json
+
+    docs = "/root/testdata/sf0.01/documents.parquet"
+    try:
+        with open(os.path.join(oracle_dir, "q67_meta.json")) as f:
+            want = json.load(f)["documents_md5"]
+        with open(docs, "rb") as f:
+            got = hashlib.md5(f.read()).hexdigest()
+        if got != want:
+            return {}
+    except Exception:
+        return {}
+    return {
+        "q67_compression_signal": f"""
+            SELECT doc_id, raw_len, comp_len, ratio_bp
+            FROM read_parquet('{os.path.join(oracle_dir, "q67_expected.parquet")}')
+            ORDER BY doc_id
+        """,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     _oracle_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "testoracle")
     _q28_expected = os.path.join(_oracle_dir, "q28_expected.parquet")
     oracles = {
         **_merger_reference_oracles(_oracle_dir),
+        **_q67_reference_oracle(_oracle_dir),
         # the committed expected-signature parquet (see q28's docstring);
         # DuckDB reads it directly — the comparison is value-level because
         # the signatures digest the decoded pixel/sample features
@@ -2447,6 +2542,35 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id,
                round(list_cosine_similarity(d, (SELECT d FROM deq WHERE vec_id = 0)), 4) AS cos_sim
         FROM deq ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """
+    # q66: injection + counts + scrub all recomputed in DuckDB with the
+    # SAME patterns (interpolated from operators/pii.py so the engines
+    # cannot drift) — RE2 vs Java regex agreement is exactly what the
+    # value gate checks. DuckDB regexp_replace needs 'g' to match
+    # Spark's replace-all.
+    _pii_scrub_sql = "t"
+    for _pname, _ppat, _ptok in pii.PII_PATTERNS:
+        _pii_scrub_sql = f"regexp_replace({_pii_scrub_sql}, '{_ppat}', '{_ptok}', 'g')"
+    _pii_counts_sql = ", ".join(
+        f"len(regexp_extract_all(t, '{_ppat}'))::INT AS n_{_pname}"
+        for _pname, _ppat, _ptok in pii.PII_PATTERNS
+    )
+    oracles["q66_pii_scrub_report"] = f"""
+        WITH enriched AS (
+          SELECT doc_id,
+            coalesce(text, '')
+            || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id::VARCHAR || '@example.com' ELSE '' END
+            || CASE WHEN doc_id % 5 = 0 THEN ' from 192.168.' || (doc_id % 256)::VARCHAR || '.' || (doc_id % 100)::VARCHAR ELSE '' END
+            || CASE WHEN doc_id % 7 = 0 THEN ' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+            || CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+            AS t
+          FROM documents
+        ),
+        c AS (SELECT doc_id, {_pii_counts_sql}, {_pii_scrub_sql} AS scrubbed FROM enriched)
+        SELECT doc_id, n_emails, n_ssns, n_phones, n_ipv4s,
+               (n_emails + n_ssns + n_phones + n_ipv4s)::INT AS n_pii,
+               md5(scrubbed) AS scrubbed_md5
+        FROM c ORDER BY doc_id
     """
     # q64: q49's disjoint 4-token chunk unit; deterministic top-k via
     # (ndocs DESC, occurrences DESC, span_text)

