@@ -813,6 +813,23 @@ def q67_compression_signal(spark, sf_dir):
     return compress.compression_signal(docs).orderBy("doc_id")
 
 
+def q68_bpe_train(spark, sf_dir):
+    """Distributed BPE merge training (operators/bpe.py): ONE
+    corpus-sized word-frequency shuffle, then 30 merge iterations over
+    the vocabulary table only (the scale shape that makes tokenizer
+    training feasible at 100 TB — merge cost is O(vocabulary), never
+    O(corpus)); pair argmax with deterministic (freq DESC, left, right)
+    tiebreak, left-to-right non-overlapping merge as a pure F.aggregate
+    fold, per-round localCheckpoint. Iterative argmax is not ANSI SQL,
+    so the oracle is a committed parquet stamped by train_bpe_py — the
+    exact Python twin — input-digest guarded
+    (scripts/gen_q68_oracle.py)."""
+    from outage_data_scraper_spark.operators import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe.train_bpe(docs, n_merges=30).orderBy("step")
+
+
 def q64_boilerplate_dictionary(spark, sf_dir):
     """Corpus boilerplate dictionary (dedup.boilerplate_dictionary): the
     top-20 most widespread 4-token spans (q49's unit, ndocs ≥ 5) with
@@ -1360,6 +1377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_sq8_quantized_ann": q65_sq8_quantized_ann,
         "q66_pii_scrub_report": q66_pii_scrub_report,
         "q67_compression_signal": q67_compression_signal,
+        "q68_bpe_train": q68_bpe_train,
     }
 
 
@@ -1534,18 +1552,20 @@ def _merger_reference_oracles(oracle_dir: str) -> dict[str, str]:
     }
 
 
-def _q67_reference_oracle(oracle_dir: str) -> dict[str, str]:
-    """q67: DuckDB has no zlib, so the expected rows are stamped by the
-    SAME Python zlib the engine's Pandas UDF calls
-    (scripts/gen_q67_oracle.py). Input-digest-guarded like q35/q37:
-    regenerated testdata degrades the entry to rows-only instead of
-    failing against stale expectations."""
+def _docs_digest_oracle(
+    oracle_dir: str, qtag: str, qname: str, select_sql: str
+) -> dict[str, str]:
+    """Committed-parquet oracle stamped by a Python twin over the sf0.01
+    documents table (q67: zlib has no DuckDB analog; q68: iterative
+    argmax is not ANSI SQL — scripts/gen_{qtag}_oracle.py).
+    Input-digest-guarded like q35/q37: regenerated testdata degrades the
+    entry to rows-only instead of failing against stale expectations."""
     import hashlib
     import json
 
     docs = "/root/testdata/sf0.01/documents.parquet"
     try:
-        with open(os.path.join(oracle_dir, "q67_meta.json")) as f:
+        with open(os.path.join(oracle_dir, f"{qtag}_meta.json")) as f:
             want = json.load(f)["documents_md5"]
         with open(docs, "rb") as f:
             got = hashlib.md5(f.read()).hexdigest()
@@ -1553,13 +1573,8 @@ def _q67_reference_oracle(oracle_dir: str) -> dict[str, str]:
             return {}
     except Exception:
         return {}
-    return {
-        "q67_compression_signal": f"""
-            SELECT doc_id, raw_len, comp_len, ratio_bp
-            FROM read_parquet('{os.path.join(oracle_dir, "q67_expected.parquet")}')
-            ORDER BY doc_id
-        """,
-    }
+    expected = os.path.join(oracle_dir, f"{qtag}_expected.parquet")
+    return {qname: select_sql.format(expected=expected)}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1567,7 +1582,20 @@ def oracle_sql() -> dict[str, str]:
     _q28_expected = os.path.join(_oracle_dir, "q28_expected.parquet")
     oracles = {
         **_merger_reference_oracles(_oracle_dir),
-        **_q67_reference_oracle(_oracle_dir),
+        **_docs_digest_oracle(
+            _oracle_dir,
+            "q67",
+            "q67_compression_signal",
+            "SELECT doc_id, raw_len, comp_len, ratio_bp "
+            "FROM read_parquet('{expected}') ORDER BY doc_id",
+        ),
+        **_docs_digest_oracle(
+            _oracle_dir,
+            "q68",
+            "q68_bpe_train",
+            "SELECT step, left, right, merged, pair_freq "
+            "FROM read_parquet('{expected}') ORDER BY step",
+        ),
         # the committed expected-signature parquet (see q28's docstring);
         # DuckDB reads it directly — the comparison is value-level because
         # the signatures digest the decoded pixel/sample features

@@ -23,7 +23,9 @@ Two parts:
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (headline master),
 SPARK_GRAFT_CRAWL_URLS (default 400000), SPARK_GRAFT_SKIP_SCALING=1,
-SPARK_GRAFT_PAIR_ROUNDS (alternating sample pairs, default 8),
+SPARK_GRAFT_PAIR_ROUNDS (alternating sample pairs, default 6),
+SPARK_GRAFT_GO_RUNS (back-to-back runs per sample, min reported,
+default 2), SPARK_GRAFT_PAIR_PARTS (pair partitions, default 48),
 SPARK_GRAFT_RUNS (measured runs for the local[32] throughput child,
 default 5).
 """
@@ -169,10 +171,21 @@ def _pair_child(master: str, n_urls: int, parts: int) -> None:
         crawl_job(spark, min(n_urls, 4000), num_parts=parts)
         crawl_job(spark, n_urls, num_parts=parts)
         print("READY", flush=True)
+        # best-of-K back-to-back per GO: a sample taken after the ~60 s
+        # idle gap while the other children run is measurably worse than
+        # a warm consecutive run (p8 floors 12.4-34 s across cold gaps
+        # vs 11.6-12.0 back-to-back, same window) — the second
+        # consecutive run is the steady-state wall the floor protocol
+        # wants, while the GO-level interleave still keeps the p2/p8
+        # pair inside one machine-state window
+        go_runs = int(os.environ.get("SPARK_GRAFT_GO_RUNS", "2"))
         for line in sys.stdin:
             if line.strip() != "GO":
                 break
-            wall = crawl_job(spark, n_urls, num_parts=parts)
+            wall = min(
+                crawl_job(spark, n_urls, num_parts=parts)
+                for _ in range(go_runs)
+            )
             print(f"WALL={wall:.4f}", flush=True)
     finally:
         spark.stop()
@@ -248,8 +261,9 @@ def run_crawl_at(master: str, n_urls: int, parts: int) -> tuple[float, float]:
     processes that local[N] does NOT bound, so core pinning is what makes
     the N-vs-4N comparison faithful to an N-core vs 4N-core cluster.
     ``parts`` is FIXED across the 2→8 scaling pair (the law requires one
-    plan at both sizes; 32 parts = 4 task waves on 8 cores, measured best
-    for that pair), while the full-machine 32-core throughput run uses
+    plan at both sizes; 48 parts = 6 even task waves on 8 cores — sized
+    for the larger level, see the pair-runner comment), while the
+    full-machine 32-core throughput run uses
     256 (8 finer waves smooth the Zipf skew and per-task Python variance
     — what a real deployment would pick). Returns (wall_s,
     urls_per_sec); pages = URLs for the cc family."""
@@ -328,7 +342,7 @@ def main():
         # anywhere from 0.6 to 0.95 on this host purely with burst
         # timing, which is why neither a single pair nor block timing is
         # the metric (BENCH.md has the protocol history).
-        pairs = int(os.environ.get("SPARK_GRAFT_PAIR_ROUNDS", "8"))
+        pairs = int(os.environ.get("SPARK_GRAFT_PAIR_ROUNDS", "6"))
         total = os.cpu_count() or 32
         ctrl_urls = max(CRAWL_URLS // 2, 50_000)
         # disjoint pins, both clear of cores 0-1 (OS interrupt load):
@@ -347,10 +361,19 @@ def main():
                 f"scaling bench needs >=10 CPUs for disjoint 2+8 pins "
                 f"(have {total}); set SPARK_GRAFT_SKIP_SCALING=1"
             )
+        # Pair partitioning is sized for the LARGER level (48 = 6 even
+        # task waves on 8 cores; 2-6x cores is standard deployment
+        # sizing) and held fixed across both levels per the one-plan
+        # law. At 32 parts the 8-core level carries a straggler tail in
+        # its final wave that the 2-core level amortizes — measured
+        # ~11% on the p8 wall (11.8-12.0 s at 32 parts vs 10.5-10.7 s
+        # at 48, same window) with no p2 benefit, i.e. pure
+        # quantization loss, not engine scaling.
+        pair_parts = int(os.environ.get("SPARK_GRAFT_PAIR_PARTS", "48"))
         r2 = _PairRunner(
-            f"bench._pair_child('local[2]', {CRAWL_URLS}, 32)", pin2)
+            f"bench._pair_child('local[2]', {CRAWL_URLS}, {pair_parts})", pin2)
         r8 = _PairRunner(
-            f"bench._pair_child('local[8]', {CRAWL_URLS}, 32)", pin8)
+            f"bench._pair_child('local[8]', {CRAWL_URLS}, {pair_parts})", pin8)
         c2r = _PairRunner(f"bench._ctrl_child(2, {ctrl_urls})", pin2)
         c8r = _PairRunner(f"bench._ctrl_child(8, {ctrl_urls})", pin8)
         w2s, w8s, c2s, c8s = [], [], [], []

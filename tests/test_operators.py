@@ -1409,3 +1409,59 @@ def test_compression_signal_plan_is_narrow(spark):
     plan = compress.compression_signal(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "ArrowEvalPython" in plan, plan
+
+
+def test_bpe_train_hand_derived(spark):
+    """Corpus 'aa aa ab': merge order is fully determined by the
+    (freq DESC, left, right) tiebreak — '</w>' (0x3C...) sorts before
+    'a' in both UTF8-binary and code-point order."""
+    from outage_data_scraper_spark.operators import bpe
+
+    docs = spark.createDataFrame([(0, "aa aa ab")], "doc_id long, text string")
+    got = [tuple(r) for r in bpe.train_bpe(docs, n_merges=10).orderBy("step").collect()]
+    assert got == [
+        (0, "a", "</w>", "a</w>", 2),
+        (1, "a", "a</w>", "aa</w>", 2),
+        (2, "a", "b", "ab", 1),
+        (3, "ab", "</w>", "ab</w>", 1),
+    ]
+
+
+def test_bpe_train_matches_python_twin(spark):
+    """Spark trainer == train_bpe_py on a seeded random corpus (the
+    twin is the q68 oracle generator, so this parity IS the gate)."""
+    import numpy as np
+
+    from outage_data_scraper_spark.operators import bpe
+
+    rng = np.random.default_rng(3)
+    words = ["".join(rng.choice(list("abcde"), size=rng.integers(2, 7))) for _ in range(40)]
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(3, 12))) for _ in range(25)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [tuple(r) for r in bpe.train_bpe(docs, n_merges=12).orderBy("step").collect()]
+    want = bpe.train_bpe_py(texts, 12)
+    assert got == want
+
+
+def test_bpe_encode_words_roundtrip(spark):
+    """Encoding with the learned merges: symbols concat back to the
+    word + END marker, and fully-merged training words collapse to a
+    single symbol."""
+    from outage_data_scraper_spark.operators import bpe
+
+    docs = spark.createDataFrame([(0, "aa aa ab")], "doc_id long, text string")
+    merges = [
+        (r.left, r.right)
+        for r in bpe.train_bpe(docs, n_merges=10).orderBy("step").collect()
+    ]
+    words = spark.createDataFrame([("aa",), ("ab",), ("ba",)], "word string")
+    enc = {r.word: r.sym for r in bpe.encode_words(words, merges).collect()}
+    assert enc["aa"] == ["aa</w>"]
+    assert enc["ab"] == ["ab</w>"]
+    # unseen word: merges that apply, apply; the rest stay chars
+    assert "".join(enc["ba"]) == "ba</w>"
+    assert enc["ba"] == ["b", "a</w>"]
