@@ -1593,7 +1593,7 @@ def oracle_sql() -> dict[str, str]:
             _oracle_dir,
             "q68",
             "q68_bpe_train",
-            "SELECT step, left, right, merged, pair_freq "
+            'SELECT step, "left", "right", merged, pair_freq '
             "FROM read_parquet('{expected}') ORDER BY step",
         ),
         # the committed expected-signature parquet (see q28's docstring);
