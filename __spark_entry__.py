@@ -830,6 +830,49 @@ def q68_bpe_train(spark, sf_dir):
     return bpe.train_bpe(docs, n_merges=30).orderBy("step")
 
 
+def q69_url_filter(spark, sf_dir):
+    """URL-level corpus filtering (operators/urlfilter.py): registered
+    domain under a frozen multi-label-suffix subset, subdomain/path
+    depth, query-param count, host digit ratio (basis points, integer
+    DIV), blocklist flag via a BROADCAST join (the frontier side never
+    shuffles), and the frozen keep rule. URLs are synthesized from
+    doc_id identically in both engines, covering every branch: plain
+    hosts, co.uk suffixes, 4-deep subdomains (dropped), blocklisted
+    domains, digit-heavy cdn hosts."""
+    from outage_data_scraper_spark.operators import urlfilter
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    hx = F.pmod(did, F.lit(40)).cast("string")
+    host = (
+        F.when(did % 5 == 0, F.concat(F.lit("h"), hx, F.lit(".synth.net")))
+        .when(did % 5 == 1, F.concat(F.lit("www.h"), hx, F.lit(".synth.co.uk")))
+        .when(did % 5 == 2, F.concat(F.lit("a.b.c.h"), hx, F.lit(".synth.org")))
+        .when(did % 5 == 3, F.concat(F.lit("h"), hx, F.lit(".spam-domain.net")))
+        .otherwise(
+            F.concat(
+                F.lit("cdn"),
+                F.pmod(did, F.lit(97)).cast("string"),
+                F.pmod(did, F.lit(10)).cast("string"),
+                F.lit(".h"),
+                hx,
+                F.lit(".synth.com"),
+            )
+        )
+    )
+    path = F.when(
+        did % 3 == 0, F.concat(F.lit("/a/b/c/doc"), did.cast("string"))
+    ).otherwise(F.concat(F.lit("/doc"), did.cast("string")))
+    query = F.when(did % 4 == 0, F.lit("?x=1&y=2&z=3")).otherwise(F.lit(""))
+    frontier = docs.select(
+        F.concat(F.lit("https://"), host, path, query).alias("url")
+    )
+    blocklist = spark.createDataFrame(
+        [("spam-domain.net",), ("evil.example",)], "reg_domain string"
+    )
+    return urlfilter.url_quality_features(frontier, blocklist).orderBy("url")
+
+
 def q64_boilerplate_dictionary(spark, sf_dir):
     """Corpus boilerplate dictionary (dedup.boilerplate_dictionary): the
     top-20 most widespread 4-token spans (q49's unit, ndocs ≥ 5) with
@@ -1378,6 +1421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_pii_scrub_report": q66_pii_scrub_report,
         "q67_compression_signal": q67_compression_signal,
         "q68_bpe_train": q68_bpe_train,
+        "q69_url_filter": q69_url_filter,
     }
 
 
@@ -2599,6 +2643,72 @@ def oracle_sql() -> dict[str, str]:
                (n_emails + n_ssns + n_phones + n_ipv4s)::INT AS n_pii,
                md5(scrubbed) AS scrubbed_md5
         FROM c ORDER BY doc_id
+    """
+    # q69: URL synthesis + every feature recomputed in DuckDB; the
+    # suffix list and keep thresholds interpolate from
+    # operators/urlfilter.py so the engines cannot drift. All-integer
+    # features (basis points via //), blocklist as IN (the Spark side's
+    # broadcast-join flag is membership-equivalent).
+    from outage_data_scraper_spark.operators import urlfilter as _uf
+
+    _sfx = ", ".join(f"'{s}'" for s in _uf.MULTI_LABEL_SUFFIXES)
+    oracles["q69_url_filter"] = f"""
+        WITH urls AS (
+          SELECT 'https://'
+            || CASE doc_id % 5
+                 WHEN 0 THEN 'h' || (doc_id % 40)::VARCHAR || '.synth.net'
+                 WHEN 1 THEN 'www.h' || (doc_id % 40)::VARCHAR || '.synth.co.uk'
+                 WHEN 2 THEN 'a.b.c.h' || (doc_id % 40)::VARCHAR || '.synth.org'
+                 WHEN 3 THEN 'h' || (doc_id % 40)::VARCHAR || '.spam-domain.net'
+                 ELSE 'cdn' || (doc_id % 97)::VARCHAR || (doc_id % 10)::VARCHAR
+                      || '.h' || (doc_id % 40)::VARCHAR || '.synth.com'
+               END
+            || CASE WHEN doc_id % 3 = 0 THEN '/a/b/c/doc' || doc_id::VARCHAR
+                    ELSE '/doc' || doc_id::VARCHAR END
+            || CASE WHEN doc_id % 4 = 0 THEN '?x=1&y=2&z=3' ELSE '' END AS url
+          FROM documents
+        ),
+        f1 AS (
+          SELECT url,
+                 split_part(split_part(url, '://', 2), '/', 1) AS host,
+                 regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+                 regexp_extract(url, '\\?([^#]*)', 1) AS q
+          FROM urls
+        ),
+        f2 AS (
+          SELECT *, string_split(host, '.') AS ls, len(string_split(host, '.')) AS n
+          FROM f1
+        ),
+        f3 AS (
+          SELECT url, host, path, q,
+                 CASE WHEN n >= 3 AND (ls[n-1] || '.' || ls[n]) IN ({_sfx})
+                        THEN ls[n-2] || '.' || ls[n-1] || '.' || ls[n]
+                      WHEN n >= 2 THEN ls[n-1] || '.' || ls[n]
+                      ELSE host END AS reg_domain
+          FROM f2
+        ),
+        f4 AS (
+          SELECT url, host, reg_domain,
+                 ((length(host) - length(replace(host, '.', '')))
+                  - (length(reg_domain) - length(replace(reg_domain, '.', ''))))::INT
+                   AS subdomain_depth,
+                 (length(path) - length(replace(path, '/', '')))::INT AS path_depth,
+                 (CASE WHEN q = '' THEN 0
+                       ELSE length(q) - length(replace(q, '&', '')) + 1 END)::INT
+                   AS n_params,
+                 ((length(host) - length(regexp_replace(host, '[0-9]', '', 'g')))
+                  * 10000 // length(host))::INT AS host_digit_bp,
+                 length(url)::INT AS url_len,
+                 reg_domain IN ('spam-domain.net', 'evil.example') AS blocked
+          FROM f3
+        )
+        SELECT *,
+               (NOT blocked
+                AND subdomain_depth <= {_uf.MAX_SUBDOMAIN_DEPTH}
+                AND path_depth <= {_uf.MAX_PATH_DEPTH}
+                AND host_digit_bp < {_uf.MAX_HOST_DIGIT_BP}
+                AND url_len <= {_uf.MAX_URL_LEN}) AS keep
+        FROM f4 ORDER BY url
     """
     # q64: q49's disjoint 4-token chunk unit; deterministic top-k via
     # (ndocs DESC, occurrences DESC, span_text)

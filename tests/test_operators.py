@@ -1465,3 +1465,62 @@ def test_bpe_encode_words_roundtrip(spark):
     # unseen word: merges that apply, apply; the rest stay chars
     assert "".join(enc["ba"]) == "ba</w>"
     assert enc["ba"] == ["b", "a</w>"]
+
+
+def test_urlfilter_registered_domain_branches(spark):
+    """eTLD+1: multi-label suffix takes 3 labels, plain takes 2,
+    single-label host passes through."""
+    from outage_data_scraper_spark.operators import urlfilter
+
+    hosts = spark.createDataFrame(
+        [("www.shop.example.co.uk",), ("a.b.example.net",), ("localhost",)],
+        "h string",
+    )
+    got = [
+        r.rd
+        for r in hosts.select(
+            urlfilter.registered_domain(F.col("h")).alias("rd")
+        ).collect()
+    ]
+    assert got == ["example.co.uk", "example.net", "localhost"]
+
+
+def test_urlfilter_keep_rule_each_reason(spark):
+    """One URL per drop reason + one clean keeper."""
+    from outage_data_scraper_spark.operators import urlfilter
+
+    urls = [
+        ("https://ok.example.net/a/b",),                          # keep
+        ("https://bad.spam.example/x",),                          # blocked
+        ("https://a.b.c.d.example.net/x",),                       # subdomain_depth 4
+        ("https://h1234567890123.example.net/x",),                # digits > 40%
+        ("https://ok.example.net/" + "/".join("abcdefghi") + "/x",),  # path_depth 10
+        ("https://ok.example.net/" + "q" * 200,),                 # url_len > 200
+    ]
+    frontier = spark.createDataFrame(urls, "url string")
+    bl = spark.createDataFrame([("spam.example",)], "reg_domain string")
+    rows = {
+        r.url: r for r in urlfilter.url_quality_features(frontier, bl).collect()
+    }
+    assert rows[urls[0][0]].keep
+    assert rows[urls[1][0]].blocked and not rows[urls[1][0]].keep
+    assert rows[urls[2][0]].subdomain_depth == 4 and not rows[urls[2][0]].keep
+    assert rows[urls[3][0]].host_digit_bp >= 4000 and not rows[urls[3][0]].keep
+    assert rows[urls[4][0]].path_depth > 8 and not rows[urls[4][0]].keep
+    assert rows[urls[5][0]].url_len > 200 and not rows[urls[5][0]].keep
+
+
+def test_urlfilter_blocklist_is_broadcast(spark):
+    """The frontier side must not shuffle: blocklist joins broadcast."""
+    from outage_data_scraper_spark.operators import urlfilter
+
+    frontier = spark.range(1000).select(
+        F.concat(F.lit("https://h"), F.col("id"), F.lit(".example.net/x")).alias("url")
+    )
+    bl = spark.createDataFrame([("spam.example",)], "reg_domain string")
+    plan = (
+        urlfilter.url_quality_features(frontier, bl)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "hashpartitioning" not in plan, plan
