@@ -873,6 +873,19 @@ def q69_url_filter(spark, sf_dir):
     return urlfilter.url_quality_features(frontier, blocklist).orderBy("url")
 
 
+def q70_inverted_index(spark, sf_dir):
+    """Positional inverted index (operators/index.py): per term, df,
+    total_tf, and the "doc:p1|p2,..." posting list — two map-side-
+    combined shuffles ((term,doc) then term); posting order is fully
+    deterministic (positions via sort_array, docs via struct sort), so
+    the string gate is exact. doc_buckets shards Zipf-head postings at
+    scale; 1 here."""
+    from outage_data_scraper_spark.operators import index
+
+    docs = _t(spark, sf_dir, "documents")
+    return index.build_inverted_index(docs, min_df=2).orderBy("term")
+
+
 def q64_boilerplate_dictionary(spark, sf_dir):
     """Corpus boilerplate dictionary (dedup.boilerplate_dictionary): the
     top-20 most widespread 4-token spans (q49's unit, ndocs ≥ 5) with
@@ -1422,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_compression_signal": q67_compression_signal,
         "q68_bpe_train": q68_bpe_train,
         "q69_url_filter": q69_url_filter,
+        "q70_inverted_index": q70_inverted_index,
     }
 
 
@@ -2709,6 +2723,29 @@ def oracle_sql() -> dict[str, str]:
                 AND host_digit_bp < {_uf.MAX_HOST_DIGIT_BP}
                 AND url_len <= {_uf.MAX_URL_LEN}) AS keep
         FROM f4 ORDER BY url
+    """
+    # q70: positions via list_transform index (1-based → pos = i-1);
+    # posting order pinned with ORDER BY inside string_agg — the same
+    # determinism the Spark side gets from sort_array + struct sort
+    oracles["q70_inverted_index"] = f"""
+        WITH pos AS (
+          SELECT doc_id, u.x AS term, u.i - 1 AS pos
+          FROM (SELECT doc_id,
+                       unnest(list_transform({_TOKS}, (x, i) -> {{'x': x, 'i': i}})) AS u
+                FROM documents
+                WHERE length({_NORM}) > 0)
+        ),
+        perdoc AS (
+          SELECT term, doc_id, count(*)::BIGINT AS tf,
+                 string_agg(pos::VARCHAR, '|' ORDER BY pos) AS plist
+          FROM pos GROUP BY 1, 2
+        )
+        SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS total_tf,
+               string_agg(doc_id::VARCHAR || ':' || plist, ',' ORDER BY doc_id)
+                 AS postings
+        FROM perdoc GROUP BY 1
+        HAVING count(*) >= 2
+        ORDER BY term
     """
     # q64: q49's disjoint 4-token chunk unit; deterministic top-k via
     # (ndocs DESC, occurrences DESC, span_text)

@@ -1524,3 +1524,54 @@ def test_urlfilter_blocklist_is_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "hashpartitioning" not in plan, plan
+
+
+def test_inverted_index_postings_hand_case(spark):
+    from outage_data_scraper_spark.operators import index
+
+    docs = spark.createDataFrame(
+        [(1, "b a b"), (2, "a c A"), (3, None)], "doc_id long, text string"
+    )
+    rows = {r.term: r for r in index.build_inverted_index(docs).collect()}
+    # normalized lowercases: doc2 = [a, c, a]
+    assert rows["a"].df == 2 and rows["a"].total_tf == 3
+    assert rows["a"].postings == "1:1,2:0|2"
+    assert rows["b"].df == 1 and rows["b"].postings == "1:0|2"
+    assert rows["c"].postings == "2:1"
+    assert set(rows) == {"a", "b", "c"}  # null doc contributes nothing
+
+
+def test_inverted_index_doc_buckets_partition_postings(spark):
+    """Bucketed rows must reassemble exactly to the unbucketed index."""
+    from outage_data_scraper_spark.operators import index
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 3} shared") for i in range(20)], "doc_id long, text string"
+    )
+    flat = {r.term: r for r in index.build_inverted_index(docs).collect()}
+    sharded = index.build_inverted_index(docs, doc_buckets=4).collect()
+    by_term = {}
+    for r in sharded:
+        agg = by_term.setdefault(r.term, {"df": 0, "tf": 0, "entries": []})
+        agg["df"] += r.df
+        agg["tf"] += r.total_tf
+        agg["entries"].extend(r.postings.split(","))
+    for term, agg in by_term.items():
+        assert agg["df"] == flat[term].df
+        assert agg["tf"] == flat[term].total_tf
+        assert sorted(agg["entries"], key=lambda e: int(e.split(":")[0])) == \
+            flat[term].postings.split(",")
+
+
+def test_inverted_index_two_shuffles(spark):
+    from outage_data_scraper_spark.operators import index
+
+    docs = spark.createDataFrame(
+        [(i, "x y z") for i in range(10)], "doc_id long, text string"
+    )
+    plan = (
+        index.build_inverted_index(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "partial" in plan.lower() or "ObjectHashAggregate" in plan, plan
