@@ -886,6 +886,20 @@ def q70_inverted_index(spark, sf_dir):
     return index.build_inverted_index(docs, min_df=2).orderBy("term")
 
 
+def q71_bm25_search(spark, sf_dir):
+    """BM25 top-20 (operators/index.py:bm25_topk) for the query
+    {spark, window, join}: corpus explode filtered to query terms
+    immediately (only matches shuffle), df table broadcast, N/avgdl
+    driver scalars. Float-immune ranking: per-term contributions round
+    to integer MICRO-UNITS before the per-doc sum (integer sum is
+    order-free — the q57 micro-nat pattern), so score_u gates exactly
+    with no rounded-ordering games."""
+    from outage_data_scraper_spark.operators import index
+
+    docs = _t(spark, sf_dir, "documents")
+    return index.bm25_topk(docs, ["spark", "window", "join"], top_k=20)
+
+
 def q64_boilerplate_dictionary(spark, sf_dir):
     """Corpus boilerplate dictionary (dedup.boilerplate_dictionary): the
     top-20 most widespread 4-token spans (q49's unit, ndocs ≥ 5) with
@@ -1436,6 +1450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_bpe_train": q68_bpe_train,
         "q69_url_filter": q69_url_filter,
         "q70_inverted_index": q70_inverted_index,
+        "q71_bm25_search": q71_bm25_search,
     }
 
 
@@ -2746,6 +2761,41 @@ def oracle_sql() -> dict[str, str]:
         FROM perdoc GROUP BY 1
         HAVING count(*) >= 2
         ORDER BY term
+    """
+    # q71: BM25 with every expression shape mirrored (left-assoc, all
+    # ::DOUBLE literals per the DECIMAL-literal invariant); per-term
+    # micro-unit rounding makes the per-doc sum an integer sum, so
+    # score_u is exact cross-engine
+    oracles["q71_bm25_search"] = f"""
+        WITH base AS (
+          SELECT doc_id, {_TOKS} AS w FROM documents WHERE length({_NORM}) > 0
+        ),
+        s AS (
+          SELECT count(*)::BIGINT AS n,
+                 sum(len(w))::DOUBLE / count(*) AS avgdl
+          FROM base
+        ),
+        pos AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM base),
+        m AS (
+          SELECT term, doc_id, dl, count(*)::BIGINT AS tf
+          FROM pos WHERE term IN ('spark', 'window', 'join')
+          GROUP BY 1, 2, 3
+        ),
+        d AS (SELECT term, count(*)::BIGINT AS df FROM m GROUP BY 1),
+        c AS (
+          SELECT m.doc_id,
+                 CAST(round(
+                   ln((CAST(s.n AS DOUBLE) - df + 0.5::DOUBLE)
+                      / (df + 0.5::DOUBLE) + 1.0::DOUBLE)
+                   * ((tf::DOUBLE * 2.2::DOUBLE)
+                      / (tf::DOUBLE + 1.2::DOUBLE
+                         * (0.25::DOUBLE + 0.75::DOUBLE * dl::DOUBLE / s.avgdl)))
+                   * 1000000.0::DOUBLE, 0) AS BIGINT) AS cu
+          FROM m JOIN d USING (term), s
+        )
+        SELECT doc_id, sum(cu)::BIGINT AS score_u, count(*)::BIGINT AS n_terms
+        FROM c GROUP BY 1
+        ORDER BY score_u DESC, doc_id LIMIT 20
     """
     # q64: q49's disjoint 4-token chunk unit; deterministic top-k via
     # (ndocs DESC, occurrences DESC, span_text)

@@ -70,3 +70,61 @@ def build_inverted_index(
         ).alias("postings"),
     )
     return agg.filter(F.col("df") >= min_df)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 retrieval: top-k docs for a bag of query terms.
+
+    Scale shape: the token explode is filtered to the query terms
+    IMMEDIATELY (the corpus side never shuffles anything but matches —
+    rare by construction), df(t) is a query-terms-sized table that
+    broadcasts, and N/avgdl are two driver scalars (the SQ8-codebook
+    class). Ranking is float-immune: each term's contribution is
+    rounded to integer MICRO-UNITS before the per-doc sum, so the
+    aggregate is an integer sum (order-free) and the gate needs no
+    rounded-ordering games — score_u is exact in both engines
+    (the q57 micro-nat pattern).
+    """
+    toks = textkit.tokens(textkit.normalized(F.col(text_col)))
+    base = docs.select(F.col(id_col), toks.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.size("toks")).alias("sum_dl")
+    ).collect()[0]
+    n_docs, avgdl = int(stats.n), stats.sum_dl / stats.n
+    pos = base.select(
+        F.col(id_col),
+        F.size("toks").alias("dl"),
+        F.explode("toks").alias("term"),
+    ).filter(F.col("term").isin(query_terms))
+    tfdf = pos.groupBy("term", id_col, "dl").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tfdf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    j = tfdf.join(F.broadcast(df_t), "term")
+    # expression shapes mirrored verbatim in the q71 oracle
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    tfn = (tfd * F.lit(k1 + 1.0)) / (
+        tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dld / F.lit(avgdl))
+    )
+    contrib_u = F.round(idf * tfn * F.lit(1e6), 0).cast("long")
+    return (
+        j.select(F.col(id_col), contrib_u.alias("cu"))
+        .groupBy(id_col)
+        .agg(F.sum("cu").alias("score_u"), F.count(F.lit(1)).alias("n_terms"))
+        .orderBy(F.col("score_u").desc(), id_col)
+        .limit(top_k)
+    )

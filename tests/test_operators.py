@@ -1575,3 +1575,56 @@ def test_inverted_index_two_shuffles(spark):
     )
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert "partial" in plan.lower() or "ObjectHashAggregate" in plan, plan
+
+
+def test_bm25_matches_python_reference(spark):
+    """Spark BM25 micro-unit scores == a plain-Python BM25 with the
+    same expression shapes, on a hand-sized corpus."""
+    import math
+
+    from outage_data_scraper_spark.operators import index
+
+    texts = {
+        1: "apple banana apple",
+        2: "banana cherry",
+        3: "apple cherry cherry durian",
+        4: "durian",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    q = ["apple", "cherry"]
+    got = {r.doc_id: (r.score_u, r.n_terms) for r in index.bm25_topk(docs, q).collect()}
+
+    toks = {i: t.split() for i, t in texts.items()}
+    n = len(toks)
+    avgdl = sum(len(w) for w in toks.values()) / n
+    df = {t: sum(1 for w in toks.values() if t in w) for t in q}
+    want = {}
+    for i, w in toks.items():
+        cu = 0
+        k = 0
+        for t in q:
+            tf = w.count(t)
+            if not tf:
+                continue
+            idf = math.log((float(n) - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            tfn = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(w) / avgdl))
+            cu += int(round(idf * tfn * 1e6))
+            k += 1
+        if k:
+            want[i] = (cu, k)
+    assert got == want
+
+
+def test_bm25_plan_broadcasts_df_and_filters_explode(spark):
+    from outage_data_scraper_spark.operators import index
+
+    docs = spark.createDataFrame(
+        [(i, "apple pie") for i in range(50)], "doc_id long, text string"
+    )
+    plan = (
+        index.bm25_topk(docs, ["apple"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
