@@ -900,6 +900,36 @@ def q71_bm25_search(spark, sf_dir):
     return index.bm25_topk(docs, ["spark", "window", "join"], top_k=20)
 
 
+def q72_perplexity_buckets(spark, sf_dir):
+    """CCNet-style perplexity partitioning: bucket every doc by its
+    bigram-LM score (q57's avg_nll — already value-gated, so the CASE
+    thresholds cut on a number both engines agree on exactly) into
+    head/middle/tail, and report per-bucket (n_docs, total_bigrams,
+    min/max avg_nll). The production form replaces the frozen cut
+    points with trained-LM percentiles; the bucket operator itself —
+    a projection + one tiny aggregate — is unchanged. Zero extra
+    passes: the bucket rides the scoring scan."""
+    from outage_data_scraper_spark.operators.lm import bigram_lm_scores
+
+    scored = bigram_lm_scores(_t(spark, sf_dir, "documents"))
+    bucket = (
+        F.when(F.col("avg_nll") < 3.39, F.lit("head"))
+        .when(F.col("avg_nll") < 3.42, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.select(bucket.alias("bucket"), "n_bigrams", "avg_nll")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").alias("total_bigrams"),
+            F.min("avg_nll").alias("min_nll"),
+            F.max("avg_nll").alias("max_nll"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def q64_boilerplate_dictionary(spark, sf_dir):
     """Corpus boilerplate dictionary (dedup.boilerplate_dictionary): the
     top-20 most widespread 4-token spans (q49's unit, ndocs ≥ 5) with
@@ -1451,6 +1481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_url_filter": q69_url_filter,
         "q70_inverted_index": q70_inverted_index,
         "q71_bm25_search": q71_bm25_search,
+        "q72_perplexity_buckets": q72_perplexity_buckets,
     }
 
 
@@ -2796,6 +2827,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, sum(cu)::BIGINT AS score_u, count(*)::BIGINT AS n_terms
         FROM c GROUP BY 1
         ORDER BY score_u DESC, doc_id LIMIT 20
+    """
+    # q72: buckets cut on the ROUNDED avg_nll both engines already agree
+    # on exactly (q57's gated value), so the CASE is boundary-safe;
+    # per-bucket aggregates of gated values stay exact
+    oracles["q72_perplexity_buckets"] = f"""
+        WITH scored AS ({oracles["q57_bigram_lm_score"]})
+        SELECT CASE WHEN avg_nll < 3.39::DOUBLE THEN 'head'
+                    WHEN avg_nll < 3.42::DOUBLE THEN 'middle'
+                    ELSE 'tail' END AS bucket,
+               count(*)::BIGINT AS n_docs,
+               sum(n_bigrams)::BIGINT AS total_bigrams,
+               min(avg_nll) AS min_nll,
+               max(avg_nll) AS max_nll
+        FROM scored GROUP BY 1 ORDER BY bucket
     """
     # q64: q49's disjoint 4-token chunk unit; deterministic top-k via
     # (ndocs DESC, occurrences DESC, span_text)
