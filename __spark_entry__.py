@@ -930,6 +930,43 @@ def q72_perplexity_buckets(spark, sf_dir):
     )
 
 
+def q73_asof_join(spark, sf_dir):
+    """Backward as-of join (operators/asof.py): every purchase event
+    picks up the user's latest click at-or-before it. Union + window —
+    ONE hash shuffle on user_id, a single sorted pass per key, no
+    range-join pair blow-up (the shape that survives hot keys at
+    10^10 rows). The right side pre-dedups (user_id, ts) by max
+    event_id in BOTH engines so the match is fully deterministic;
+    DuckDB's native ASOF LEFT JOIN is the oracle. Timestamps gate as
+    integer epoch-microseconds (float/format-immune)."""
+    from outage_data_scraper_spark.operators import asof
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    right = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    j = asof.asof_join(left, right, on="ts", by="user_id")
+    # ts is TIMESTAMP_NTZ; session tz is UTC, so the cast pins the same
+    # instant DuckDB's epoch_us reads off the naive timestamp
+    lus = F.unix_micros(F.col("ts").cast("timestamp"))
+    rus = F.unix_micros(F.col("r_ts").cast("timestamp"))
+    return j.select(
+        "event_id",
+        "user_id",
+        lus.alias("ts_us"),
+        F.col("r_event_id"),
+        (lus - rus).alias("lag_us"),
+    ).orderBy("event_id")
+
+
 def q64_boilerplate_dictionary(spark, sf_dir):
     """Corpus boilerplate dictionary (dedup.boilerplate_dictionary): the
     top-20 most widespread 4-token spans (q49's unit, ndocs ≥ 5) with
@@ -1482,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_inverted_index": q70_inverted_index,
         "q71_bm25_search": q71_bm25_search,
         "q72_perplexity_buckets": q72_perplexity_buckets,
+        "q73_asof_join": q73_asof_join,
     }
 
 
@@ -2841,6 +2879,29 @@ def oracle_sql() -> dict[str, str]:
                min(avg_nll) AS min_nll,
                max(avg_nll) AS max_nll
         FROM scored GROUP BY 1 ORDER BY bucket
+    """
+    # q73: DuckDB's NATIVE ASOF LEFT JOIN as the oracle for the
+    # union+window as-of; right side pre-deduped identically so the
+    # match is deterministic; integer epoch-microseconds throughout
+    oracles["q73_asof_join"] = """
+        WITH l AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        ),
+        r AS (
+          SELECT user_id, ts, event_id FROM (
+            SELECT user_id, ts, event_id,
+                   row_number() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'click'
+          ) WHERE rn = 1
+        )
+        SELECT l.event_id, l.user_id,
+               epoch_us(l.ts) AS ts_us,
+               r.event_id AS r_event_id,
+               epoch_us(l.ts) - epoch_us(r.ts) AS lag_us
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+        ORDER BY l.event_id
     """
     # q64: q49's disjoint 4-token chunk unit; deterministic top-k via
     # (ndocs DESC, occurrences DESC, span_text)

@@ -1628,3 +1628,109 @@ def test_bm25_plan_broadcasts_df_and_filters_explode(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_asof_join_hand_semantics(spark):
+    """Equal-ts right row matches (backward inclusive); earlier right
+    wins over nothing; no-match rows keep nulls; a NULL right payload
+    column must NOT reach back past the matched row (struct atomicity)."""
+    from datetime import datetime
+
+    from outage_data_scraper_spark.operators import asof
+
+    T = lambda s: datetime.fromisoformat(s)
+    left = spark.createDataFrame(
+        [(1, 10, T("2024-01-01T00:00:05")),
+         (2, 10, T("2024-01-01T00:00:10")),
+         (3, 20, T("2024-01-01T00:00:01"))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, T("2024-01-01T00:00:03"), 100, "a"),
+         (10, T("2024-01-01T00:00:10"), 101, None),
+         (20, T("2024-01-01T00:02:00"), 102, "c")],
+        "user_id long, ts timestamp, rid long, tag string",
+    )
+    rows = {r.event_id: r for r in asof.asof_join(left, right).collect()}
+    assert rows[1].r_rid == 100 and rows[1].r_tag == "a"
+    # equal-ts match, and its NULL tag stays NULL (no per-column reach-back)
+    assert rows[2].r_rid == 101 and rows[2].r_tag is None
+    # right row is in the future -> no match
+    assert rows[3].r_rid is None and rows[3].r_ts is None
+
+
+def test_asof_join_tolerance(spark):
+    from datetime import datetime
+
+    from outage_data_scraper_spark.operators import asof
+
+    T = lambda s: datetime.fromisoformat(s)
+    left = spark.createDataFrame(
+        [(1, 1, T("2024-01-01T00:01:00"))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, T("2024-01-01T00:00:00"), 9)], "user_id long, ts timestamp, rid long"
+    )
+    with_tol = asof.asof_join(left, right, tolerance_us=30_000_000).collect()[0]
+    assert with_tol.r_rid is None  # 60 s lag > 30 s tolerance
+    loose = asof.asof_join(left, right, tolerance_us=90_000_000).collect()[0]
+    assert loose.r_rid == 9
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    import numpy as np
+    import pandas as pd
+
+    from outage_data_scraper_spark.operators import asof
+
+    rng = np.random.default_rng(5)
+    base = pd.Timestamp("2024-01-01")
+    lpdf = pd.DataFrame({
+        "event_id": range(200),
+        "user_id": rng.integers(0, 10, 200),
+        "ts": base + pd.to_timedelta(rng.integers(0, 10_000, 200), "s"),
+    })
+    rpdf = pd.DataFrame({
+        "user_id": rng.integers(0, 10, 150),
+        "ts": base + pd.to_timedelta(rng.integers(0, 10_000, 150), "s"),
+        "rid": range(150),
+    })
+    # unique (user_id, ts) on the right: deterministic match in all engines
+    rpdf = rpdf.sort_values("rid").drop_duplicates(["user_id", "ts"], keep="last")
+    got = (
+        asof.asof_join(
+            spark.createDataFrame(lpdf), spark.createDataFrame(rpdf)
+        )
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        lpdf.sort_values("ts"),
+        rpdf.sort_values("ts"),
+        on="ts",
+        by="user_id",
+        direction="backward",
+    ).sort_values("event_id").reset_index(drop=True)
+    assert got["r_rid"].fillna(-1).tolist() == want["rid"].fillna(-1).tolist()
+
+
+def test_asof_join_single_shuffle_no_join(spark):
+    """The plan is union + window: exactly one hash exchange, zero join
+    operators — the shape that survives hot keys."""
+    from datetime import datetime
+
+    from outage_data_scraper_spark.operators import asof
+
+    T = datetime.fromisoformat
+    left = spark.createDataFrame(
+        [(1, 1, T("2024-01-01T00:00:01"))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, T("2024-01-01T00:00:00"), 1)], "user_id long, ts timestamp, rid long"
+    )
+    plan = (
+        asof.asof_join(left, right)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
