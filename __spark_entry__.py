@@ -967,6 +967,57 @@ def q73_asof_join(spark, sf_dir):
     ).orderBy("event_id")
 
 
+def q74_range_join(spark, sf_dir):
+    """Range (point-in-interval) join (operators/rangejoin.py):
+    purchases match the signup intervals [ts, ts + (event_id%7200+60)s]
+    of the same user. Bucketized — intervals explode to the 1-hour
+    epoch buckets they cover, points compute ONE bucket, match is an
+    equi-join + exact BETWEEN post-filter: O(points + intervals·span +
+    matches), never a nested-loop inequality join. All arithmetic is
+    integer epoch-µs DIV (boundary-exact cross-engine)."""
+    from outage_data_scraper_spark.operators import rangejoin
+
+    ev = _t(spark, sf_dir, "events")
+    us = lambda: F.unix_micros(F.col("ts").cast("timestamp"))  # noqa: E731
+    points = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", us().alias("p_us")
+    )
+    ivals = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("i_id"),
+        "user_id",
+        us().alias("start_us"),
+        (us() + (F.col("event_id") % 7200 + 60) * F.lit(1_000_000)).alias("end_us"),
+    )
+    j = rangejoin.interval_point_join(
+        points, ivals, "p_us", "start_us", "end_us", by="user_id"
+    )
+    return j.select(
+        "p_id",
+        "i_id",
+        "user_id",
+        "p_us",
+        (F.col("p_us") - F.col("start_us")).alias("offset_us"),
+    ).orderBy("p_id", "i_id")
+
+
+def q75_rollup_cascade(spark, sf_dir):
+    """Hypertable rollup (operators/rollup.py): minute → hour → day
+    continuous aggregates where each coarser level RE-AGGREGATES the
+    finer one (raw scanned once; levels localCheckpoint'd so the union
+    doesn't re-execute the chain per branch). Mergeable aggs only
+    (sum/count/min/max), values as floored integer micro-units so
+    sums are order-free; the oracle aggregates RAW directly at every
+    level — equality IS the mergeability proof."""
+    from outage_data_scraper_spark.operators import rollup
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.expr("CAST(floor(value * 1000000.0) AS BIGINT)").alias("value_u"),
+    )
+    return rollup.rollup_cascade(ev).orderBy("level_s", "event_type", "bucket_us")
+
+
 def q64_boilerplate_dictionary(spark, sf_dir):
     """Corpus boilerplate dictionary (dedup.boilerplate_dictionary): the
     top-20 most widespread 4-token spans (q49's unit, ndocs ≥ 5) with
@@ -1520,6 +1571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_bm25_search": q71_bm25_search,
         "q72_perplexity_buckets": q72_perplexity_buckets,
         "q73_asof_join": q73_asof_join,
+        "q74_range_join": q74_range_join,
+        "q75_rollup_cascade": q75_rollup_cascade,
     }
 
 
@@ -2902,6 +2955,45 @@ def oracle_sql() -> dict[str, str]:
         FROM l ASOF LEFT JOIN r
           ON l.user_id = r.user_id AND l.ts >= r.ts
         ORDER BY l.event_id
+    """
+    # q74: the oracle is the PLAIN inequality join (DuckDB plans its own
+    # IE-join) — the bucketized Spark path must reproduce it exactly
+    oracles["q74_range_join"] = """
+        WITH p AS (
+          SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
+          FROM events WHERE event_type = 'purchase'
+        ),
+        i AS (
+          SELECT event_id AS i_id, user_id, epoch_us(ts) AS start_us,
+                 epoch_us(ts) + (event_id % 7200 + 60) * 1000000 AS end_us
+          FROM events WHERE event_type = 'signup'
+        )
+        SELECT p_id, i_id, user_id, p_us, p_us - start_us AS offset_us
+        FROM p JOIN i USING (user_id)
+        WHERE p_us BETWEEN start_us AND end_us
+        ORDER BY p_id, i_id
+    """
+    # q75: the oracle aggregates RAW directly at every resolution — the
+    # Spark side's finer→coarser cascade must equal it exactly, which
+    # is the mergeability proof; floored micro-unit values keep every
+    # sum integer (order-free)
+    oracles["q75_rollup_cascade"] = """
+        WITH raw AS (
+          SELECT event_type, epoch_us(ts) AS ts_us,
+                 CAST(floor(value * 1000000.0) AS BIGINT) AS value_u
+          FROM events
+        ),
+        lv AS (SELECT unnest([60, 3600, 86400]) AS level_s)
+        SELECT level_s, event_type,
+               (ts_us // (level_s::BIGINT * 1000000))
+                 * (level_s::BIGINT * 1000000) AS bucket_us,
+               count(*)::BIGINT AS n,
+               sum(value_u)::BIGINT AS sum_u,
+               min(value_u)::BIGINT AS min_u,
+               max(value_u)::BIGINT AS max_u
+        FROM raw, lv
+        GROUP BY 1, 2, 3
+        ORDER BY level_s, event_type, bucket_us
     """
     # q64: q49's disjoint 4-token chunk unit; deterministic top-k via
     # (ndocs DESC, occurrences DESC, span_text)

@@ -1734,3 +1734,98 @@ def test_asof_join_single_shuffle_no_join(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_range_join_boundaries_and_multibucket(spark):
+    """Inclusive boundaries, interval spanning several buckets, each
+    true pair exactly once, no nested-loop join in the plan."""
+    from outage_data_scraper_spark.operators import rangejoin
+
+    B = 1_000_000  # 1 s buckets for the test
+    points = spark.createDataFrame(
+        [(1, 10 * B), (2, 15 * B), (3, 15 * B + 1), (4, 9 * B)],
+        "p_id long, p_us long",
+    )
+    ivals = spark.createDataFrame(
+        [(100, 10 * B, 15 * B)], "i_id long, start_us long, end_us long"
+    )
+    got = (
+        rangejoin.interval_point_join(
+            points, ivals, "p_us", "start_us", "end_us", bucket_us=B
+        )
+        .select("p_id", "i_id")
+        .collect()
+    )
+    assert sorted((r.p_id, r.i_id) for r in got) == [(1, 100), (2, 100)]
+    plan = (
+        rangejoin.interval_point_join(
+            points, ivals, "p_us", "start_us", "end_us", bucket_us=B
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan and "Cartesian" not in plan, plan
+
+
+def test_range_join_matches_bruteforce(spark):
+    import numpy as np
+
+    from outage_data_scraper_spark.operators import rangejoin
+
+    rng = np.random.default_rng(9)
+    pts = [(i, int(k), int(t)) for i, (k, t) in enumerate(
+        zip(rng.integers(0, 5, 120), rng.integers(0, 10_000_000, 120)))]
+    ivs = []
+    for j in range(60):
+        s = int(rng.integers(0, 9_000_000))
+        ivs.append((1000 + j, int(rng.integers(0, 5)), s, s + int(rng.integers(0, 3_000_000))))
+    points = spark.createDataFrame(pts, "p_id long, k long, p_us long")
+    ivals = spark.createDataFrame(ivs, "i_id long, k long, start_us long, end_us long")
+    got = sorted(
+        (r.p_id, r.i_id)
+        for r in rangejoin.interval_point_join(
+            points, ivals, "p_us", "start_us", "end_us", by="k", bucket_us=1_000_000
+        ).collect()
+    )
+    want = sorted(
+        (p, i)
+        for p, pk, t in pts
+        for i, ik, s, e in ivs
+        if pk == ik and s <= t <= e
+    )
+    assert got == want
+
+
+def test_rollup_cascade_equals_direct(spark):
+    """Re-aggregating the finer level must equal aggregating raw at
+    every resolution (mergeability), incl. negative values."""
+    import numpy as np
+
+    from outage_data_scraper_spark.operators import rollup
+
+    rng = np.random.default_rng(2)
+    rows = [
+        (str(k), int(t), int(v))
+        for k, t, v in zip(
+            rng.integers(0, 3, 300),
+            rng.integers(0, 90_000 * 1_000_000, 300),
+            rng.integers(-5_000_000, 5_000_000, 300),
+        )
+    ]
+    ev = spark.createDataFrame(rows, "event_type string, ts_us long, value_u long")
+    got = rollup.rollup_cascade(ev, levels=(60, 3600)).collect()
+    for level in (60, 3600):
+        w = level * 1_000_000
+        direct = {}
+        for k, t, v in rows:
+            b = (t // w) * w
+            agg = direct.setdefault((k, b), [0, 0, None, None])
+            agg[0] += 1
+            agg[1] += v
+            agg[2] = v if agg[2] is None else min(agg[2], v)
+            agg[3] = v if agg[3] is None else max(agg[3], v)
+        lvl = {
+            (r.event_type, r.bucket_us): [r.n, r.sum_u, r.min_u, r.max_u]
+            for r in got
+            if r.level_s == level
+        }
+        assert lvl == direct, level
