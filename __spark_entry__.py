@@ -1018,6 +1018,22 @@ def q75_rollup_cascade(spark, sf_dir):
     return rollup.rollup_cascade(ev).orderBy("level_s", "event_type", "bucket_us")
 
 
+def q76_hll_distinct(spark, sf_dir):
+    """Cross-engine-EXACT HyperLogLog (operators/sketch.py): md5-based
+    4096-register sketch over events.user_id — the register table is
+    bit-identical in both engines (neither builtin approx_count_distinct
+    can gate the other), the harmonic sum is an INTEGER sum in 2^-49
+    units (order-free), and the α·m²/Σ + linear-counting estimate is one
+    frozen expression rounded at the end. exact_distinct rides along so
+    the artifact shows the sketch's accuracy."""
+    from outage_data_scraper_spark.operators import sketch
+
+    ev = _t(spark, sf_dir, "events")
+    summary = sketch.hll_estimate(sketch.hll_registers(ev, "user_id"))
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return summary.crossJoin(exact)
+
+
 def q64_boilerplate_dictionary(spark, sf_dir):
     """Corpus boilerplate dictionary (dedup.boilerplate_dictionary): the
     top-20 most widespread 4-token spans (q49's unit, ndocs ≥ 5) with
@@ -1573,6 +1589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_asof_join": q73_asof_join,
         "q74_range_join": q74_range_join,
         "q75_rollup_cascade": q75_rollup_cascade,
+        "q76_hll_distinct": q76_hll_distinct,
     }
 
 
@@ -2994,6 +3011,45 @@ def oracle_sql() -> dict[str, str]:
         FROM raw, lv
         GROUP BY 1, 2, 3
         ORDER BY level_s, event_type, bucket_us
+    """
+    # q76: the whole HLL recomputed in SQL — bucket/rho from the same
+    # md5 substrings ('0x'||hex cast), integer harmonic sum, α and every
+    # float literal interpolated from operators/sketch.py with ::DOUBLE
+    from outage_data_scraper_spark.operators import sketch as _sk
+
+    _b = "('0x' || substr(md5(user_id::VARCHAR), 1, 3))::INT"
+    _w = "('0x' || substr(md5(user_id::VARCHAR), 4, 12))::BIGINT"
+    _est_raw = (
+        f"{_sk.ALPHA!r}::DOUBLE * {float(_sk.M)!r}::DOUBLE * {float(_sk.M)!r}::DOUBLE"
+        f" / (sum_u::DOUBLE / {float(1 << 49)!r}::DOUBLE)"
+    )
+    oracles["q76_hll_distinct"] = f"""
+        WITH r AS (
+          SELECT {_b} AS bucket,
+                 max(CASE WHEN {_w} = 0 THEN 49
+                          ELSE 49 - length(bin({_w})) END) AS rho
+          FROM events GROUP BY 1
+        ),
+        a AS (
+          SELECT count(*)::BIGINT AS n_buckets,
+                 sum((1::BIGINT << (49 - rho)))::BIGINT AS nz
+          FROM r
+        ),
+        f AS (
+          SELECT n_buckets,
+                 nz + ({_sk.M}::BIGINT - n_buckets) * (1::BIGINT << 49) AS sum_u
+          FROM a
+        )
+        SELECT n_buckets, sum_u,
+               round(CASE WHEN ({_est_raw}) <= {2.5 * _sk.M!r}::DOUBLE
+                               AND ({_sk.M} - n_buckets) > 0
+                          THEN {float(_sk.M)!r}::DOUBLE
+                               * ln({float(_sk.M)!r}::DOUBLE
+                                    / ({_sk.M} - n_buckets)::DOUBLE)
+                          ELSE {_est_raw} END, 4) AS est,
+               (SELECT count(DISTINCT user_id) FROM events)::BIGINT
+                 AS exact_distinct
+        FROM f
     """
     # q64: q49's disjoint 4-token chunk unit; deterministic top-k via
     # (ndocs DESC, occurrences DESC, span_text)

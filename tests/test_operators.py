@@ -1829,3 +1829,38 @@ def test_rollup_cascade_equals_direct(spark):
             if r.level_s == level
         }
         assert lvl == direct, level
+
+
+def test_hll_accuracy_raw_branch(spark):
+    """50k distinct values: the raw alpha*m^2/sum branch fires (no
+    zero registers expected is false - but est > 2.5m disables LC) and
+    the estimate lands within 5% (sigma ~ 1.6% at m=4096)."""
+    from outage_data_scraper_spark.operators import sketch
+
+    df = spark.range(50_000).select(F.col("id").alias("v"))
+    r = sketch.hll_estimate(sketch.hll_registers(df, "v")).collect()[0]
+    assert abs(r.est - 50_000) / 50_000 < 0.05, r.est
+
+
+def test_hll_sketch_merge_associative(spark):
+    """Union of two shard sketches (max per bucket) == whole-corpus
+    sketch — the mergeability that makes HLL shardable at 10^10 rows."""
+    from outage_data_scraper_spark.operators import sketch
+
+    df = spark.range(20_000).select(F.col("id").alias("v"))
+    a = sketch.hll_registers(df.filter(F.col("v") % 2 == 0), "v")
+    b = sketch.hll_registers(df.filter((F.col("v") % 2 == 1) | (F.col("v") < 5000)), "v")
+    merged = a.unionByName(b).groupBy("bucket").agg(F.max("rho").alias("rho"))
+    whole = sketch.hll_registers(df, "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_hll_register_table_deterministic(spark):
+    """Same input, two independent computations: identical registers
+    (the property that lets DuckDB gate the sketch value-exactly)."""
+    from outage_data_scraper_spark.operators import sketch
+
+    df = spark.range(1000).select((F.col("id") * 37 % 911).alias("v"))
+    r1 = sorted(map(tuple, sketch.hll_registers(df, "v").collect()))
+    r2 = sorted(map(tuple, sketch.hll_registers(df, "v").collect()))
+    assert r1 == r2 and len(r1) > 100
