@@ -1034,6 +1034,40 @@ def q76_hll_distinct(spark, sf_dir):
     return summary.crossJoin(exact)
 
 
+def q77_streaming_windowed_counts(spark, sf_dir):
+    """Structured Streaming, VALUE-GATED: the events table replayed as
+    a file stream (streaming/poll.py) → watermark → 15-min windowed
+    counts → parquet sink via Trigger.AvailableNow, then the sink read
+    back. Append mode emits exactly the windows whose end ≤ final
+    watermark (max event ts − 30 min) — deterministic, so the batch-SQL
+    oracle reproduces the STREAMING emission rule, not just the counts.
+    Fresh mkdtemp sink+checkpoint per invocation (no cross-run state,
+    no concurrent-driver races)."""
+    import tempfile
+
+    from outage_data_scraper_spark.streaming.poll import (
+        poll_stream,
+        run_available_now,
+        windowed_outage_counts,
+    )
+
+    schema = _t(spark, sf_dir, "events").schema
+    stream = poll_stream(spark, sf_dir, pattern="events.parquet", schema=schema)
+    obs = stream.select(
+        F.col("ts").cast("timestamp").alias("ts"), F.col("event_type")
+    )
+    res = windowed_outage_counts(obs, ts_col="ts", key_col="event_type")
+    d = tempfile.mkdtemp(prefix="q77_")
+    run_available_now(res, f"{d}/sink", f"{d}/ckpt")
+    out = spark.read.parquet(f"{d}/sink")
+    return out.select(
+        F.unix_micros("window_start").alias("ws_us"),
+        F.unix_micros("window_end").alias("we_us"),
+        "event_type",
+        "n_records",
+    ).orderBy("ws_us", "event_type")
+
+
 def q64_boilerplate_dictionary(spark, sf_dir):
     """Corpus boilerplate dictionary (dedup.boilerplate_dictionary): the
     top-20 most widespread 4-token spans (q49's unit, ndocs ≥ 5) with
@@ -1590,6 +1624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_range_join": q74_range_join,
         "q75_rollup_cascade": q75_rollup_cascade,
         "q76_hll_distinct": q76_hll_distinct,
+        "q77_streaming_windowed_counts": q77_streaming_windowed_counts,
     }
 
 
@@ -3050,6 +3085,23 @@ def oracle_sql() -> dict[str, str]:
                (SELECT count(DISTINCT user_id) FROM events)::BIGINT
                  AS exact_distinct
         FROM f
+    """
+    # q77: the batch oracle reproduces the STREAMING emission rule —
+    # append mode under availableNow emits exactly the windows whose
+    # end <= max(ts) - watermark delay; 15-min epoch-aligned buckets in
+    # integer epoch-µs
+    oracles["q77_streaming_windowed_counts"] = """
+        WITH wm AS (
+          SELECT epoch_us(max(ts)) - 1800000000::BIGINT AS w FROM events
+        ),
+        c AS (
+          SELECT (epoch_us(ts) // 900000000) * 900000000 AS ws_us,
+                 event_type, count(*)::BIGINT AS n_records
+          FROM events GROUP BY 1, 2
+        )
+        SELECT ws_us, ws_us + 900000000 AS we_us, event_type, n_records
+        FROM c, wm WHERE ws_us + 900000000 <= w
+        ORDER BY ws_us, event_type
     """
     # q64: q49's disjoint 4-token chunk unit; deterministic top-k via
     # (ndocs DESC, occurrences DESC, span_text)
