@@ -1068,6 +1068,23 @@ def q77_streaming_windowed_counts(spark, sf_dir):
     ).orderBy("ws_us", "event_type")
 
 
+def q78_quota_sample(spark, sf_dir):
+    """EXACT per-stratum quota sampling (sampling.quota_sample): the k
+    smallest (hash60, doc_id) per language — deterministic, retry- and
+    scale-invariant. Quotas exercise every regime: en 100 of 218 (cut),
+    zh 75 of 75 (exact population), fr 100 of 64 (quota > population →
+    whole stratum), de 30 of 70 (cut), es absent (dropped). The
+    two-phase prefilter+validate inside the operator cannot change the
+    result set, so the oracle is the plain full-rank statement."""
+    from outage_data_scraper_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.quota_sample(
+        docs, "lang", {"en": 100, "de": 30, "zh": 75, "fr": 100}
+    )
+    return out.select("doc_id", "lang", "sample_rank").orderBy("lang", "sample_rank")
+
+
 def q64_boilerplate_dictionary(spark, sf_dir):
     """Corpus boilerplate dictionary (dedup.boilerplate_dictionary): the
     top-20 most widespread 4-token spans (q49's unit, ndocs ≥ 5) with
@@ -1625,6 +1642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_rollup_cascade": q75_rollup_cascade,
         "q76_hll_distinct": q76_hll_distinct,
         "q77_streaming_windowed_counts": q77_streaming_windowed_counts,
+        "q78_quota_sample": q78_quota_sample,
     }
 
 
@@ -3102,6 +3120,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT ws_us, ws_us + 900000000 AS we_us, event_type, n_records
         FROM c, wm WHERE ws_us + 900000000 <= w
         ORDER BY ws_us, event_type
+    """
+    # q78: k smallest (hash60, doc_id) per stratum — same md5 hash
+    # chain as q48/q53; implementation's prefilter is semantics-free
+    oracles["q78_quota_sample"] = """
+        WITH q(lang, quota) AS (
+          VALUES ('en', 100), ('de', 30), ('zh', 75), ('fr', 100)
+        ),
+        r AS (
+          SELECT doc_id, d.lang,
+                 row_number() OVER (
+                   PARTITION BY d.lang
+                   ORDER BY ('0x' || substr(md5('quota-1' || doc_id::VARCHAR), 1, 15))::BIGINT,
+                            doc_id
+                 ) AS sample_rank,
+                 quota
+          FROM documents d JOIN q ON d.lang = q.lang
+        )
+        SELECT doc_id, lang, sample_rank FROM r
+        WHERE sample_rank <= quota
+        ORDER BY lang, sample_rank
     """
     # q64: q49's disjoint 4-token chunk unit; deterministic top-k via
     # (ndocs DESC, occurrences DESC, span_text)

@@ -13,7 +13,7 @@ hex chars fit a signed BIGINT on both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_WEIGHTS: tuple[tuple[str, int], ...] = (
@@ -106,3 +106,76 @@ def stratified_sample(
         r = F.when(cond, float(rate)) if r is None else r.when(cond, float(rate))
     r = F.lit(0.0) if r is None else r.otherwise(0.0)
     return df.withColumn("mix_u", F.round(u, 6)).filter(u < r)
+
+
+def quota_sample(
+    df: DataFrame,
+    strata_col: str,
+    quotas: dict[str, int],
+    id_col: str = "doc_id",
+    seed: str = "quota-1",
+    prefilter_factor: int = 3,
+) -> DataFrame:
+    """EXACT per-stratum quotas — the pay-the-shuffle complement to
+    stratified_sample's threshold form: keep the k rows with the
+    SMALLEST (hash60, id) per stratum, so the output is a deterministic
+    function of ids alone (retry/repartition/scale-invariant), strata
+    absent from ``quotas`` drop, and a quota ≥ the stratum population
+    keeps the whole stratum.
+
+    Scale shape — two-phase: ranking a 10^10-row dominant stratum in
+    ONE window partition is the straggler the threshold form avoids, so
+    phase 1 prefilters with the per-row hash threshold at
+    ``prefilter_factor·k/n`` (stratum counts = one tiny agg), cutting
+    the window input to O(factor·k) rows per stratum; phase 2
+    window-ranks only the survivors. The prefilter is validated —
+    strata where it kept fewer than min(k, n) rows (vanishingly rare at
+    factor 3; possible in principle since the hash is uniform, not
+    magic) fall back to ranking the full stratum, preserving EXACTNESS
+    unconditionally.
+    """
+    rows = df.sparkSession.createDataFrame(
+        [(s, int(k)) for s, k in quotas.items()], f"{strata_col} string, __quota long"
+    )
+    counts = {
+        r[strata_col]: r.n
+        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+        if r[strata_col] in quotas
+    }
+    u = uniform01(F.col(id_col), seed)
+    # per-stratum prefilter threshold (1.0 when quota covers the stratum)
+    thr: Column | None = None
+    full_rank: set[str] = set()
+    for s, k in quotas.items():
+        n = counts.get(s, 0)
+        t = 1.0 if n <= prefilter_factor * k else prefilter_factor * k / n
+        thr = F.when(F.col(strata_col) == s, t) if thr is None else thr.when(
+            F.col(strata_col) == s, t
+        )
+    thr = F.lit(0.0) if thr is None else thr.otherwise(0.0)
+    survivors = df.filter(u < thr)
+    # validate: any stratum whose prefilter kept < min(k, n) rows ranks
+    # over the full stratum instead (exactness is unconditional)
+    kept = {
+        r[strata_col]: r.n
+        for r in survivors.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for s, k in quotas.items():
+        need = min(int(k), counts.get(s, 0))
+        if kept.get(s, 0) < need:
+            full_rank.add(s)
+    if full_rank:
+        survivors = survivors.unionByName(
+            df.filter(F.col(strata_col).isin(sorted(full_rank)))
+        ).dropDuplicates([id_col])
+    w = Window.partitionBy(strata_col).orderBy(
+        _hash60(F.col(id_col), seed), F.col(id_col)
+    )
+    return (
+        survivors.join(F.broadcast(rows), strata_col)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= F.col("__quota"))
+        .drop("__quota")
+    )

@@ -1864,3 +1864,36 @@ def test_hll_register_table_deterministic(spark):
     r1 = sorted(map(tuple, sketch.hll_registers(df, "v").collect()))
     r2 = sorted(map(tuple, sketch.hll_registers(df, "v").collect()))
     assert r1 == r2 and len(r1) > 100
+
+
+def test_quota_sample_regimes_and_fallback(spark):
+    """Cut / exact-population / quota>population / absent strata; the
+    prefilter-fallback path (factor 0 -> empty prefilter -> full rank)
+    must produce the identical result set; repartitioning must not
+    change it (determinism is a function of ids alone)."""
+    from outage_data_scraper_spark.operators import sampling
+
+    rows = [(i, ["a", "b", "c", "d"][i % 4]) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    quotas = {"a": 10, "b": 50, "c": 100}
+    base = sampling.quota_sample(docs, "lang", quotas)
+    got = {r.lang: r.doc_id for r in []}  # noqa: F841
+    by_lang = {}
+    for r in base.collect():
+        by_lang.setdefault(r.lang, []).append((r.sample_rank, r.doc_id))
+    assert len(by_lang["a"]) == 10
+    assert len(by_lang["b"]) == 50  # population exactly 50
+    assert len(by_lang["c"]) == 50  # quota 100 > population 50
+    assert "d" not in by_lang
+    key = lambda rs: sorted((lang, tuple(sorted(v))) for lang, v in rs.items())
+
+    def collect_set(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.lang, []).append((r.sample_rank, r.doc_id))
+        return out
+
+    fallback = sampling.quota_sample(docs, "lang", quotas, prefilter_factor=0)
+    assert key(collect_set(fallback)) == key(by_lang)
+    reparted = sampling.quota_sample(docs.repartition(7), "lang", quotas)
+    assert key(collect_set(reparted)) == key(by_lang)
