@@ -1085,6 +1085,43 @@ def q78_quota_sample(spark, sf_dir):
     return out.select("doc_id", "lang", "sample_rank").orderBy("lang", "sample_rank")
 
 
+def q79_bpe_encode_stats(spark, sf_dir):
+    """The encode side of the tokenizer loop (bpe.encode_words): train
+    q68's 30 merges, encode the DISTINCT-word table (O(vocabulary) fold
+    work, never O(corpus)), then join symbol counts back onto the
+    corpus for per-doc (n_words, n_bpe_tokens) — the token-budget
+    numbers a training pipeline actually reports. Oracle: committed
+    parquet stamped by the train+encode Python twins, digest-guarded
+    (scripts/gen_q79_oracle.py)."""
+    from outage_data_scraper_spark.operators import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = [
+        (r.left, r.right) for r in bpe.train_bpe(docs, 30).orderBy("step").collect()
+    ]
+    toks = textkit.tokens(textkit.normalized(F.col("text")))
+    doc_words = docs.select("doc_id", F.explode(toks).alias("word")).filter(
+        F.col("word") != ""
+    )
+    enc = bpe.encode_words(doc_words.select("word").distinct(), merges).select(
+        "word", F.size("sym").alias("wtok")
+    )
+    agg = doc_words.join(enc, "word").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("wtok").alias("n_bpe_tokens"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("n_bpe_tokens", F.lit(0)).alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q64_boilerplate_dictionary(spark, sf_dir):
     """Corpus boilerplate dictionary (dedup.boilerplate_dictionary): the
     top-20 most widespread 4-token spans (q49's unit, ndocs ≥ 5) with
@@ -1643,6 +1680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_hll_distinct": q76_hll_distinct,
         "q77_streaming_windowed_counts": q77_streaming_windowed_counts,
         "q78_quota_sample": q78_quota_sample,
+        "q79_bpe_encode_stats": q79_bpe_encode_stats,
     }
 
 
@@ -1860,6 +1898,13 @@ def oracle_sql() -> dict[str, str]:
             "q68_bpe_train",
             'SELECT step, "left", "right", merged, pair_freq '
             "FROM read_parquet('{expected}') ORDER BY step",
+        ),
+        **_docs_digest_oracle(
+            _oracle_dir,
+            "q79",
+            "q79_bpe_encode_stats",
+            "SELECT doc_id, n_words, n_bpe_tokens "
+            "FROM read_parquet('{expected}') ORDER BY doc_id",
         ),
         # the committed expected-signature parquet (see q28's docstring);
         # DuckDB reads it directly — the comparison is value-level because

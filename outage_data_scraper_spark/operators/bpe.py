@@ -208,3 +208,13 @@ def train_bpe_py(
         merges.append((step_i, a, b, a + b, pf))
         vocab = {w: _apply_merge_py(sym, a, b) for w, sym in vocab.items()}
     return merges
+
+
+def encode_words_py(
+    words: list[str], merges: list[tuple[str, str]]
+) -> dict[str, list[str]]:
+    """Exact Python twin of encode_words (the q79 oracle generator)."""
+    out = {w: list(w) + [END_TOKEN] for w in words}
+    for a, b in merges:
+        out = {w: _apply_merge_py(sym, a, b) for w, sym in out.items()}
+    return out
