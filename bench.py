@@ -68,6 +68,14 @@ EXTENDED = [
     "q51_clean_corpus_pipeline",
     "q54_decontaminate",
     "q57_bigram_lm_score",
+    # round-5 additions
+    "q63_dup_substring_spans",
+    "q65_sq8_quantized_ann",
+    "q70_inverted_index",
+    "q71_bm25_search",
+    "q73_asof_join",
+    "q75_rollup_cascade",
+    "q76_hll_distinct",
 ]
 
 
