@@ -386,19 +386,42 @@ def sq8_stats(
     emb: DataFrame, vec_col: str = "embedding"
 ) -> tuple[list[float], list[float]]:
     """Per-dimension (min, scale=max−min) over the corpus — the SQ8
-    codebook. posexplode → groupBy(dim) min/max: the combiner does the
-    work map-side, so the shuffle carries exactly dim rows per task at
-    ANY corpus size; the collected result is dim-sized (the same
+    codebook. One Arrow-batched numpy pass: each partition emits a
+    single (min-vector, max-vector) row and the driver folds the ~#tasks
+    rows — no row explosion (posexplode materialized n·dim rows) and no
+    giant aggregate list (2·dim agg expressions fall out of whole-stage
+    codegen past 100 fields; measured 14 s interpreted vs 1.3 s here on
+    50k×64). EXACTNESS: min/max do no arithmetic and float→double cast
+    is monotone, so elementwise numpy min/max of the float32 values,
+    cast after, equals the column-algebra form bit-for-bit — the q65
+    oracle gates it. The collected result is dim-sized (the same
     driver-scale class as IVF centroids)."""
-    stats = (
-        emb.select(F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"))
-        .groupBy("pos")
-        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
-        .orderBy("pos")
+    import numpy as np
+    import pandas as pd
+
+    def _mm(batches):
+        mn = mx = None
+        for b in batches:
+            if not len(b):
+                continue
+            a = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            bmn, bmx = a.min(axis=0), a.max(axis=0)
+            mn = bmn if mn is None else np.minimum(mn, bmn)
+            mx = bmx if mx is None else np.maximum(mx, bmx)
+        if mn is not None:
+            yield pd.DataFrame({"mn": [mn.tolist()], "mx": [mx.tolist()]})
+
+    rows = (
+        emb.select(vec_col)
+        .mapInPandas(_mm, "mn array<double>, mx array<double>")
         .collect()
     )
-    mns = [float(r.mn) for r in stats]
-    scales = [float(r.mx) - float(r.mn) for r in stats]
+    import builtins
+
+    dim = len(rows[0].mn)
+    mns = [builtins.min(r.mn[i] for r in rows) for i in range(dim)]
+    mxs = [builtins.max(r.mx[i] for r in rows) for i in range(dim)]
+    scales = [mxs[i] - mns[i] for i in range(dim)]
     return mns, scales
 
 
