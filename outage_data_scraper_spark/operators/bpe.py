@@ -191,7 +191,7 @@ def train_bpe_py(
     for t in texts:
         if not t:
             continue
-        for w in re.sub(r"\s+", " ", t).strip().lower().split(" "):
+        for w in re.sub(r"\s+", " ", t, flags=re.ASCII).strip().lower().split(" "):
             if w:
                 wf[w] += 1
     vocab: dict[str, list[str]] = {w: list(w) + [END_TOKEN] for w in wf}

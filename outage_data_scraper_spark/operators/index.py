@@ -100,6 +100,13 @@ def bm25_topk(
     stats = base.agg(
         F.count(F.lit(1)).alias("n"), F.sum(F.size("toks")).alias("sum_dl")
     ).collect()[0]
+    if int(stats.n) == 0:
+        # all-empty corpus: avgdl is undefined; the result is vacuously empty
+        return base.select(
+            F.col(id_col),
+            F.lit(None).cast("long").alias("score_u"),
+            F.lit(None).cast("long").alias("n_terms"),
+        ).limit(0)
     n_docs, avgdl = int(stats.n), stats.sum_dl / stats.n
     pos = base.select(
         F.col(id_col),

@@ -169,7 +169,7 @@ def quota_sample(
     if full_rank:
         survivors = survivors.unionByName(
             df.filter(F.col(strata_col).isin(sorted(full_rank)))
-        ).dropDuplicates([id_col])
+        ).dropDuplicates([strata_col, id_col])
     w = Window.partitionBy(strata_col).orderBy(
         _hash60(F.col(id_col), seed), F.col(id_col)
     )

@@ -418,6 +418,8 @@ def sq8_stats(
     )
     import builtins
 
+    if not rows:
+        raise ValueError("sq8_stats: empty embedding table")
     dim = len(rows[0].mn)
     mns = [builtins.min(r.mn[i] for r in rows) for i in range(dim)]
     mxs = [builtins.max(r.mx[i] for r in rows) for i in range(dim)]

@@ -28,7 +28,11 @@ N_MERGES = 30  # matches q68/q79
 
 
 def _words(t: str) -> list[str]:
-    return [w for w in re.sub(r"\s+", " ", t).strip().lower().split(" ") if w]
+    return [
+        w
+        for w in re.sub(r"\s+", " ", t, flags=re.ASCII).strip().lower().split(" ")
+        if w
+    ]
 
 
 def main() -> None:

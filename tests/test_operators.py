@@ -1577,6 +1577,31 @@ def test_inverted_index_two_shuffles(spark):
     assert "partial" in plan.lower() or "ObjectHashAggregate" in plan, plan
 
 
+def test_bm25_empty_corpus_returns_empty(spark):
+    """A corpus whose every doc tokenizes empty short-circuits to an
+    empty (doc_id, score_u, n_terms) frame instead of dividing by n=0."""
+    from outage_data_scraper_spark.operators import index
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None)], "doc_id long, text string"
+    )
+    out = index.bm25_topk(docs, ["apple"])
+    assert out.columns == ["doc_id", "score_u", "n_terms"]
+    assert out.count() == 0
+
+
+def test_sq8_stats_empty_table_raises(spark):
+    """sq8_stats on an empty embedding table raises a meaningful error
+    instead of IndexError."""
+    import pytest
+
+    from outage_data_scraper_spark.operators import similarity
+
+    emb = spark.createDataFrame([], "doc_id long, vec array<double>")
+    with pytest.raises(ValueError, match="empty embedding table"):
+        similarity.sq8_stats(emb, "vec")
+
+
 def test_bm25_matches_python_reference(spark):
     """Spark BM25 micro-unit scores == a plain-Python BM25 with the
     same expression shapes, on a hand-sized corpus."""
@@ -1866,6 +1891,25 @@ def test_hll_register_table_deterministic(spark):
     assert r1 == r2 and len(r1) > 100
 
 
+def test_quota_sample_fallback_per_stratum_ids(spark):
+    """Fallback dedup must key on (stratum, id): with ids unique only
+    per stratum, the full-rank union must not evict a same-id row from
+    a different stratum. prefilter_factor=0 forces every stratum down
+    the fallback path."""
+    from outage_data_scraper_spark.operators import sampling
+
+    rows = [(i, s) for s in ("a", "b") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sampling.quota_sample(
+        docs, "lang", {"a": 5, "b": 5}, prefilter_factor=0
+    )
+    by_lang = {}
+    for r in out.collect():
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    assert len(by_lang["a"]) == 5
+    assert len(by_lang["b"]) == 5
+
+
 def test_quota_sample_regimes_and_fallback(spark):
     """Cut / exact-population / quota>population / absent strata; the
     prefilter-fallback path (factor 0 -> empty prefilter -> full rank)
@@ -1877,7 +1921,6 @@ def test_quota_sample_regimes_and_fallback(spark):
     docs = spark.createDataFrame(rows, "doc_id long, lang string")
     quotas = {"a": 10, "b": 50, "c": 100}
     base = sampling.quota_sample(docs, "lang", quotas)
-    got = {r.lang: r.doc_id for r in []}  # noqa: F841
     by_lang = {}
     for r in base.collect():
         by_lang.setdefault(r.lang, []).append((r.sample_rank, r.doc_id))
