@@ -1122,6 +1122,27 @@ def q79_bpe_encode_stats(spark, sf_dir):
     )
 
 
+def q80_ann_ivf_sq8_index(spark, sf_dir):
+    """Persisted QUANTIZED IVF ANN index (similarity.build_ivf_sq8_index
+    + query_ivf_sq8_index): q46's partitioned inverted lists composed
+    with q65's SQ8 int8 codes — the index stores the code arrays, not
+    the float vectors, so the probe's partition-pruned scan reads ~4×
+    fewer bytes (the actual 100 TB serving shape: at a trillion vectors
+    the probe's I/O is the latency). Centroids AND the (mn, scale)
+    codebook ride in the meta sidecar; the rerank dequantizes with the
+    byte-identical expression shapes as q65's brute force. Registered
+    exhaustive-probe (n_probe = 8 = n_centroids) so the result provably
+    equals the quantized brute force — q65's oracle gates it
+    value-exact; PartitionFilters pruning is plan-asserted in
+    tests/test_plans.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _ann_index_dir(sf_dir, "ivfsq8")
+    similarity.build_ivf_sq8_index(emb, path, n_centroids=8, iters=2)
+    return similarity.query_ivf_sq8_index(
+        spark, path, _query_vec(spark, sf_dir), k=10, n_probe=8
+    )
+
+
 def q64_boilerplate_dictionary(spark, sf_dir):
     """Corpus boilerplate dictionary (dedup.boilerplate_dictionary): the
     top-20 most widespread 4-token spans (q49's unit, ndocs ≥ 5) with
@@ -1681,6 +1702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_streaming_windowed_counts": q77_streaming_windowed_counts,
         "q78_quota_sample": q78_quota_sample,
         "q79_bpe_encode_stats": q79_bpe_encode_stats,
+        "q80_ann_ivf_sq8_index": q80_ann_ivf_sq8_index,
     }
 
 
@@ -2881,6 +2903,11 @@ def oracle_sql() -> dict[str, str]:
                round(list_cosine_similarity(d, (SELECT d FROM deq WHERE vec_id = 0)), 4) AS cos_sim
         FROM deq ORDER BY cos_sim DESC, vec_id LIMIT 10
     """
+    # q80 probes the persisted quantized-IVF index exhaustively
+    # (n_probe = n_centroids) with q65's exact scoring math — same
+    # codebook (sq8_stats over the same table), same midpoint
+    # dequantize, same 4dp-rounded ranking — so q65's oracle gates it
+    oracles["q80_ann_ivf_sq8_index"] = oracles["q65_sq8_quantized_ann"]
     # q66: injection + counts + scrub all recomputed in DuckDB with the
     # SAME patterns (interpolated from operators/pii.py so the engines
     # cannot drift) — RE2 vs Java regex agreement is exactly what the

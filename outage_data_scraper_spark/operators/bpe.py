@@ -161,6 +161,36 @@ def encode_words(
     return out
 
 
+def train_bpe_collected(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Collected-vocab fast path: ONE corpus-sized Spark pass (the same
+    ``word_freq_table`` shuffle as ``train_bpe``), then the merge loop
+    runs DRIVER-SIDE over the collected (word, freq) table. Identical
+    output to ``train_bpe`` (pytest parity on seeded corpora).
+
+    Why this exists: the distributed loop pays one Spark job + one
+    driver collect per merge round (~0.2 s/job scheduling floor), so a
+    production 32k-merge tokenizer would spend hours on pure
+    scheduling. The word-freq table is already VOCAB-sized after the
+    single corpus shuffle — millions of rows at 100 TB corpus scale, a
+    driver-feasible collect — and each Python merge round is O(vocab
+    symbols), micro-seconds at demo scale. Use the distributed loop
+    only when the vocabulary itself cannot fit on the driver (which at
+    word granularity it essentially always can; byte-level BPE over
+    unsegmented text is the exception). scripts/bpe_crossover.py
+    measures the crossover (see BENCH.md).
+    """
+    spark = docs.sparkSession
+    wf = {
+        r.word: int(r.freq)
+        for r in word_freq_table(docs, text_col).collect()
+    }
+    return spark.createDataFrame(_merge_loop_py(wf, n_merges), MERGE_SCHEMA)
+
+
 # -- driver-side twin (oracle generator) --------------------------------------
 
 def _apply_merge_py(sym: list[str], a: str, b: str) -> list[str]:
@@ -194,6 +224,17 @@ def train_bpe_py(
         for w in re.sub(r"\s+", " ", t, flags=re.ASCII).strip().lower().split(" "):
             if w:
                 wf[w] += 1
+    return _merge_loop_py(wf, n_merges)
+
+
+def _merge_loop_py(
+    wf: dict[str, int], n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """The merge loop over a (word, freq) map — shared by the oracle
+    twin and the collected-vocab fast path. Same every-occurrence pair
+    counting and (freq DESC, a, b) tiebreak as the distributed loop
+    (Python code-point order == Spark UTF8 binary order: UTF-8 byte
+    order is code-point-preserving)."""
     vocab: dict[str, list[str]] = {w: list(w) + [END_TOKEN] for w in wf}
     merges: list[tuple[int, str, str, str, int]] = []
     for step_i in range(n_merges):

@@ -746,32 +746,46 @@ def duplicated_substring_spans(
 
     Plan shape — the distributed re-expression of the paper's
     suffix-array pass: sliding windows via one narrow posexplode
-    (positions ARE window starts); ONE wide shuffle keyed on window
-    text for the corpus-wide occurrence count (partial-aggregated
+    (positions ARE window starts); ONE wide shuffle keyed on
+    (xxhash64(window), length(window)) — 12 bytes per position instead
+    of the ~8-token window STRING, which on a deduplicated corpus
+    (mostly-unique windows, so map-side partial aggregation folds
+    little) would carry roughly 8× the corpus bytes through the
+    exchange — for the corpus-wide occurrence count (partial-aggregated
     map-side); survivors (a tiny fraction of positions on a cleaned
     corpus) regroup per document where a gaps-and-islands window merge
-    (running max of span end) builds maximal intervals. Nothing ever
-    materializes per-window lists; at 100 TB the count table after the
-    ≥min_count filter is the duplicated-substring dictionary — the
-    same broadcastable-dictionary scale path as span_dedup.
+    (running max of span end) builds maximal intervals. Counting on
+    (hash, length) is effectively exact: a false merge needs a 64-bit
+    collision between two windows of identical byte length — at 10^12
+    windows the expected number of colliding PAIRS is ~0.03, and a
+    collision only ever over-counts a window toward min_count (never
+    drops a real duplicate). Nothing ever materializes per-window
+    lists; at 100 TB the count table after the ≥min_count filter is the
+    duplicated-substring dictionary — the same
+    broadcastable-dictionary scale path as span_dedup.
     """
     w = window_tokens
     flat = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(textkit.word_shingles(F.col(text_col), w)).alias("pos", "wtext"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.xxhash64("wtext").alias("wh"),
+        F.length("wtext").alias("wl"),
     )
     # groupBy (partial-aggregated map-side) + join back, NOT a window
-    # over the raw text key: the count table after the ≥min_count filter
+    # over the raw key: the count table after the ≥min_count filter
     # is the duplicated-substring dictionary — small on a cleaned corpus
     # and broadcastable at scale, where a window would materialize every
     # occurrence of a hot boilerplate window in one task
     counts = (
-        flat.groupBy("wtext")
+        flat.groupBy("wh", "wl")
         .agg(F.count("*").alias("c"))
         .filter(F.col("c") >= min_count)
-        .select("wtext")
+        .select("wh", "wl")
     )
-    dup = flat.join(counts, "wtext").select("doc_id", "pos")
+    dup = flat.join(counts, ["wh", "wl"]).select("doc_id", "pos")
     prior = (
         Window.partitionBy("doc_id")
         .orderBy("pos")

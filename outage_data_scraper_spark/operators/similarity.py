@@ -291,6 +291,77 @@ def build_ivf_index(
     )
 
 
+def build_ivf_sq8_index(
+    emb: DataFrame, path: str,
+    n_centroids: int = 16, iters: int = 3,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> None:
+    """Persist the QUANTIZED IVF ANN index — the 100 TB serving shape:
+    k-means once at build time, rows written hive-partitioned by their
+    inverted-list id (``ivf_cell``) exactly like build_ivf_index, but
+    the stored vector column is the int8 SQ8 code array, NOT the float
+    embedding — the probe's pruned scan reads ~4× fewer bytes (0..255
+    codes bit-pack in parquet; float32/float64 arrays don't). Both the
+    k×dim centroid table and the dim-sized (mn, scale) codebook ride in
+    the meta sidecar, so a probe needs zero table reads before the
+    pruned scan."""
+    centroids = kmeans_centroids(emb, n_centroids, iters, id_col, vec_col)
+    mns, scales = sq8_stats(emb, vec_col)
+    v = F.col(vec_col).cast("array<double>")
+    (
+        emb.select(
+            F.col(id_col),
+            sq8_codes(F.col(vec_col), mns, scales).alias("codes"),
+            _nearest_centroid(v, centroids).alias("ivf_cell"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("ivf_cell")
+        .parquet(path)
+    )
+    _write_meta(
+        path,
+        {
+            "kind": "ivf_sq8",
+            "centroids": [[float(x) for x in c] for c in centroids],
+            "mns": mns,
+            "scales": scales,
+        },
+    )
+
+
+def query_ivf_sq8_index(
+    spark, path: str, query: list[float], k: int = 10, n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a persisted quantized IVF index: order centroids by
+    distance driver-side, partition-pruned scan of the ``n_probe``
+    nearest inverted lists reading only the int8 codes column,
+    dequantized rerank with the sidecar codebook. The scoring math is
+    byte-identical to sq8_cosine_topk (same quantize→midpoint-dequantize
+    expression shapes, same symmetric quantized query, same 4dp-rounded
+    ranking), so an exhaustive probe (n_probe = n_centroids) provably
+    equals the quantized brute force — the q80 gate."""
+    meta = _read_meta(path)
+    centroids = np.asarray(meta["centroids"], dtype=float)
+    mns, scales = meta["mns"], meta["scales"]
+    q = np.asarray(query, dtype=float)
+    order = np.argsort(((centroids - q) ** 2).sum(axis=1))
+    probes = [int(i) for i in order[:n_probe]]
+    idx = spark.read.parquet(path).filter(F.col("ivf_cell").isin(probes))
+    qd = _lit_vec(_sq8_py(query, mns, scales))
+    deq = idx.select(
+        F.col(id_col), sq8_dequantize(F.col("codes"), mns, scales).alias("deq")
+    )
+    return (
+        deq.select(
+            F.col(id_col),
+            F.round(cosine(F.col("deq"), qd), 4).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def query_ivf_index(
     spark, path: str, query: list[float], k: int = 10, n_probe: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",

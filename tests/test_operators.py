@@ -1447,6 +1447,40 @@ def test_bpe_train_matches_python_twin(spark):
     assert got == want
 
 
+def test_bpe_collected_path_parity(spark):
+    """train_bpe_collected (ONE corpus shuffle, driver-side merge loop)
+    must emit the byte-identical merge table as the distributed loop on
+    seeded corpora — the fast path is a pure execution-strategy swap."""
+    import numpy as np
+
+    from outage_data_scraper_spark.operators import bpe
+
+    for seed in (3, 11):
+        rng = np.random.default_rng(seed)
+        words = [
+            "".join(rng.choice(list("abcdef"), size=rng.integers(2, 8)))
+            for _ in range(60)
+        ]
+        texts = [
+            " ".join(rng.choice(words, size=rng.integers(3, 12)))
+            for _ in range(30)
+        ]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        dist = [
+            tuple(r)
+            for r in bpe.train_bpe(docs, n_merges=15).orderBy("step").collect()
+        ]
+        fast = [
+            tuple(r)
+            for r in bpe.train_bpe_collected(docs, n_merges=15)
+            .orderBy("step")
+            .collect()
+        ]
+        assert fast == dist
+
+
 def test_bpe_encode_words_roundtrip(spark):
     """Encoding with the learned merges: symbols concat back to the
     word + END marker, and fully-merged training words collapse to a

@@ -257,6 +257,38 @@ def test_ann_index_partition_pruned_probe(spark, tmp_path):
     assert n_dirs >= 3  # index actually split into multiple lists
 
 
+def test_ann_ivf_sq8_index_pruned_and_quantized(spark, tmp_path):
+    """q80's quantized persisted IVF index: (a) the probe is a
+    PartitionFilters-pruned scan on ivf_cell, (b) the scanned schema is
+    the int8 CODES column — the float embedding column must not exist
+    in the index at all (the 4x-less-probe-I/O claim is structural),
+    (c) an exhaustive probe equals the quantized brute force row for
+    row (the q80 gate, asserted here without the oracle round-trip)."""
+    from outage_data_scraper_spark.operators import similarity
+    from outage_data_scraper_spark.plans.explain import formatted_plan
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    query = [float(x) for x in qrow[0]]
+
+    path = str(tmp_path / "ivf_sq8_idx")
+    similarity.build_ivf_sq8_index(emb, path, n_centroids=4, iters=1)
+    stored = spark.read.parquet(path)
+    assert "codes" in stored.columns and "embedding" not in stored.columns
+
+    probe = similarity.query_ivf_sq8_index(spark, path, query, k=5, n_probe=2)
+    plan = formatted_plan(probe)
+    part_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert part_lines and any("ivf_cell" in ln for ln in part_lines), plan[:1500]
+    probe.collect()  # pruned probe executes
+
+    exhaustive = similarity.query_ivf_sq8_index(spark, path, query, k=10, n_probe=4)
+    brute = similarity.sq8_cosine_topk(emb, query, k=10)
+    assert [tuple(r) for r in exhaustive.collect()] == [
+        tuple(r) for r in brute.collect()
+    ]
+
+
 def test_decontaminate_broadcasts_benchmark(spark):
     """q54: the benchmark shingle set must broadcast — the 10^10-doc
     corpus side must never shuffle on the shingle key."""
@@ -299,12 +331,15 @@ def test_frozen_lm_scoring_zero_shuffle(spark):
 
 
 def test_dup_substring_spans_shuffle_budget(spark):
-    """q63: window-text count agg (partial-aggregated) + join back +
+    """q63: window count agg (partial-aggregated) + join back +
     per-doc island windows + final left join to the doc base — the
-    static plan must stay within 6 exchanges, and the window-text
+    static plan must stay within 6 exchanges, the window-count
     aggregation must partial-aggregate map-side (a plain window over
-    the raw text key would materialize every occurrence of a hot
-    boilerplate window in one task)."""
+    the raw key would materialize every occurrence of a hot
+    boilerplate window in one task), and the count exchange must be
+    keyed on the 8-byte xxhash64 of the window, NEVER the raw window
+    STRING (which would push ~8× the corpus bytes through the wide
+    shuffle on a mostly-unique-window corpus)."""
     import __spark_entry__ as e
     from outage_data_scraper_spark.plans import count_exchanges
 
@@ -313,6 +348,8 @@ def test_dup_substring_spans_shuffle_budget(spark):
     assert n <= 6, n
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "partial_count" in plan or "HashAggregate" in plan
+    assert "hashpartitioning(wh#" in plan, plan[:3000]
+    assert "hashpartitioning(wtext" not in plan
 
 
 def test_boilerplate_dictionary_single_wide_agg(spark):
