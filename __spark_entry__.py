@@ -1255,13 +1255,16 @@ def q28_multimodal_features(spark, sf_dir):
     """Multimodal feature extraction, VALUE-LEVEL check: image assets
     cycle raw P6 PPM, zlib-deflate PNG, baseline JPEG (444/422/420,
     with and without restart markers), PROGRESSIVE JPEG and GIF
-    containers; audio assets carry 16-bit PCM WAV, video MJPEG-in-AVI
+    containers; audio assets cycle 16-bit PCM WAV and FLAC (fixed /
+    LPC / mid-side / left-side — operators/flac.py, a from-scratch
+    rice+LPC lossless codec), video MJPEG-in-AVI
     — ALL decoding FOR REAL (pure-numpy bitmap parse / stdlib-zlib
     inflate + unfilter / T.81 Huffman+IDCT incl. G.2 progressive /
-    LZW / RIFF chunk walk → mean-pooled pixel features, per-window RMS
-    audio features, averaged per-frame video features; decoder=
-    'ppm-numpy' / 'png-zlib' / 'jpeg-numpy' / 'gif-lzw' / 'wav-pcm' /
-    'mjpeg-avi' — zero fake rows). Each
+    LZW / rice+LPC / RIFF chunk walk → mean-pooled pixel features,
+    per-window RMS audio features, averaged per-frame video features;
+    decoder= 'ppm-numpy' / 'png-zlib' / 'jpeg-numpy' / 'gif-lzw' /
+    'webp-vp8l' / 'wav-pcm' / 'flac-rice' / 'mjpeg-avi' — zero fake
+    rows). Each
     asset's feature vector is reduced to a canonical md5 signature AT
     THE SOURCE (multimodal.feature_signature) and compared against
     testoracle/q28_expected.parquet — signatures stamped by

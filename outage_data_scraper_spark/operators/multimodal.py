@@ -13,10 +13,13 @@ pure numpy), MJPEG-in-AVI video (RIFF walk → per-frame JPEG decode),
 and PCM WAV (RIFF chunk walk + frombuffer → per-window RMS features).
 So image, video and audio paths all exercise genuine pixel/sample math
 end-to-end (JPEG covers baseline AND progressive, 4:2:0/4:2:2, restart
-markers; GIF covers LZW, interlace and animations). WebP and
-compressed audio (MP3/AAC) stay
-honestly stubbed behind NotImplementedError (this container ships no
-codec libraries); dispatch is per payload with a clearly-marked
+markers; GIF covers LZW, interlace and animations; FLAC covers rice +
+fixed/LPC prediction with a bit-exact lossless round trip —
+operators/flac.py). Lossy-VP8 WebP and MP3/AAC stay honestly stubbed
+behind NotImplementedError: their bitstreams need ~1000-entry spec
+probability/Huffman tables (RFC 6386 / ISO 11172-3) unobtainable in
+this offline container, and inventing local tables would silently
+break real-world compatibility; dispatch is per payload with a clearly-marked
 deterministic fake fallback for undecodable kinds so the distributed
 plumbing stays testable everywhere; malformed payloads fall back per
 row (O23 design), never aborting a task.
@@ -34,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType
 
+from .flac import decode_flac, encode_flac
 from .gif import decode_gif, decode_gif_frames, encode_gif
 from .webp import decode_webp, encode_webp
 from .jpeg import (
@@ -271,6 +275,19 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return arr[: n * ch].reshape(n, ch), rate
 
 
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Audio payload → (float32 samples in [−1, 1] shaped (n, ch),
+    sample_rate). PCM WAV and FLAC both decode for REAL (flac.py is a
+    from-scratch rice+LPC codec); FLAC being lossless, a FLAC asset
+    yields bit-identical floats to its WAV twin."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    if payload[:4] == b"fLaC":
+        samples, rate, bps = decode_flac(payload)
+        return samples.astype(np.float32) / float(1 << (bps - 1)), rate
+    raise ValueError("unsupported audio container (PCM WAV / FLAC decode natively)")
+
+
 def _audio_features(samples: np.ndarray, dim: int) -> np.ndarray:
     """Real audio features: per-window RMS energy over ``dim`` equal
     windows of the mono mix, mapped to [−1, 1]."""
@@ -382,14 +399,36 @@ def asset_payload(i: int, kind: str) -> bytes:
             return encode_webp(img)
         return encode_ppm(img)
     if kind == "audio":
-        # real 16-bit PCM WAV: deterministic tone + hash noise, 0.2 s at
-        # 8 kHz — decodes natively downstream
+        # real 16-bit PCM audio: deterministic tone + hash noise, 0.2 s
+        # at 8 kHz — containers cycle WAV / FLAC(fixed, auto stereo
+        # mode) / FLAC(LPC stereo, left-side) / FLAC(small blocks,
+        # mid-side), all real-decodable downstream, so q28's
+        # committed-signature gate covers every audio decode path
         rng = np.random.default_rng(i)
         t = np.arange(1600, dtype=np.float32) / 8000.0
         freq = 200.0 + (i * 37) % 1800
         wave = 0.6 * np.sin(2 * np.pi * freq * t)
         wave += 0.1 * rng.standard_normal(1600).astype(np.float32)
-        return encode_wav((np.clip(wave, -1, 1) * 32767).astype(np.int16), 8000)
+        mono = (np.clip(wave, -1, 1) * 32767).astype(np.int16)
+        j = i // 3  # audio ids are 3j+1, so cycle on j, not i
+        c = j % 4
+        if c == 1:
+            return encode_flac(mono.astype(np.int32), 8000, block_size=512)
+        if c in (2, 3):
+            # stereo: right channel is a damped, shifted copy — exactly
+            # the inter-channel correlation the side modes exploit
+            right = np.roll(mono, 5) // 2 + (j % 7)
+            stereo = np.stack([mono, right.astype(np.int16)], axis=1)
+            if c == 2:
+                return encode_flac(
+                    stereo.astype(np.int32), 8000, block_size=1024,
+                    stereo_mode="left-side", use_lpc=True,
+                )
+            return encode_flac(
+                stereo.astype(np.int32), 8000, block_size=192,
+                stereo_mode="mid-side",
+            )
+        return encode_wav(mono, 8000)
     # video: REAL MJPEG-in-AVI — 4 deterministic gradient frames that
     # drift per frame index, decodable end-to-end downstream
     rng = np.random.default_rng(i)
@@ -449,7 +488,13 @@ def synth_assets(spark: SparkSession, n: int = 100) -> DataFrame:
                 (F.pmod(F.floor(F.col("asset_id") / 3), 5) + 1).cast("int"),
             ),
         )
-        .when(F.col("kind") == "audio", F.lit("audio/wav"))
+        .when(
+            F.col("kind") == "audio",
+            # mirror asset_payload's 4-way audio container cycle
+            F.when(
+                F.pmod(F.floor(F.col("asset_id") / 3), 4) == 0, F.lit("audio/wav")
+            ).otherwise(F.lit("audio/flac")),
+        )
         .when(F.col("kind") == "video", F.lit("video/x-msvideo"))
         .otherwise(F.lit("application/octet-stream"))
         .alias("mime"),
@@ -495,6 +540,9 @@ def payload_features(raw: bytes, dim: int) -> tuple[np.ndarray, str]:
         elif raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
             feat = _audio_features(decode_wav(raw)[0], dim)
             label = "wav-pcm"
+        elif raw[:4] == b"fLaC":
+            feat = _audio_features(decode_audio(raw)[0], dim)
+            label = "flac-rice"
         elif raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
             frames, _fps = decode_avi_mjpeg(raw)
             feat = np.mean(

@@ -270,8 +270,8 @@ def test_ppm_roundtrip_and_real_decode():
 
 def test_real_image_features_from_pixels(spark):
     """fake=False: every synthetic kind decodes for REAL — images via
-    their ppm/png/jpeg container cycle, audio via PCM WAV, video via
-    MJPEG-in-AVI per-frame JPEG decode."""
+    their ppm/png/jpeg container cycle, audio via its PCM-WAV/FLAC
+    container cycle, video via MJPEG-in-AVI per-frame JPEG decode."""
     assets = multimodal.synth_assets(spark, 30)
     rows = multimodal.extract_features(assets, dim=16, fake=False).collect()
     by_kind = {}
@@ -280,7 +280,7 @@ def test_real_image_features_from_pixels(spark):
     assert by_kind["image"] == {
         "ppm-numpy", "png-zlib", "jpeg-numpy", "gif-lzw", "webp-vp8l"
     }
-    assert by_kind["audio"] == {"wav-pcm"}
+    assert by_kind["audio"] == {"wav-pcm", "flac-rice"}
     assert by_kind["video"] == {"mjpeg-avi"}
     img_feats = {r.asset_id: r.feat for r in rows if r.kind == "image"}
     # real features: bounded, deterministic, and not the digest fake
