@@ -73,6 +73,7 @@ class Crawler:
         bloom_expected_n: int = 100_000,
         bloom_fpp: float = 1e-4,
         host_budget: int | None = None,
+        wave_budget: int | None = None,
     ):
         self.spark = spark
         self.cat = catalog
@@ -87,6 +88,10 @@ class Crawler:
         self.BLOOM_EXPECTED_N = bloom_expected_n
         self.BLOOM_FPP = bloom_fpp
         self.host_budget = host_budget
+        # global per-wave fetch budget: with it set, frontier priority
+        # (e.g. PageRank host-rank feedback) decides which hosts make
+        # the wave, not just fetch order — see priority.pop_wave
+        self.wave_budget = wave_budget
 
     # -- state ---------------------------------------------------------------
     def bootstrap(self, seeds: DataFrame) -> None:
@@ -209,7 +214,8 @@ class Crawler:
     def run_wave(self, wave: int) -> WaveStats:
         t0 = time.monotonic()
         popped = pop_wave(
-            self.pending(), self.per_host_k, self.num_parts, self.salt
+            self.pending(), self.per_host_k, self.num_parts, self.salt,
+            wave_budget=self.wave_budget,
         ).withColumn("wave", F.lit(wave))
 
         # robots gate (north rule; absent in the reference, default-allow

@@ -31,8 +31,23 @@ def pop_wave(
     num_parts: int = 32,
     salt: int = 4,
     lane_cap: int = 500,
+    wave_budget: int | None = None,
 ) -> DataFrame:
-    """Select this wave's fetch batch: top-k pending URLs per host.
+    """Select this wave's fetch batch: top-k pending URLs per host,
+    then (optionally) the global top ``wave_budget`` rows by the
+    crawl-ordering law.
+
+    ``wave_budget`` is the budgeted-crawl mode: with per-host quotas
+    alone every pending host gets fetched each wave, so priority only
+    orders fetches — with a global budget, priority DECIDES which
+    hosts make the wave, which is what lets PageRank/host-rank
+    feedback (operators/graph.reprioritize_frontier) steer a crawl
+    that cannot afford the whole frontier per wave. The cut uses the
+    full ordering law plus url as a final all-column tiebreak, so the
+    budget boundary is deterministic. Physically: a TakeOrdered-style
+    global limit plus one budget-sized (not frontier-sized) re-exchange
+    for the lane window — the default un-budgeted path keeps the
+    two-shuffle wave law exactly as before.
 
     Returns the popped rows with a ``salted_part`` fetch-partition column.
     The caller marks them in-flight / fetched via the catalog MERGE.
@@ -43,8 +58,16 @@ def pop_wave(
         frontier.filter(F.col("status") == "pending")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= per_host_k)
+    )
+    if wave_budget is not None:
+        popped = popped.orderBy(
+            *[F.col(c).asc() for c in ORDER_COLS], F.col("url").asc()
+        ).limit(int(wave_budget))
+    popped = (
+        popped
         # popped-per-host count shares the window's hash partitioning —
-        # no extra shuffle; it sizes the adaptive fetch lanes below
+        # no extra shuffle (un-budgeted path); it sizes the adaptive
+        # fetch lanes below
         .withColumn("cnt", F.count(F.lit(1)).over(wc))
     )
     # single projection for both derived columns (withColumns, not two

@@ -87,6 +87,27 @@ def pagerank_micro(
     return ranks.select("node", F.col("r").alias("rank_micro"))
 
 
+def ccl_host_edges(frontier: DataFrame) -> DataFrame:
+    """Host-graph (src, dst) edges from the linked synthetic web's
+    frontier rows: a ccl child URL's /ln{d}/{src_rank}/ path segment IS
+    the referrer host rank (fixtures.ccl_child_urls contract), so the
+    edge list is a pure narrow projection of the frontier — no
+    self-join to recover parents at 10^10-row scale. Duplicate edges
+    (several pages on A linking B) are KEPT: pagerank_micro's per-src
+    degree then weights A→B by link multiplicity for free."""
+    src_rank = F.regexp_extract(
+        "url", r"^https://h\d+\.synth-utility\.net/ln[12]/(\d+)/", 1
+    )
+    return (
+        frontier.withColumn("_src", src_rank)
+        .filter(F.col("_src") != "")
+        .select(
+            F.concat(F.lit("h"), F.col("_src"), F.lit(".synth-utility.net")).alias("src"),
+            F.col("host").alias("dst"),
+        )
+    )
+
+
 def reprioritize_frontier(
     frontier: DataFrame, host_ranks: DataFrame, unit: int = 1_000_000
 ) -> DataFrame:

@@ -709,6 +709,25 @@ def parse_cc(payload: bytes):
     return {"per_page": [rec]}, [], text
 
 
+_XLINK = re.compile(r'<a class="xlink" href="([^"]+)"')
+
+
+def parse_ccl(payload: bytes):
+    """Linked web page: parse_cc's boilerplate-stripped text extraction
+    PLUS outlink discovery (class=xlink anchors in document order,
+    visited-deduped like the kubra two-hop path) — the family the
+    PageRank-reprioritized crawl soak runs on. Text stays byte-identical
+    per URL; anchor text rides the same tag-strip as everything else."""
+    rec, _, text = parse_cc(payload)
+    seen: set[str] = set()
+    children = []
+    for href in _XLINK.findall(payload.decode("utf-8", errors="replace")):
+        if href not in seen:
+            seen.add(href)
+            children.append(href)
+    return rec, children, text
+
+
 PARSERS: dict[str, callable] = {
     "ga1_boundaries": parse_ga1_boundaries,
     "ga1_outages": parse_ga1_outages,
@@ -753,6 +772,7 @@ PARSERS: dict[str, callable] = {
     "ny3_town": parse_ny3_town,
     "ca_inv": parse_ca_inv,
     "cc": parse_cc,
+    "ccl": parse_ccl,
 }
 
 

@@ -115,6 +115,9 @@ FAMILY_BY_STATE_LAYOUT: dict[tuple[str, str], str] = {
     ("ca", "paloalto"): "ga1",
     # bench family: Common-Crawl-style text pages (synthetic frontier)
     ("cc", "0"): "cc",
+    # linked variant: cc pages with deterministic cross-host outlinks —
+    # the host graph the PageRank-reprioritized crawl soak runs on
+    ("cc", "1"): "ccl",
 }
 
 

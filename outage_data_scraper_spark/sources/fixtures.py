@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import hashlib
 import json
+import math
+import re
 
 MASK63 = (1 << 63) - 1
 
@@ -834,6 +836,55 @@ def render_cc(url: str, n_words: int = 1200) -> bytes:
     ).encode()
 
 
+_CCL_RE = re.compile(r"^https://h(\d+)\.synth-utility\.net/(outages|ln1|ln2)/.*/w(\d+)/$")
+
+
+def ccl_child_urls(url: str) -> list[str]:
+    """Deterministic cross-host outlinks for the LINKED synthetic web
+    family (ccl): the real host graph the crawl-soak's PageRank
+    reprioritization runs on. Seed pages (/outages/) link out 1/8 of
+    the time, first-hop pages (/ln1/) 1/4, second-hop pages (/ln2/)
+    never — a bounded two-hop web. Destination hosts are drawn
+    log-uniformly over the SAME host space as the seed generator (the
+    w{H} path segment carries the host count), so in-degree is
+    Zipf-skewed and popular hosts accumulate rank. The child path
+    embeds the parent's host rank (/ln1/{src}/...), making the
+    host-graph edge list a pure projection of the frontier — no join
+    to recover referrers."""
+    m = _CCL_RE.match(url)
+    if m is None:
+        return []
+    src_rank, seg, n_hosts = int(m.group(1)), m.group(2), int(m.group(3))
+    if seg == "ln2" or n_hosts < 1:
+        return []
+    h = _h(url)
+    gate = 8 if seg == "outages" else 4
+    if h % gate:
+        return []
+    nxt = "ln1" if seg == "outages" else "ln2"
+    out = []
+    for i in range(2 + _rnd(h, 1, 2)):  # 2-3 outlinks
+        u = _rnd(h, 10 + i, 1_000_000) / 1_000_000.0
+        dst = max(int(math.exp(u * math.log(float(n_hosts)))) - 1, 0)
+        out.append(
+            f"https://h{dst}.synth-utility.net/{nxt}/{src_rank}/"
+            f"{_rnd(h, 50 + i, 1_000_000)}/w{n_hosts}/"
+        )
+    return out
+
+
+def render_ccl(url: str, n_words: int = 1200) -> bytes:
+    """Linked variant of the cc page: same boilerplate + article body,
+    plus an outlinks div (class=xlink anchors in discovery order)."""
+    links = "".join(
+        f'<a class="xlink" href="{c}">ref</a>' for c in ccl_child_urls(url)
+    )
+    page = render_cc(url, n_words).decode()
+    return page.replace(
+        '<footer>', f'<div class="links">{links}</div><footer>', 1
+    ).encode()
+
+
 # endpoint URL suffixes for families whose one seed fans out into several
 # fetches (O29, e.g. ga_scraper.py:256–266, tx_scraper.py:103–114,
 # ga_scraper.py:744–850). Order = the reference's fetch order, which the
@@ -898,6 +949,7 @@ FAMILY_RENDERERS: dict[str, callable] = {
     "ny3_town": render_ny3_town,
     "ca_inv": render_ca_inv,
     "cc": render_cc,
+    "ccl": render_ccl,
 }
 
 

@@ -107,12 +107,16 @@ def synthetic_seeds(
         .select(
             F.lit(0).alias("event_seq"),
             F.col("seed_seq"),
-            F.lit("cc" if family == "cc" else "tx").alias("state"),
-            F.lit("0" if family == "cc" else "8").alias("layout"),
+            F.lit({"cc": "cc", "ccl": "cc"}.get(family, "tx")).alias("state"),
+            F.lit({"cc": "0", "ccl": "1"}.get(family, "8")).alias("layout"),
             F.concat(F.lit("Utility "), F.col("seed_seq")).alias("emc"),
             F.concat(
                 F.lit("https://h"), F.col("host_rank"),
-                F.lit(".synth-utility.net/outages/"), F.col("seed_seq"), F.lit("/"),
+                F.lit(".synth-utility.net/outages/"), F.col("seed_seq"),
+                # the LINKED family's URLs carry the host count (w{H}) so
+                # the fixture renderer draws outlink destinations over
+                # the same log-uniform host space as the seeds
+                F.lit(f"/w{int(n_hosts)}/" if family == "ccl" else "/"),
             ).alias("url"),
             F.lit("data").alias("bucket"),
         )

@@ -1,0 +1,204 @@
+"""4M-URL crawl soak with PageRank reprioritization AND revisit
+scheduling live in the wave loop (VERDICT r5 item 7).
+
+Frontier: 4M ccl seeds (linked synthetic web — pages carry
+deterministic cross-host outlinks, so the crawl DISCOVERS a real host
+graph as it runs). Loop per wave:
+
+  wave  -> run_wave (pop, fetch, parse, commit snapshots) under a
+        GLOBAL wave budget (pop_wave wave_budget): per-host quotas
+        alone would admit every pending host, so the budget is what
+        makes rank feedback decide WHO gets crawled, not just in what
+        order.
+  after waves 1 and 3 (rank-refresh cadence): host edges projected
+        from the frontier (graph.ccl_host_edges — zero joins),
+        pagerank_micro over the crawled host space, and
+        reprioritize_frontier rewritten back as ONE overwrite snapshot
+        (the Iceberg rewrite analog; ranks broadcast, frontier narrow).
+  after wave 4: revisit_schedule over the fetch log (content sig =
+        xxhash64 of page text) picks the earliest-due refresh batch ->
+        request_recrawl, so waves 5-6 interleave refetches with fresh
+        URLs under the SAME zero-duplicate accounting.
+
+Checks (hard asserts): records == fetches == sum(popped); every URL
+fetched exactly once EXCEPT the recrawl batch (exactly twice); popped
+host mean-rank jumps after each rank refresh (the reprioritization is
+observable in the pop order, not just plumbed).
+
+Usage: python scripts/soak_crawl_pagerank.py [--urls 4000000]
+       [--hosts 80000] [--waves 6] [--catalog /tmp/soak_pr]
+Emits one JSON line; paste the table into BENCH.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--urls", type=int, default=4_000_000)
+    p.add_argument("--hosts", type=int, default=80_000)
+    p.add_argument("--waves", type=int, default=6)
+    p.add_argument("--per-host-k", type=int, default=50)
+    p.add_argument("--num-parts", type=int, default=256)
+    p.add_argument("--recrawl-n", type=int, default=10_000)
+    p.add_argument("--wave-budget", type=int, default=400_000)
+    p.add_argument("--catalog", default="/tmp/soak_pr")
+    args = p.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from outage_data_scraper_spark.session import get_spark
+    from outage_data_scraper_spark.catalog import SnapshotCatalog
+    from outage_data_scraper_spark.frontier.crawler import Crawler
+    from outage_data_scraper_spark.frontier.revisit import revisit_schedule
+    from outage_data_scraper_spark.operators.graph import (
+        ccl_host_edges,
+        pagerank_micro,
+        reprioritize_frontier,
+    )
+    from outage_data_scraper_spark.sources.fixtures import make_fixture_fetcher
+    from outage_data_scraper_spark.sources.seeds import synthetic_seeds
+
+    spark = get_spark(master="local[32]", shuffle_partitions=256)
+    shutil.rmtree(args.catalog, ignore_errors=True)
+    cat = SnapshotCatalog(args.catalog)
+    c = Crawler(
+        spark, cat, make_fixture_fetcher,
+        per_host_k=args.per_host_k, num_parts=args.num_parts, salt=16,
+        seen_mode="bloom", simulated_clock=True,
+        wave_budget=args.wave_budget,
+    )
+    t0 = time.monotonic()
+    c.bootstrap(synthetic_seeds(spark, args.urls, args.hosts, family="ccl"))
+    boot_s = time.monotonic() - t0
+    print(f"bootstrap {args.urls} urls / {args.hosts} hosts: {boot_s:.1f}s",
+          file=sys.stderr)
+
+    waves = []
+    ranks = None
+    rank_refresh_s = {}
+    recrawl_urls = None
+    pop_mean_rank = {}
+
+    for w in range(1, args.waves + 1):
+        ws = c.run_wave(w)
+        waves.append(ws)
+        print(f"wave {w}: popped={ws.popped} ok={ws.ok} failed={ws.failed} "
+              f"records={ws.records} children={ws.children} wall={ws.wall_s:.1f}s",
+              file=sys.stderr)
+
+        # observable effect: mean host rank of THIS wave's pops
+        if ranks is not None:
+            mr = (
+                c.fetch_log().filter(F.col("wave") == w)
+                .select(F.expr("parse_url(url, 'HOST')").alias("node"))
+                .join(F.broadcast(ranks), "node", "left")
+                .agg(F.avg("rank_micro").alias("m"))
+                .collect()[0]["m"]
+            )
+            pop_mean_rank[w] = round(float(mr or 0.0), 1)
+            print(f"  mean rank_micro of wave-{w} pops: {pop_mean_rank[w]}",
+                  file=sys.stderr)
+
+        if w in (1, 3):  # rank-refresh cadence
+            t = time.monotonic()
+            frontier = c.frontier()
+            edges = ccl_host_edges(frontier)
+            nodes = frontier.select(F.col("host").alias("node")).distinct()
+            ranks = pagerank_micro(edges, nodes, n_iter=5).localCheckpoint(eager=True)
+            newf = reprioritize_frontier(frontier, ranks)
+            cat.write("frontier", newf, mode="overwrite",
+                      wave=c.last_committed_wave())
+            rank_refresh_s[w] = round(time.monotonic() - t, 1)
+            # baseline for the post-refresh comparison: mean rank of the
+            # wave that ran BEFORE the refresh
+            mr = (
+                c.fetch_log().filter(F.col("wave") == w)
+                .select(F.expr("parse_url(url, 'HOST')").alias("node"))
+                .join(F.broadcast(ranks), "node", "left")
+                .agg(F.avg("rank_micro").alias("m"))
+                .collect()[0]["m"]
+            )
+            pop_mean_rank[w] = round(float(mr or 0.0), 1)
+            print(f"  rank refresh after wave {w}: {rank_refresh_s[w]}s; "
+                  f"wave-{w} pop mean rank (retro): {pop_mean_rank[w]}",
+                  file=sys.stderr)
+
+        if w == 4:  # revisit scheduling: earliest-due refresh batch
+            t = time.monotonic()
+            hist = (
+                cat.read(spark, "pages")
+                .select(
+                    "url", F.col("warc_ts").alias("ts"),
+                    F.xxhash64("text").cast("string").alias("sig"),
+                )
+            )
+            sched = revisit_schedule(hist, id_col="url", ts_col="ts", sig_col="sig")
+            due = sched.orderBy("next_fetch_epoch", "entity").limit(args.recrawl_n)
+            recrawl_urls = due.select(F.col("entity").alias("url")).localCheckpoint(
+                eager=True
+            )
+            c.request_recrawl(recrawl_urls)
+            print(f"  revisit: requested {recrawl_urls.count()} recrawls "
+                  f"({time.monotonic() - t:.1f}s)", file=sys.stderr)
+
+    wall = time.monotonic() - t0
+
+    # ---------------- invariants ----------------
+    fl = c.fetch_log()
+    n_fetches = fl.count()
+    n_popped = sum(ws.popped for ws in waves)
+    n_records = cat.read(spark, "records").count()
+    n_failed = sum(ws.failed for ws in waves)
+    assert n_fetches == n_popped, (n_fetches, n_popped)
+    assert n_records == n_popped - n_failed, (n_records, n_popped, n_failed)
+
+    per_url = fl.groupBy("url").count()
+    n_twice = per_url.filter(F.col("count") == 2).count()
+    n_more = per_url.filter(F.col("count") > 2).count()
+    recrawled_twice = (
+        per_url.filter(F.col("count") == 2)
+        .join(recrawl_urls, "url", "left_anti")
+        .count()
+        if recrawl_urls is not None
+        else 0
+    )
+    assert n_more == 0, f"{n_more} URLs fetched >2x"
+    assert recrawled_twice == 0, f"{recrawled_twice} double-fetches outside the recrawl batch"
+
+    out = {
+        "metric": "crawl_soak_pagerank_4m",
+        "urls": args.urls,
+        "hosts": args.hosts,
+        "wave_budget": args.wave_budget,
+        "waves": [
+            {"wave": ws.wave, "popped": ws.popped, "ok": ws.ok,
+             "failed": ws.failed, "children": ws.children,
+             "wall_s": round(ws.wall_s, 1)}
+            for ws in waves
+        ],
+        "crawled": n_fetches,
+        "records": n_records,
+        "double_fetched_recrawls": n_twice,
+        "recrawl_requested": args.recrawl_n,
+        "rank_refresh_s": rank_refresh_s,
+        "pop_mean_rank_micro": pop_mean_rank,
+        "bootstrap_s": round(boot_s, 1),
+        "total_wall_s": round(wall, 1),
+        "urls_per_s": round(n_fetches / wall, 1),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
