@@ -1143,6 +1143,72 @@ def q80_ann_ivf_sq8_index(spark, sf_dir):
     )
 
 
+def q81_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min heavy hitters (operators/sketch.py): the corpus
+    shuffles ONCE into a mergeable d×w counter grid (md5 buckets — the
+    q76 cross-engine-hash pattern, so the SKETCH ITSELF is value-gated,
+    not just the answers); candidate terms probe it via a broadcast of
+    the ≤ 8192-row table. est_cnt is the classic min-over-rows upper
+    bound; exact_cnt rides along so the artifact shows est ≥ exact.
+    Deterministic membership: every term with est ≥ 100 (a set, no
+    top-k tie risk)."""
+    from outage_data_scraper_spark.functions import textkit
+    from outage_data_scraper_spark.operators import sketch
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.filter(F.length(F.trim("text")) > 0).select(
+        F.explode(textkit.tokens(textkit.normalized(F.col("text")))).alias("term")
+    )
+    table = sketch.cms_table(toks, "term")
+    cand = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = sketch.cms_estimate(table, cand.select("term"), "term")
+    return (
+        est.join(cand, "term")
+        .filter(F.col("est_cnt") >= 100)
+        .select("term", "est_cnt", F.col("exact_cnt").cast("long"))
+        .orderBy(F.col("est_cnt").desc(), "term")
+    )
+
+
+def q82_exact_quantiles(spark, sf_dir):
+    """EXACT distributed order statistics (operators/quantiles.py):
+    min / p25 / median / p75 / max of documents.n_chars via the
+    two-pass histogram-then-needed-buckets-only algorithm — no global
+    sort, no single-partition window, second pass reads ~n/1024 of the
+    data. Neither engine's approx quantile can gate the other; exact
+    ranks can (the oracle is a plain row_number window)."""
+    from outage_data_scraper_spark.operators.quantiles import exact_order_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    ranks = sorted({1, n // 4, n // 2, (3 * n) // 4, n})
+    return exact_order_stats(
+        docs, "n_chars", ranks, n_buckets=64, tiebreak_col="doc_id"
+    )
+
+
+def q83_shard_plan(spark, sf_dir):
+    """Size-budgeted training-shard manifest (operators/shards.py):
+    documents packed in doc_id order into ~8 KiB shards via the
+    TWO-LEVEL distributed prefix sum (per-chunk windows + a
+    group-count-sized offset window — never a row-count-sized
+    single-partition window), shard_id = exclusive prefix DIV budget.
+    The oracle is the semantic one-window definition, so the
+    decomposition is value-gated against it."""
+    from outage_data_scraper_spark.operators.shards import plan_shards, shard_manifest
+
+    docs = _t(spark, sf_dir, "documents")
+    assign = plan_shards(docs, "n_chars", "doc_id", shard_bytes=8192, chunk=64)
+    return (
+        shard_manifest(assign, "doc_id")
+        .select(
+            "shard_id", "n_docs", "bytes",
+            F.col("first").alias("first_doc"), F.col("last").alias("last_doc"),
+        )
+        .orderBy("shard_id")
+    )
+
+
 def q64_boilerplate_dictionary(spark, sf_dir):
     """Corpus boilerplate dictionary (dedup.boilerplate_dictionary): the
     top-20 most widespread 4-token spans (q49's unit, ndocs ≥ 5) with
@@ -1706,6 +1772,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_quota_sample": q78_quota_sample,
         "q79_bpe_encode_stats": q79_bpe_encode_stats,
         "q80_ann_ivf_sq8_index": q80_ann_ivf_sq8_index,
+        "q81_cms_heavy_hitters": q81_cms_heavy_hitters,
+        "q82_exact_quantiles": q82_exact_quantiles,
+        "q83_shard_plan": q83_shard_plan,
     }
 
 
@@ -3236,5 +3305,64 @@ def oracle_sql() -> dict[str, str]:
         FROM agg WHERE ndocs >= 5
         ORDER BY ndocs DESC, occurrences DESC, span_text
         LIMIT 20
+    """
+    # q81: the CMS recomputed in SQL — same md5 '{{row}}|term' bucket
+    # law (hex→int via the '0x' idiom), same min-over-rows estimate, so
+    # the sketch itself is cross-engine value-gated (q76 pattern)
+    oracles["q81_cms_heavy_hitters"] = f"""
+        WITH toks AS (
+          SELECT unnest({_TOKS}) AS term FROM documents
+          WHERE length(trim(text)) > 0
+        ),
+        cand AS (SELECT term, count(*)::BIGINT AS exact_cnt FROM toks GROUP BY 1),
+        rows_ AS (SELECT unnest([0, 1, 2, 3]) AS row),
+        cells AS (
+          SELECT row,
+                 ('0x' || substr(md5(row || '|' || term), 1, 8))::BIGINT % 2048 AS bucket,
+                 count(*)::BIGINT AS cnt
+          FROM toks, rows_ GROUP BY 1, 2
+        ),
+        probes AS (
+          SELECT c.term, r.row,
+                 ('0x' || substr(md5(r.row || '|' || c.term), 1, 8))::BIGINT % 2048 AS bucket
+          FROM cand c, rows_ r
+        ),
+        est AS (
+          SELECT term, min(coalesce(cnt, 0))::BIGINT AS est_cnt
+          FROM probes LEFT JOIN cells USING (row, bucket) GROUP BY 1
+        )
+        SELECT term, est_cnt, exact_cnt
+        FROM est JOIN cand USING (term)
+        WHERE est_cnt >= 100
+        ORDER BY est_cnt DESC, term
+    """
+    # q82: the semantic definition of the two-pass exact order
+    # statistics — one row_number window (value at a rank is
+    # tiebreak-independent, so plain ORDER BY n_chars suffices)
+    oracles["q82_exact_quantiles"] = """
+        WITH r AS (
+          SELECT n_chars,
+                 row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+          FROM documents
+        ),
+        n AS (SELECT count(*)::BIGINT AS n FROM documents)
+        SELECT DISTINCT rn::BIGINT AS rank, n_chars::BIGINT AS value
+        FROM r, n
+        WHERE rn IN (1, n // 4, n // 2, (3 * n) // 4, n)
+        ORDER BY rank
+    """
+    # q83: the one-window semantic definition the two-level prefix-sum
+    # decomposition must equal; integer DIV boundary law (CLAUDE.md)
+    oracles["q83_shard_plan"] = """
+        WITH a AS (
+          SELECT doc_id, n_chars::BIGINT AS size,
+                 (sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                  - n_chars) // 8192 AS shard_id
+          FROM documents
+        )
+        SELECT shard_id::BIGINT AS shard_id, count(*)::BIGINT AS n_docs,
+               sum(size)::BIGINT AS bytes,
+               min(doc_id)::BIGINT AS first_doc, max(doc_id)::BIGINT AS last_doc
+        FROM a GROUP BY 1 ORDER BY shard_id
     """
     return oracles

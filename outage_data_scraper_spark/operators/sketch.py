@@ -87,3 +87,62 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
     lc = F.lit(float(M)) * F.log(F.lit(float(M)) / zeros.cast("double"))
     est = F.when((est_raw <= F.lit(2.5 * M)) & (zeros > 0), lc).otherwise(est_raw)
     return full.select("n_buckets", "sum_u", F.round(est, 4).alias("est"))
+
+
+# ------------------------------------------------------- Count-Min sketch
+
+CMS_D = 4
+CMS_W = 2048
+
+
+def cms_bucket(value: Column, row: int, w: int = CMS_W) -> Column:
+    """Row-``row`` bucket for a key — md5-based (the one hash both
+    engines share, q76 pattern): first 8 hex chars of md5('{row}|'+key)
+    → 32-bit int → mod w. Integer-exact in Spark (conv hex→dec) and
+    DuckDB (('0x'||substr(md5(..),1,8))::BIGINT)."""
+    h = F.md5(F.concat(F.lit(f"{row}|"), value.cast("string")))
+    return F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(w)).cast(
+        "int"
+    )
+
+
+def cms_table(
+    df: DataFrame, value_col: str, d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """Mergeable Count-Min table: (row, bucket, cnt) — the d×w counter
+    grid as rows. ONE pass over the data (posexplode of the d bucket
+    ids, no d-fold re-scan) and ONE map-side-combined shuffle emitting
+    ≤ d·w rows per task regardless of input size. Merge sketches from
+    independent shards/days by unionByName + groupBy(row, bucket)
+    sum — associative, the same property as hll_registers. Cormode &
+    Muthukrishnan 2005 semantics."""
+    buckets = F.array(*[cms_bucket(F.col(value_col), i, w) for i in range(d)])
+    return (
+        df.select(F.posexplode(buckets).alias("row", "bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    table: DataFrame, candidates: DataFrame, key_col: str, d: int = CMS_D,
+    w: int = CMS_W,
+) -> DataFrame:
+    """Point estimates: est(key) = min over the d rows of the key's
+    counter — the classic CMS upper bound (est ≥ true count, tested).
+    The d×w table (≤ 8192 rows) BROADCASTS to the candidate side, so
+    estimating any number of keys is one narrow join — the property
+    that makes a 100 TB heavy-hitter scan feasible: the corpus shuffles
+    once into the sketch; candidates (a dictionary/sample, never the
+    corpus) probe it."""
+    probes = candidates.select(
+        F.col(key_col),
+        F.posexplode(
+            F.array(*[cms_bucket(F.col(key_col), i, w) for i in range(d)])
+        ).alias("row", "bucket"),
+    )
+    return (
+        probes.join(F.broadcast(table), ["row", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
+    )

@@ -51,6 +51,10 @@ def main() -> int:
     p.add_argument("--num-parts", type=int, default=256)
     p.add_argument("--recrawl-n", type=int, default=10_000)
     p.add_argument("--wave-budget", type=int, default=400_000)
+    p.add_argument("--bloom-n", type=int, default=0,
+                   help="bloom capacity; default 4x --urls (children room). "
+                        "An undersized bloom saturates and silently "
+                        "suppresses ALL discovered children as 'seen'.")
     p.add_argument("--catalog", default="/tmp/soak_pr")
     args = p.parse_args()
 
@@ -76,6 +80,7 @@ def main() -> int:
         per_host_k=args.per_host_k, num_parts=args.num_parts, salt=16,
         seen_mode="bloom", simulated_clock=True,
         wave_budget=args.wave_budget,
+        bloom_expected_n=args.bloom_n or args.urls * 4, bloom_fpp=1e-4,
     )
     t0 = time.monotonic()
     c.bootstrap(synthetic_seeds(spark, args.urls, args.hosts, family="ccl"))
@@ -113,6 +118,10 @@ def main() -> int:
             t = time.monotonic()
             frontier = c.frontier()
             edges = ccl_host_edges(frontier)
+            n_edges = edges.count()
+            # a saturated bloom silently kills discovery — fail loudly
+            assert n_edges > 0, "no host edges discovered (bloom undersized?)"
+            print(f"  host edges: {n_edges}", file=sys.stderr)
             nodes = frontier.select(F.col("host").alias("node")).distinct()
             ranks = pagerank_micro(edges, nodes, n_iter=5).localCheckpoint(eager=True)
             newf = reprioritize_frontier(frontier, ranks)

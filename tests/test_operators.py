@@ -1974,3 +1974,99 @@ def test_quota_sample_regimes_and_fallback(spark):
     assert key(collect_set(fallback)) == key(by_lang)
     reparted = sampling.quota_sample(docs.repartition(7), "lang", quotas)
     assert key(collect_set(reparted)) == key(by_lang)
+
+
+# -- Count-Min / exact quantiles / shard planner (round 6) --------------------
+
+def test_cms_overestimate_and_merge_associativity(spark):
+    """Forced-collision regime (w=64, 500 keys): est ≥ exact for every
+    key, est == exact where no collision, and the sketch merged from
+    two halves equals the whole-corpus sketch cell-for-cell."""
+    from outage_data_scraper_spark.operators import sketch
+
+    rows = [(i, f"k{i % 500}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "i long, term string").repartition(8)
+    whole = sketch.cms_table(df, "term", d=4, w=64)
+    cand = df.groupBy("term").count().withColumnRenamed("count", "exact")
+    est = sketch.cms_estimate(whole, cand.select("term"), "term", d=4, w=64)
+    joined = {r.term: (r.est_cnt, r.exact) for r in est.join(cand, "term").collect()}
+    assert len(joined) == 500
+    assert all(e >= x for e, x in joined.values())
+    assert any(e > x for e, x in joined.values())  # w=64 must collide
+    # merge = union + re-sum (deterministic id-split halves)
+    half1 = sketch.cms_table(df.filter(F.col("i") < 2500), "term", d=4, w=64)
+    half2 = sketch.cms_table(df.filter(F.col("i") >= 2500), "term", d=4, w=64)
+    merged = (
+        half1.unionByName(half2)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    a = {(r.row, r.bucket): r.cnt for r in whole.collect()}
+    b = {(r.row, r.bucket): r.cnt for r in merged.collect()}
+    assert a == b
+
+
+def test_exact_order_stats_fuzz_vs_sorted(spark):
+    import random
+
+    from outage_data_scraper_spark.operators.quantiles import exact_order_stats
+
+    rng = random.Random(5)
+    for trial, (n, dup) in enumerate([(1, 1), (7, 1), (400, 1), (300, 10), (256, 256)]):
+        vals = [rng.randrange(0, max(n // dup, 1) + 1) for _ in range(n)]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "doc_id long, v long"
+        ).repartition(8)
+        ranks = sorted({1, n, max(n // 3, 1), max((2 * n) // 3, 1)})
+        got = {
+            r.rank: r.value
+            for r in exact_order_stats(df, "v", ranks, n_buckets=16, tiebreak_col="doc_id").collect()
+        }
+        s = sorted(vals)
+        want = {k: s[k - 1] for k in ranks}
+        assert got == want, f"trial {trial}"
+
+
+def test_exact_order_stats_guards(spark):
+    import pytest as _pytest
+
+    from outage_data_scraper_spark.operators.quantiles import exact_order_stats
+
+    df = spark.createDataFrame([(1, 10), (2, 20)], "doc_id long, v long")
+    with _pytest.raises(ValueError, match="out of"):
+        exact_order_stats(df, "v", [3])
+    with _pytest.raises(ValueError, match="non-empty"):
+        exact_order_stats(df, "v", [])
+    empty = spark.createDataFrame([], "doc_id long, v long")
+    assert exact_order_stats(empty, "v", [1]).count() == 0
+
+
+def test_plan_shards_matches_sequential_definition(spark):
+    import pytest as _pytest
+
+    from outage_data_scraper_spark.operators.shards import plan_shards, shard_manifest
+
+    rng_sizes = [(i, 37 + (i * 97) % 400) for i in range(1000)]
+    df = spark.createDataFrame(rng_sizes, "doc_id long, sz long").repartition(16)
+    budget = 3000
+    for chunk in (16, 64, 4096):
+        got = {
+            r.doc_id: r.shard_id
+            for r in plan_shards(df, "sz", "doc_id", budget, chunk=chunk).collect()
+        }
+        cum = 0
+        want = {}
+        for i, s in rng_sizes:
+            want[i] = cum // budget
+            cum += s
+        assert got == want, f"chunk={chunk}"
+    man = shard_manifest(plan_shards(df, "sz", "doc_id", budget), "doc_id").collect()
+    # shards are contiguous doc ranges; no shard exceeds budget + max doc
+    by_id = sorted(man, key=lambda r: r.shard_id)
+    mx = max(s for _, s in rng_sizes)
+    for i, r in enumerate(by_id):
+        assert r.bytes <= budget + mx
+        if i:
+            assert r.first == by_id[i - 1].last + 1
+    with _pytest.raises(ValueError):
+        plan_shards(df, "sz", "doc_id", 0)
