@@ -86,6 +86,11 @@ EXTENDED = [
     "q73_asof_join",
     "q75_rollup_cascade",
     "q76_hll_distinct",
+    # round-6 additions
+    "q80_ann_ivf_sq8_index",
+    "q81_cms_heavy_hitters",
+    "q82_exact_quantiles",
+    "q83_shard_plan",
 ]
 
 

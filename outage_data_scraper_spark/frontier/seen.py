@@ -103,6 +103,18 @@ def bloom_from_df(
     m, k = proto.m, proto.k
 
     hashed = _with_hash_cols(df, url_col).select(_H1, _H2)
+    # each partition emits ONE full-m bitset; a large-n bloom over many
+    # partitions would push partitions × m/8 bytes through the merge
+    # (a 38 MB bitset × 256 parts = 9.7 GB of byte[] rows — measured
+    # JVM OOM at the 4M-URL soak). Cap in-flight bitset bytes at
+    # ~512 MB by coalescing (narrow, no shuffle) — hashing loses some
+    # parallelism only when bitsets are huge, exactly when the merge
+    # would otherwise dominate. The 10^10-scale form is sharded blooms
+    # (SCALE.md §Bloom): shard by url hash, each shard m/256 bits.
+    bitset_bytes = (m + 7) // 8
+    max_parts = max(8, (512 << 20) // max(bitset_bytes, 1))
+    if hashed.rdd.getNumPartitions() > max_parts:
+        hashed = hashed.coalesce(int(max_parts))
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bf = BloomFilter(m, k)
@@ -251,6 +263,11 @@ def cuckoo_from_df(
     m = proto.m
 
     hashed = _with_hash_cols(df, url_col).select(_H1, _H2)
+    # same in-flight-bytes cap as bloom_from_df (tables are m·SLOTS·2 B)
+    table_bytes = m * CuckooFilter.SLOTS * 2
+    max_parts = max(8, (512 << 20) // max(table_bytes, 1))
+    if hashed.rdd.getNumPartitions() > max_parts:
+        hashed = hashed.coalesce(int(max_parts))
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cf = CuckooFilter(m)
