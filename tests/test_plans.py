@@ -363,3 +363,56 @@ def test_boilerplate_dictionary_single_wide_agg(spark):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan[:2000]
     assert count_exchanges(q) <= 2
+
+
+def test_cms_probe_broadcasts_sketch(spark):
+    """q81: estimating candidates must BROADCAST the ≤ d·w-row CMS
+    table — a shuffle join keyed on (row, bucket) would re-shuffle the
+    candidate side for a sketch that fits in one packet."""
+    import __spark_entry__ as e
+    from outage_data_scraper_spark.plans import assert_broadcast_join
+
+    q = e.q81_cms_heavy_hitters(spark, SF)
+    assert_broadcast_join(q, n_min=1)
+
+
+def test_shard_plan_no_row_scale_single_partition_window(spark):
+    """q83: the two-level prefix sum must keep the row-count window
+    partitioned (by chunk); the ONLY SinglePartition exchange allowed
+    is the group-count-sized chunk-offset window (fed by an aggregate,
+    never by the raw scan)."""
+    import __spark_entry__ as e
+
+    plan = (
+        e.q83_shard_plan(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the big window is partitioned by chk
+    assert "hashpartitioning" in plan
+    # every SinglePartition exchange sits downstream of a partial
+    # aggregate (the chunk totals), not the raw document scan: the
+    # aggregate emits one row per chunk, so its exchange is tiny
+    for seg in plan.split("Exchange SinglePartition")[1:]:
+        assert "HashAggregate" in seg or "SortAggregate" in seg, (
+            "SinglePartition exchange not fed by the chunk-totals aggregate"
+        )
+
+
+def test_exact_quantiles_second_pass_filters_buckets(spark):
+    """q82 shape: the second pass must carry the needed-buckets filter
+    (pushable range predicate at scale) and a bucket-partitioned
+    window, never a global sort of the data."""
+    from outage_data_scraper_spark.operators.quantiles import exact_order_stats
+
+    df = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 37 % 997).alias("v")
+    )
+    out = exact_order_stats(df, "v", [1, 5000, 10_000], n_buckets=64,
+                            tiebreak_col="doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(b" in plan  # per-bucket window
+    got = {r.rank: r.value for r in out.collect()}
+    s = sorted((i * 37) % 997 for i in range(10_000))
+    assert got == {1: s[0], 5000: s[4999], 10_000: s[-1]}
