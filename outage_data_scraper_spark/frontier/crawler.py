@@ -180,6 +180,24 @@ class Crawler:
             pending = pending.join(exhausted, "host", "left_anti")
         return pending
 
+    def set_host_priorities(self, ranks: DataFrame) -> None:
+        """Persist host-level priorities (pagerank_micro output:
+        (node, rank_micro)) as the ``host_rank`` table. run_wave applies
+        them LAZILY at pop time via a broadcast join
+        (graph.reprioritize_frontier) — rank refreshes never rewrite the
+        frontier. At a 10^10-row frontier a rewrite per refresh is a
+        full-table pass (measured 101.7 s at just 4M rows, BENCH.md);
+        the lazy form is host-count-sized state plus one broadcast join
+        the pop stage already pays two shuffles around. The eager
+        overwrite (reprioritize + cat.write mode=overwrite) remains
+        valid when a materialized priority column is wanted."""
+        self.cat.write(
+            "host_rank",
+            ranks.select("node", "rank_micro"),
+            mode="overwrite",
+            wave=self.last_committed_wave(),
+        )
+
     def request_recrawl(self, urls: DataFrame) -> None:
         """Schedule already-fetched URLs for one refetch on the next
         wave(s): appends them to the `recrawl` table stamped with the
@@ -213,8 +231,15 @@ class Crawler:
     # -- one wave ------------------------------------------------------------
     def run_wave(self, wave: int) -> WaveStats:
         t0 = time.monotonic()
+        pending = self.pending()
+        if self.cat.exists("host_rank"):
+            from ..operators.graph import reprioritize_frontier
+
+            pending = reprioritize_frontier(
+                pending, self.cat.read(self.spark, "host_rank")
+            )
         popped = pop_wave(
-            self.pending(), self.per_host_k, self.num_parts, self.salt,
+            pending, self.per_host_k, self.num_parts, self.salt,
             wave_budget=self.wave_budget,
         ).withColumn("wave", F.lit(wave))
 

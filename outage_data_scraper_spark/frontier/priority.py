@@ -44,9 +44,13 @@ def pop_wave(
     feedback (operators/graph.reprioritize_frontier) steer a crawl
     that cannot afford the whole frontier per wave. The cut uses the
     full ordering law plus url as a final all-column tiebreak, so the
-    budget boundary is deterministic. Physically: a TakeOrdered-style
-    global limit plus one budget-sized (not frontier-sized) re-exchange
-    for the lane window — the default un-budgeted path keeps the
+    budget boundary is deterministic. Physically: the cut is the
+    two-phase histogram form (_budget_cut) — a plain
+    ``orderBy().limit(N)`` at large N degenerates to ONE reducer
+    merge-sorting nearly the whole pending set (each map task passes
+    ≤ N rows, the single final task merges them all) and leaves a
+    single partition for downstream — the exact single-task funnel the
+    10^10 posture forbids. The default un-budgeted path keeps the
     two-shuffle wave law exactly as before.
 
     Returns the popped rows with a ``salted_part`` fetch-partition column.
@@ -60,9 +64,7 @@ def pop_wave(
         .filter(F.col("rn") <= per_host_k)
     )
     if wave_budget is not None:
-        popped = popped.orderBy(
-            *[F.col(c).asc() for c in ORDER_COLS], F.col("url").asc()
-        ).limit(int(wave_budget))
+        popped = _budget_cut(popped, int(wave_budget))
     popped = (
         popped
         # popped-per-host count shares the window's hash partitioning —
@@ -84,6 +86,69 @@ def pop_wave(
             ),
         }
     ).drop("rn", "cnt")
+
+
+def _budget_cut(popped: DataFrame, budget: int, n_buckets: int = 1024) -> DataFrame:
+    """EXACT global top-``budget`` rows by the crawl-ordering law (+url
+    tiebreak) without a single-reducer full sort — the two-phase
+    histogram pattern (operators/quantiles.py):
+
+    1. one stats pass: count + (min, max) of every law column; pick the
+       FIRST column with span > 0 — columns before it are constant over
+       this wave's pool, so lexicographic order degenerates to (chosen,
+       rest) and bucketing the chosen column is monotone in the law.
+    2. histogram on that column (≤ n_buckets rows per task, map-side
+       combined); the driver prefix-sums it and finds the boundary
+       bucket: buckets strictly before it are kept WHOLE (no sort at
+       all), and only the boundary bucket — ≈ pool/n_buckets rows —
+       is sorted for the remaining slots.
+
+    The pool is localCheckpointed first so the per-host window +
+    anti-join chain is computed once, not once per pass."""
+    pool = popped.localCheckpoint(eager=True)
+    stats_cols = [F.count(F.lit(1)).alias("n")]
+    for c in ORDER_COLS:
+        stats_cols += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+    st = pool.agg(*stats_cols).collect()[0]
+    n = int(st["n"])
+    if n <= budget:
+        return pool
+    cut_col = None
+    for c in ORDER_COLS:
+        if st[f"mn_{c}"] is not None and st[f"mx_{c}"] > st[f"mn_{c}"]:
+            cut_col = c
+            break
+    full_order = [F.col(c).asc() for c in ORDER_COLS] + [F.col("url").asc()]
+    if cut_col is None:
+        # every law column constant: all rows tie up to url — the sort
+        # is unavoidable but the pool is exactly this degenerate case
+        return pool.orderBy(*full_order).limit(budget)
+    mn, mx = float(st[f"mn_{cut_col}"]), float(st[f"mx_{cut_col}"])
+    width = (mx - mn) / n_buckets or 1.0
+    bucket = F.least(
+        F.floor((F.col(cut_col) - F.lit(mn)) / F.lit(width)).cast("int"),
+        F.lit(n_buckets - 1),
+    )
+    hist = {
+        int(r["b"]): int(r["c"])
+        for r in pool.select(bucket.alias("b")).groupBy("b").agg(
+            F.count(F.lit(1)).alias("c")
+        ).collect()
+    }
+    cum = 0
+    boundary = max(hist)
+    for b in sorted(hist):
+        if cum + hist[b] >= budget:
+            boundary = b
+            break
+        cum += hist[b]
+    keep = pool.filter(bucket < boundary)
+    edge = (
+        pool.filter(bucket == boundary)
+        .orderBy(*full_order)
+        .limit(budget - cum)
+    )
+    return keep.unionByName(edge)
 
 
 def _registry_map_expr():

@@ -12,9 +12,11 @@ graph as it runs). Loop per wave:
         order.
   after waves 1 and 3 (rank-refresh cadence): host edges projected
         from the frontier (graph.ccl_host_edges — zero joins),
-        pagerank_micro over the crawled host space, and
-        reprioritize_frontier rewritten back as ONE overwrite snapshot
-        (the Iceberg rewrite analog; ranks broadcast, frontier narrow).
+        pagerank_micro over the crawled host space, applied LAZILY via
+        Crawler.set_host_priorities — host-count-sized state + one
+        broadcast join at pop time; a rank refresh never rewrites the
+        frontier (the eager reprioritize+overwrite path measured
+        101.7 s at 4M rows and is tested separately in test_ccl.py).
   after wave 4: revisit_schedule over the fetch log (content sig =
         xxhash64 of page text) picks the earliest-due refresh batch ->
         request_recrawl, so waves 5-6 interleave refetches with fresh
@@ -67,7 +69,6 @@ def main() -> int:
     from outage_data_scraper_spark.operators.graph import (
         ccl_host_edges,
         pagerank_micro,
-        reprioritize_frontier,
     )
     from outage_data_scraper_spark.sources.fixtures import make_fixture_fetcher
     from outage_data_scraper_spark.sources.seeds import synthetic_seeds
@@ -124,9 +125,7 @@ def main() -> int:
             print(f"  host edges: {n_edges}", file=sys.stderr)
             nodes = frontier.select(F.col("host").alias("node")).distinct()
             ranks = pagerank_micro(edges, nodes, n_iter=5).localCheckpoint(eager=True)
-            newf = reprioritize_frontier(frontier, ranks)
-            cat.write("frontier", newf, mode="overwrite",
-                      wave=c.last_committed_wave())
+            c.set_host_priorities(ranks)
             rank_refresh_s[w] = round(time.monotonic() - t, 1)
             # baseline for the post-refresh comparison: mean rank of the
             # wave that ran BEFORE the refresh

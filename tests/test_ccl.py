@@ -155,3 +155,48 @@ def test_ccl_mini_crawl_discovers_and_reprioritizes(spark, tmp_path):
     base = sum(rmap.values()) / len(rmap)
     w2_mean = sum(rmap[h] for h in w2_hosts) / len(w2_hosts)
     assert w2_mean > base
+
+
+def test_lazy_host_priorities_match_frontier_overwrite(spark, tmp_path):
+    """set_host_priorities (lazy broadcast at pop time — no frontier
+    rewrite) must pop EXACTLY the URLs the eager reprioritize+overwrite
+    path pops, wave for wave."""
+    from outage_data_scraper_spark.catalog import SnapshotCatalog
+    from outage_data_scraper_spark.frontier.crawler import Crawler
+    from outage_data_scraper_spark.operators.graph import (
+        ccl_host_edges,
+        pagerank_micro,
+        reprioritize_frontier,
+    )
+    from outage_data_scraper_spark.sources.fixtures import make_fixture_fetcher
+    from outage_data_scraper_spark.sources.seeds import synthetic_seeds
+
+    def crawl(name, apply_ranks):
+        cat = SnapshotCatalog(str(tmp_path / name))
+        c = Crawler(
+            spark, cat, make_fixture_fetcher,
+            per_host_k=3, num_parts=8, seen_mode="bloom",
+            simulated_clock=True, wave_budget=15,
+        )
+        c.bootstrap(synthetic_seeds(spark, 600, 20, family="ccl"))
+        c.run_wave(1)
+        frontier = c.frontier()
+        ranks = pagerank_micro(
+            ccl_host_edges(frontier),
+            frontier.select(F.col("host").alias("node")).distinct(),
+            n_iter=3,
+        ).localCheckpoint(eager=True)
+        apply_ranks(c, cat, frontier, ranks)
+        c.run_wave(2)
+        fl = cat.read(spark, "fetch_log")
+        return {r.url for r in fl.filter(F.col("wave") == 2).select("url").collect()}
+
+    eager = crawl(
+        "eager",
+        lambda c, cat, fr, ranks: cat.write(
+            "frontier", reprioritize_frontier(fr, ranks),
+            mode="overwrite", wave=c.last_committed_wave(),
+        ),
+    )
+    lazy = crawl("lazy", lambda c, cat, fr, ranks: c.set_host_priorities(ranks))
+    assert eager == lazy and len(eager) == 15

@@ -296,3 +296,44 @@ def test_host_budget_caps_fetches_per_host(spark, tmp_path_factory):
     c2.bootstrap(fixture_miniweb_seeds(spark))
     c2.run(max_waves=30)
     assert c2.fetch_log().count() > c.fetch_log().count()
+
+
+def test_wave_budget_cut_exact_vs_sorted_limit(spark):
+    """_budget_cut (two-phase histogram — no single-reducer full sort)
+    must equal the naive global orderBy().limit() on the full ordering
+    law + url tiebreak, across constant-priority, ranked-priority and
+    budget>pool regimes."""
+    import random
+
+    from outage_data_scraper_spark.frontier.priority import ORDER_COLS, pop_wave
+
+    rng = random.Random(1)
+    for trial, budget in enumerate((1, 37, 500)):
+        rows = []
+        for i in range(1500):
+            host = f"h{rng.randrange(40)}.x.net"
+            prio = 0.0 if trial == 0 else -rng.randrange(5) / 7.0
+            rows.append(
+                (f"http://{host}/{i}", host, 0, prio, rng.randrange(3),
+                 0 if trial < 2 else rng.randrange(2), i, rng.randrange(4),
+                 None, None, None, None, "pending", 0)
+            )
+        fr = spark.createDataFrame(
+            rows,
+            "url string, host string, salted_part int, priority double, "
+            "depth int, event_seq int, seed_seq int, child_seq int, "
+            "state string, layout string, emc string, family string, "
+            "status string, wave int",
+        ).repartition(8)
+        got = sorted(
+            r.url
+            for r in pop_wave(fr, per_host_k=10, num_parts=8, wave_budget=budget).collect()
+        )
+        ref = sorted(
+            r.url
+            for r in pop_wave(fr, per_host_k=10, num_parts=8)
+            .orderBy(*[F.col(c).asc() for c in ORDER_COLS], F.col("url").asc())
+            .limit(budget)
+            .collect()
+        )
+        assert got == ref, f"trial {trial}"
