@@ -1209,6 +1209,35 @@ def q83_shard_plan(spark, sf_dir):
     )
 
 
+def q84_stateful_sessions(spark, sf_dir):
+    """CUSTOM STATEFUL STREAMING operator, VALUE-GATED
+    (streaming/stateful.py): session windows with event-time timeout
+    via applyInPandasWithState — arbitrary per-key state that outlives
+    micro-batches, evicted by the watermark. Events replay as four
+    ts-ordered weekly files (fixed thresholds — constants in BOTH
+    engines), one micro-batch each under Trigger.AvailableNow. The
+    emission set AND the closed_by labels are deterministic
+    (probe-confirmed ms-floor watermark rules, strict-inequality
+    timeout, data-beats-timeout race — module docstring), so the batch
+    oracle reproduces the streaming run exactly: sessions closed by a
+    gap-separated successor ('gap'), sessions whose timeout fired in a
+    batch BEFORE their successor's file ('timeout'), final sessions
+    iff the final watermark passed them ('timeout'); still-open state
+    never emits. Fresh mkdtemp workdir per invocation."""
+    import tempfile
+    from datetime import datetime
+
+    from outage_data_scraper_spark.streaming.stateful import run_stateful_sessions
+
+    ev = _t(spark, sf_dir, "events")
+    thresholds = [datetime(2024, 1, 8), datetime(2024, 1, 15), datetime(2024, 1, 22)]
+    d = tempfile.mkdtemp(prefix="q84_")
+    return run_stateful_sessions(
+        spark, ev, thresholds, d, ts_col="ts", key_col="user_id",
+        gap_s=1800, delay_s=900,
+    )
+
+
 def q64_boilerplate_dictionary(spark, sf_dir):
     """Corpus boilerplate dictionary (dedup.boilerplate_dictionary): the
     top-20 most widespread 4-token spans (q49's unit, ndocs ≥ 5) with
@@ -1775,6 +1804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_cms_heavy_hitters": q81_cms_heavy_hitters,
         "q82_exact_quantiles": q82_exact_quantiles,
         "q83_shard_plan": q83_shard_plan,
+        "q84_stateful_sessions": q84_stateful_sessions,
     }
 
 
@@ -3364,5 +3394,68 @@ def oracle_sql() -> dict[str, str]:
                sum(size)::BIGINT AS bytes,
                min(doc_id)::BIGINT AS first_doc, max(doc_id)::BIGINT AS last_doc
         FROM a GROUP BY 1 ORDER BY shard_id
+    """
+    # q84: the stateful-streaming emission rules replayed in batch SQL.
+    # Probe-confirmed semantics (streaming/stateful.py docstring):
+    # watermark/timeout compare in integer MILLISECONDS (us floored —
+    # DuckDB epoch_ms ≡ Spark's us/1000), timeouts fire on STRICT
+    # watermark excess, data beats timeout within a batch, and the
+    # engine runs one final no-data batch at global-max − delay.
+    # Files = the same fixed weekly thresholds; batches renumbered over
+    # NON-EMPTY files only (write_time_split skips empty ranges).
+    oracles["q84_stateful_sessions"] = """
+        WITH ev AS (
+          SELECT user_id::BIGINT AS key, ts::TIMESTAMP AS ts,
+                 CASE WHEN ts < TIMESTAMP '2024-01-08' THEN 0
+                      WHEN ts < TIMESTAMP '2024-01-15' THEN 1
+                      WHEN ts < TIMESTAMP '2024-01-22' THEN 2
+                      ELSE 3 END AS f
+          FROM events
+        ),
+        batches AS (
+          SELECT f, row_number() OVER (ORDER BY f) AS b,
+                 max(mx_ms) OVER (ORDER BY f ROWS UNBOUNDED PRECEDING) AS cm_ms
+          FROM (SELECT f, max(epoch_ms(ts)) AS mx_ms FROM ev GROUP BY 1)
+        ),
+        evb AS (SELECT e.key, e.ts, b.b FROM ev e JOIN batches b USING (f)),
+        brk AS (
+          SELECT key, ts, b,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                      THEN 1 ELSE 0 END AS is_start
+          FROM evb WINDOW w AS (PARTITION BY key ORDER BY ts)
+        ),
+        g AS (
+          SELECT key, ts, b,
+                 sum(is_start) OVER (
+                   PARTITION BY key ORDER BY ts ROWS UNBOUNDED PRECEDING
+                 ) AS sid
+          FROM brk
+        ),
+        sess AS (
+          SELECT key, sid, min(ts) AS s_start, max(ts) AS s_end,
+                 count(*)::BIGINT AS n_events, min(b) AS b_first
+          FROM g GROUP BY 1, 2
+        ),
+        nxt AS (
+          SELECT s.*, s2.b_first AS b_next
+          FROM sess s LEFT JOIN sess s2
+            ON s.key = s2.key AND s2.sid = s.sid + 1
+        ),
+        gl AS (SELECT max(cm_ms) AS gmx FROM batches)
+        SELECT n.key,
+               epoch_us(n.s_start)::BIGINT AS s_start_us,
+               epoch_us(n.s_end)::BIGINT AS s_end_us,
+               n.n_events,
+               CASE WHEN n.b_next IS NULL THEN 'timeout'
+                    WHEN bm.cm_ms IS NOT NULL
+                         AND bm.cm_ms - 900000 > epoch_ms(n.s_end) + 1800000
+                    THEN 'timeout'
+                    ELSE 'gap' END AS closed_by
+        FROM nxt n
+        LEFT JOIN batches bm ON bm.b = n.b_next - 2
+        CROSS JOIN gl
+        WHERE n.b_next IS NOT NULL
+           OR gl.gmx - 900000 > epoch_ms(n.s_end) + 1800000
     """
     return oracles

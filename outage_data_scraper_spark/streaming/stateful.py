@@ -123,3 +123,198 @@ def streaming_sessionize(
         outputMode="append",
         timeoutConf=conf,
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-time session windows (q84): deterministic, value-gated replay form.
+# ---------------------------------------------------------------------------
+# The emission set and labels are a pure function of the data when the
+# input replays as TIME-ORDERED NON-OVERLAPPING files (one per
+# micro-batch). Probe-confirmed rules (integer-millisecond arithmetic,
+# us -> ms is floor in both engines):
+#   - watermark before batch k = floor_ms(max ts of files < k) - delay
+#   - a timeout fires on STRICT watermark excess; after the last file a
+#     no-data batch runs with the final watermark (global max - delay)
+#   - a key with data in a batch is invoked with the data, never with
+#     hasTimedOut (data beats timeout; ordered non-overlapping files
+#     make the gap rule close such sessions identically, and keep
+#     setTimeoutTimestamp always ahead of the watermark)
+# Emission (mirrored by the q84 oracle SQL):
+#   non-final session with successor in file f: 'timeout' iff
+#     floor_ms(max ts of files <= f-2) - delay > floor_ms(last) + gap,
+#     else 'gap'; final session: emitted iff
+#     floor_ms(global max) - delay > floor_ms(last) + gap ('timeout'),
+#     otherwise it never emits (state outlives the replay).
+
+
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("s_start", TimestampType()),
+        StructField("s_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("closed_by", StringType()),
+    ]
+)
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start", TimestampType()),
+        StructField("last", TimestampType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def write_time_split(
+    df: DataFrame, out_dir: str, thresholds: list, ts_col: str = "ts"
+) -> list[str]:
+    """Replay prep: split rows into len(thresholds)+1 ts-ordered,
+    non-overlapping parquet files (file i = rows in [t_{i-1}, t_i)),
+    mtimes forced monotone so the file stream replays them in time
+    order. Empty ranges are skipped (an empty file would still burn a
+    micro-batch but carries no watermark information)."""
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    bounds = [None, *thresholds, None]
+    paths = []
+    for i in range(len(bounds) - 1):
+        part = df
+        if bounds[i] is not None:
+            part = part.filter(F.col(ts_col) >= F.lit(bounds[i]))
+        if bounds[i + 1] is not None:
+            part = part.filter(F.col(ts_col) < F.lit(bounds[i + 1]))
+        tmp = os.path.join(out_dir, f"_tmp{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        files = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        if files:
+            dst = os.path.join(out_dir, f"part-{i:03d}.parquet")
+            shutil.copy(os.path.join(tmp, files[0]), dst)
+            os.utime(dst, (1_700_000_000 + i * 10,) * 2)
+            paths.append(dst)
+        shutil.rmtree(tmp)
+    return paths
+
+
+def _ms(ts) -> int:
+    """Event time in integer ms with no float round trip (a float epoch
+    at 10^9 s cannot represent microseconds exactly). Batch rows arrive
+    as pandas Timestamps (.value = ns); state tuples come back as plain
+    naive datetimes representing UTC (session TZ) — timegm keeps those
+    integer-exact."""
+    if hasattr(ts, "value"):
+        return int(ts.value) // 1_000_000
+    import calendar
+
+    return (calendar.timegm(ts.timetuple()) * 1_000_000 + ts.microsecond) // 1000
+
+
+def sessionize_stream(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "key",
+    gap_s: int = 1800,
+    delay_s: int = 900,
+) -> DataFrame:
+    """Streaming session windows: consecutive events of a key belong to
+    one session while inter-event gaps stay ≤ gap_s; sessions close by
+    a gap-separated successor ('gap') or by the watermark passing
+    last + gap ('timeout')."""
+    gap_ms = gap_s * 1000
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "s_start": [start],
+                    "s_end": [last],
+                    "n_events": [n],
+                    "closed_by": ["timeout"],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        cur = list(state.get) if state.exists else None
+        out = []
+        for t in rows[ts_col]:
+            if cur is None:
+                cur = [t, t, 1]
+            elif _ms(t) - _ms(cur[1]) > gap_ms:
+                out.append((key[0], cur[0], cur[1], cur[2], "gap"))
+                cur = [t, t, 1]
+            else:
+                cur[1] = t
+                cur[2] += 1
+        state.update((cur[0], cur[1], cur[2]))
+        state.setTimeoutTimestamp(_ms(cur[1]) + gap_ms)
+        if out:
+            yield pd.DataFrame(
+                out, columns=["key", "s_start", "s_end", "n_events", "closed_by"]
+            )
+
+    return (
+        stream.select(F.col(key_col).alias("key"), F.col(ts_col).cast("timestamp").alias(ts_col))
+        .withWatermark(ts_col, f"{delay_s} seconds")
+        .groupBy("key")
+        .applyInPandasWithState(
+            fn, SESSION_OUT_SCHEMA, SESSION_STATE_SCHEMA, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
+def run_stateful_sessions(
+    spark: SparkSession,
+    events: DataFrame,
+    thresholds: list,
+    work_dir: str,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap_s: int = 1800,
+    delay_s: int = 900,
+) -> DataFrame:
+    """Full replay: time-split files → stateful stream → availableNow
+    parquet sink → read back as (key, s_start_us, s_end_us, n_events,
+    closed_by) with integer epoch-µs boundaries (cross-engine-stable)."""
+    from .poll import run_available_now
+
+    src = events.select(
+        F.col(key_col).cast("long").alias("key"),
+        F.col(ts_col).cast("timestamp").alias("ts"),
+    )
+    in_dir = os.path.join(work_dir, "in")
+    write_time_split(src, in_dir, thresholds, ts_col="ts")
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(in_dir)
+    )
+    sessions = sessionize_stream(
+        stream, ts_col="ts", key_col="key", gap_s=gap_s, delay_s=delay_s
+    )
+    run_available_now(
+        sessions, os.path.join(work_dir, "sink"), os.path.join(work_dir, "ckpt")
+    )
+    return spark.read.schema(SESSION_OUT_SCHEMA).parquet(os.path.join(work_dir, "sink")).select(
+        "key",
+        F.unix_micros(F.col("s_start")).alias("s_start_us"),
+        F.unix_micros(F.col("s_end")).alias("s_end_us"),
+        "n_events",
+        "closed_by",
+    )
