@@ -1238,6 +1238,40 @@ def q84_stateful_sessions(spark, sf_dir):
     )
 
 
+def q85_winnow_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (operators/fingerprint.py) — the
+    MOSS scheme: md5-hash every 4-token shingle, keep the minimum hash
+    of each window of 4 consecutive shingle hashes (rightmost on ties
+    via the packed h*2^24 + (2^24-1-pos) integer key). Guarantees a
+    shared fingerprint for any shared run >= w+k-1 = 7 tokens while
+    keeping ~2/(w+1) of the hashes. Zero-shuffle Arrow-batched
+    projection (plan-asserted); the oracle re-derives the identical
+    integer selection in DuckDB list comprehensions."""
+    from outage_data_scraper_spark.operators.fingerprint import (
+        winnow_fingerprints,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=4, w=4).orderBy("doc_id", "pos")
+
+
+def q86_fingerprint_overlap(spark, sf_dir):
+    """Cross-document winnowing-fingerprint overlap
+    (operators/fingerprint.py:fingerprint_overlap) — MOSS's match step:
+    pairs of documents sharing >= 2 selected fingerprints, boilerplate
+    fps (document frequency > 50) dropped first so no fp bucket can
+    fan out more than 50^2 pairs (the skew guard a 100 TB corpus
+    needs). One equi-join on fp is the only wide op."""
+    from outage_data_scraper_spark.operators.fingerprint import (
+        fingerprint_overlap,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return fingerprint_overlap(docs, k=4, w=4, min_shared=2, max_df=50).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def q64_boilerplate_dictionary(spark, sf_dir):
     """Corpus boilerplate dictionary (dedup.boilerplate_dictionary): the
     top-20 most widespread 4-token spans (q49's unit, ndocs ≥ 5) with
@@ -1805,6 +1839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_exact_quantiles": q82_exact_quantiles,
         "q83_shard_plan": q83_shard_plan,
         "q84_stateful_sessions": q84_stateful_sessions,
+        "q85_winnow_fingerprints": q85_winnow_fingerprints,
+        "q86_fingerprint_overlap": q86_fingerprint_overlap,
     }
 
 
@@ -3394,6 +3430,71 @@ def oracle_sql() -> dict[str, str]:
                sum(size)::BIGINT AS bytes,
                min(doc_id)::BIGINT AS first_doc, max(doc_id)::BIGINT AS last_doc
         FROM a GROUP BY 1 ORDER BY shard_id
+    """
+    # q85: the winnowing selection re-derived in DuckDB list
+    # comprehensions — same 36-bit md5 shingle hash ('0x' idiom), same
+    # packed h*2^24 + (2^24-1-pos) key, min per 4-window (1-based
+    # INCLUSIVE slices), distinct, unpack with // integer division.
+    oracles["q85_winnow_fingerprints"] = f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKS} AS w FROM documents
+          WHERE length(trim(text)) > 0
+        ),
+        kg AS (
+          SELECT doc_id,
+                 [('0x' || substr(md5(array_to_string(w[i : i+3], ' ')), 1, 9))::BIGINT
+                    * 16777216 + (16777215 - (i - 1))
+                  for i in generate_series(1, len(w) - 3)] AS keys
+          FROM toks WHERE len(w) >= 4
+        ),
+        sel AS (
+          SELECT doc_id,
+                 unnest(list_distinct(
+                   [list_min(keys[j : j+3])
+                    for j in generate_series(1, greatest(1, len(keys) - 3))]
+                 )) AS key
+          FROM kg
+        )
+        SELECT doc_id::BIGINT AS doc_id,
+               (16777215 - (key % 16777216))::BIGINT AS pos,
+               (key // 16777216)::BIGINT AS fp
+        FROM sel
+        ORDER BY doc_id, pos
+    """
+    # q86: q85's selection as a CTE, then the MOSS match step — distinct
+    # (doc, fp), df-capped, self-joined, pair-counted. Same integer law.
+    oracles["q86_fingerprint_overlap"] = f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKS} AS w FROM documents
+          WHERE length(trim(text)) > 0
+        ),
+        kg AS (
+          SELECT doc_id,
+                 [('0x' || substr(md5(array_to_string(w[i : i+3], ' ')), 1, 9))::BIGINT
+                    * 16777216 + (16777215 - (i - 1))
+                  for i in generate_series(1, len(w) - 3)] AS keys
+          FROM toks WHERE len(w) >= 4
+        ),
+        sel AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_distinct(
+                   [list_min(keys[j : j+3])
+                    for j in generate_series(1, greatest(1, len(keys) - 3))]
+                 )) // 16777216 AS fp
+          FROM kg
+        ),
+        rare AS (
+          SELECT doc_id, fp FROM (
+            SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df
+            FROM sel
+          ) WHERE df <= 50
+        )
+        SELECT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b,
+               count(*)::BIGINT AS n_shared
+        FROM rare a JOIN rare b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 2
+        ORDER BY id_a, id_b
     """
     # q84: the stateful-streaming emission rules replayed in batch SQL.
     # Probe-confirmed semantics (streaming/stateful.py docstring):
