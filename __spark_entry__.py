@@ -1272,6 +1272,117 @@ def q86_fingerprint_overlap(spark, sf_dir):
     )
 
 
+def q87_remove_dup_spans(spark, sf_dir):
+    """ExactSubstr span REMOVAL (dedup.remove_duplicated_spans — Lee et
+    al. 2021's actual intervention; q63 MEASURES these spans, this CUTS
+    them): every token covered by a maximal duplicated 8-token sliding
+    window is deleted from EVERY occurrence, survivors reassembled in
+    order. clean_md5 digests the reassembled text so the value hash
+    gates the full reconstruction (the q49 pattern). Oracle: an
+    independent covered-position formulation (window expansion +
+    anti-join + ordered string_agg) vs the engine's span-complement
+    zip_with slices — two derivations of the same removal law."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.remove_duplicated_spans(docs, window_tokens=8, min_count=2)
+    return out.select(
+        "doc_id",
+        "orig_tokens",
+        "kept_tokens",
+        "removed_tokens",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+def q88_training_export(spark, sf_dir):
+    """END-TO-END corpus → training-artifact manifest, composing three
+    individually-gated stages ACROSS their boundaries: q51's cleaning
+    pipeline picks the surviving canonical docs → q79's BPE encode
+    prices each survivor in tokens → q83's two-level-prefix-sum shard
+    planner packs survivors (doc_id order) into 4096-token shards. One
+    row per shard with doc/token/byte totals and the doc_id range — the
+    manifest a training run opens. The oracle composes the three gated
+    oracles as subqueries (the q59 pattern), so the stage boundaries
+    are value-gated, not just the pieces."""
+    from outage_data_scraper_spark.operators.shards import plan_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    surv = q51_clean_corpus_pipeline(spark, sf_dir).select("doc_id")
+    stats = q79_bpe_encode_stats(spark, sf_dir).select("doc_id", "n_bpe_tokens")
+    sized = surv.join(stats, "doc_id").join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    assign = plan_shards(sized, "n_bpe_tokens", "doc_id", shard_bytes=4096, chunk=64)
+    return (
+        assign.join(sized.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("size").cast("long").alias("tokens"),
+            F.sum("n_chars").cast("long").alias("bytes"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+def q89_fingerprint_dedup_clusters(spark, sf_dir):
+    """MOSS-style LOCAL dedup end-to-end — the fingerprint alternative
+    to q20's MinHash banding: winnowing fingerprints (q85) → df-capped
+    overlap pairs (q86's operating point) → connected components
+    (q47's min-label kernel) → canonical keep = cluster-minimum doc_id.
+    Every document is labeled; edge-less docs are their own singleton
+    and kept. Oracle: q86's pair derivation feeding q47's
+    recursive-CTE transitive closure."""
+    from outage_data_scraper_spark.operators.fingerprint import fingerprint_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = fingerprint_overlap(docs, k=4, w=4, min_shared=2, max_df=50).select(
+        "id_a", "id_b"
+    )
+    comp = dedup.connected_components(pairs)
+    return (
+        docs.select("doc_id")
+        .join(comp, docs["doc_id"] == comp["node"], "left")
+        .select(
+            F.col("doc_id"),
+            F.coalesce(F.col("label"), F.col("doc_id")).cast("long").alias("component"),
+            (
+                F.coalesce(F.col("label"), F.col("doc_id")) == F.col("doc_id")
+            ).alias("keep"),
+        )
+    )
+
+
+def q90_clean_pipeline_exactsubstr(spark, sf_dir):
+    """q51's cleaning pipeline with ExactSubstr span REMOVAL as the
+    dedup stage (the alternative composition the Lee et al. 2021
+    intervention feeds): Gopher quality filter (q43's frozen rules) →
+    remove_duplicated_spans over the survivors (8-token windows,
+    corpus-wide ≥2 positions — catches the SHIFTED copies q51's C4
+    chunking misses) → exact dedup on the cleaned text (min-id
+    canonical) → q48's deterministic split. Window counts are over the
+    KEPT corpus (post-filter), mirrored exactly in the oracle, which
+    shares q51's gopher CTEs and split CASE via module constants."""
+    from outage_data_scraper_spark.operators.sampling import split_column
+
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", "text", textkit.tokens(F.col("text")).alias("toks"))
+    kept = toked.filter(
+        textkit.gopher_keep(F.col("text"), F.col("toks"))
+    ).select("doc_id", "text")
+    cleaned = dedup.remove_duplicated_spans(
+        kept, window_tokens=8, min_count=2
+    ).select("doc_id", F.md5("clean_text").alias("clean_sig"))
+    canon = cleaned.groupBy("clean_sig").agg(F.min("doc_id").alias("canonical_id"))
+    surv = cleaned.join(canon, "clean_sig").filter(
+        F.col("doc_id") == F.col("canonical_id")
+    )
+    return surv.select(
+        "doc_id", split_column(F.col("doc_id")).alias("split"), "clean_sig"
+    )
+
+
 def q64_boilerplate_dictionary(spark, sf_dir):
     """Corpus boilerplate dictionary (dedup.boilerplate_dictionary): the
     top-20 most widespread 4-token spans (q49's unit, ndocs ≥ 5) with
@@ -1841,6 +1952,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_stateful_sessions": q84_stateful_sessions,
         "q85_winnow_fingerprints": q85_winnow_fingerprints,
         "q86_fingerprint_overlap": q86_fingerprint_overlap,
+        "q87_remove_dup_spans": q87_remove_dup_spans,
+        "q88_training_export": q88_training_export,
+        "q89_fingerprint_dedup_clusters": q89_fingerprint_dedup_clusters,
+        "q90_clean_pipeline_exactsubstr": q90_clean_pipeline_exactsubstr,
     }
 
 
@@ -1859,6 +1974,47 @@ _PUNCT_RATIO = (
     "(length(text) - length(regexp_replace(text, '[.,;:!?''\"()\\[\\]-]', '', 'g')))::DOUBLE"
     " / length(text) END"
 )
+
+# Gopher-kept CTE block (t, m, kept) shared by the q51 and q90 pipeline
+# oracles — interpolated into both so the filter stage cannot drift.
+_GOPHER_KEPT_CTES = f"""t AS (
+              SELECT doc_id, text,
+                     CASE WHEN length(trim(text)) = 0
+                          THEN []::VARCHAR[] ELSE {_RAW_TOKS} END AS l
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id,
+                     len(l) AS n_tokens,
+                     CASE WHEN len(l) = 0 THEN 0.0 ELSE
+                       length(regexp_replace(trim(text), '\\s+', '', 'g'))::DOUBLE / len(l) END AS mean_tok_len,
+                     CASE WHEN len(l) = 0 THEN 0.0 ELSE
+                       len(list_filter(l, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(l) END AS alpha_frac,
+                     {_SW_RATIO} AS stop_ratio,
+                     CASE WHEN len(l) = 0 THEN 0.0 ELSE
+                       len(list_distinct(l))::DOUBLE / len(l) END AS ttr,
+                     CASE WHEN len(l) = 0 THEN 0.0 ELSE
+                       list_max(list_transform(list_distinct(l), d -> len(list_filter(l, x -> x = d))))::DOUBLE / len(l) END AS top_tok_frac
+              FROM t
+            ),
+            kept AS (
+              SELECT doc_id FROM m
+              WHERE n_tokens BETWEEN 20 AND 10000
+                AND mean_tok_len BETWEEN 3.0 AND 10.0
+                AND alpha_frac >= 0.9 AND stop_ratio >= 0.02
+                AND ttr >= 0.35 AND top_tok_frac <= 0.2
+            )"""
+
+
+def _split_case_sql(col: str) -> str:
+    """The q48 deterministic split assignment as a SQL CASE — the same
+    'split-1'-salted md5 law split_column computes, shared by the q51 /
+    q90 pipeline oracles."""
+    h = f"('0x' || substr(md5('split-1' || {col}::VARCHAR), 1, 15))::BIGINT % 100"
+    return (
+        f"CASE WHEN {h} < 80 THEN 'train' "
+        f"WHEN {h} < 90 THEN 'val' ELSE 'test' END"
+    )
 
 
 def _q58_oracle(n_iter: int = 5) -> str:
@@ -2356,33 +2512,7 @@ def oracle_sql() -> dict[str, str]:
         # q51: the full cleaning composition — gopher keep → span dedup
         # over survivors → exact dedup on cleaned text → hash split
         "q51_clean_corpus_pipeline": f"""
-            WITH t AS (
-              SELECT doc_id, text,
-                     CASE WHEN length(trim(text)) = 0
-                          THEN []::VARCHAR[] ELSE {_RAW_TOKS} END AS l
-              FROM documents
-            ),
-            m AS (
-              SELECT doc_id,
-                     len(l) AS n_tokens,
-                     CASE WHEN len(l) = 0 THEN 0.0 ELSE
-                       length(regexp_replace(trim(text), '\\s+', '', 'g'))::DOUBLE / len(l) END AS mean_tok_len,
-                     CASE WHEN len(l) = 0 THEN 0.0 ELSE
-                       len(list_filter(l, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(l) END AS alpha_frac,
-                     {_SW_RATIO} AS stop_ratio,
-                     CASE WHEN len(l) = 0 THEN 0.0 ELSE
-                       len(list_distinct(l))::DOUBLE / len(l) END AS ttr,
-                     CASE WHEN len(l) = 0 THEN 0.0 ELSE
-                       list_max(list_transform(list_distinct(l), d -> len(list_filter(l, x -> x = d))))::DOUBLE / len(l) END AS top_tok_frac
-              FROM t
-            ),
-            kept AS (
-              SELECT doc_id FROM m
-              WHERE n_tokens BETWEEN 20 AND 10000
-                AND mean_tok_len BETWEEN 3.0 AND 10.0
-                AND alpha_frac >= 0.9 AND stop_ratio >= 0.02
-                AND ttr >= 0.35 AND top_tok_frac <= 0.2
-            ),
+            WITH {_GOPHER_KEPT_CTES},
             toks AS (
               SELECT doc_id, {_TOKS} AS w
               FROM documents JOIN kept USING (doc_id)
@@ -2404,9 +2534,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             canon AS (SELECT clean_sig, min(doc_id) AS canonical_id FROM clean GROUP BY 1)
             SELECT c.doc_id,
-                   CASE WHEN ('0x' || substr(md5('split-1' || c.doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 80 THEN 'train'
-                        WHEN ('0x' || substr(md5('split-1' || c.doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 90 THEN 'val'
-                        ELSE 'test' END AS split,
+                   {_split_case_sql("c.doc_id")} AS split,
                    c.clean_sig
             FROM clean c JOIN canon USING (clean_sig)
             WHERE c.doc_id = canon.canonical_id
@@ -3558,5 +3686,149 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN gl
         WHERE n.b_next IS NOT NULL
            OR gl.gmx - 900000 > epoch_ms(n.s_end) + 1800000
+    """
+    # q87: ExactSubstr removal — INDEPENDENT covered-position
+    # formulation: q63's duplicated window positions expand to their w
+    # covered token offsets; kept tokens = anti-join of the indexed
+    # token list; ordered string_agg reassembles; md5 digests the text
+    # (vs the engine's span-complement zip_with slices).
+    oracles["q87_remove_dup_spans"] = f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+        wins AS (
+          SELECT doc_id,
+                 unnest([{{'pos': i, 'txt': array_to_string(w[i+1 : i+8], ' ')}}
+                         for i in generate_series(0, len(w) - 8)]) AS s
+          FROM toks WHERE len(w) >= 8
+        ),
+        flat AS (SELECT doc_id, s.pos AS pos, s.txt AS wtext FROM wins),
+        cnt AS (SELECT wtext FROM flat GROUP BY 1 HAVING count(*) >= 2),
+        dup AS (SELECT f.doc_id, f.pos FROM flat f JOIN cnt USING (wtext)),
+        cov AS (
+          SELECT DISTINCT doc_id, pos + g AS p
+          FROM dup CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS g)
+        ),
+        tk AS (
+          SELECT doc_id, u.i - 1 AS p, u.x AS tok
+          FROM (SELECT doc_id,
+                       unnest(list_transform(w, (x, i) -> {{'i': i, 'x': x}})) AS u
+                FROM toks)
+        ),
+        kept AS (
+          SELECT t.doc_id, t.p, t.tok
+          FROM tk t ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
+        ),
+        res AS (
+          SELECT doc_id, count(*) AS kt,
+                 string_agg(tok, ' ' ORDER BY p) AS clean
+          FROM kept GROUP BY 1
+        )
+        SELECT t.doc_id,
+               len(t.w)::BIGINT AS orig_tokens,
+               coalesce(r.kt, 0)::BIGINT AS kept_tokens,
+               (len(t.w) - coalesce(r.kt, 0))::BIGINT AS removed_tokens,
+               md5(coalesce(r.clean, '')) AS clean_md5
+        FROM toks t LEFT JOIN res r USING (doc_id)
+    """
+    # q88 composes three already-gated oracles across their boundaries
+    # (the q59 pattern): q51 survivors priced by q79's BPE tokens,
+    # packed by the q83 one-window semantic shard law. q79's oracle is
+    # digest-guarded committed parquet — if it fell back to rows-only
+    # (regenerated testdata), q88 falls back with it.
+    if "q79_bpe_encode_stats" in oracles:
+        oracles["q88_training_export"] = f"""
+            WITH surv AS (
+              SELECT doc_id FROM ({oracles["q51_clean_corpus_pipeline"]})
+            ),
+            tok AS (
+              SELECT doc_id, n_bpe_tokens
+              FROM ({oracles["q79_bpe_encode_stats"]})
+            ),
+            base AS (
+              SELECT d.doc_id, t.n_bpe_tokens::BIGINT AS sz,
+                     d.n_chars::BIGINT AS nc
+              FROM documents d JOIN surv USING (doc_id) JOIN tok t USING (doc_id)
+            ),
+            a AS (
+              SELECT doc_id, sz, nc,
+                     (sum(sz) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                      - sz) // 4096 AS shard_id
+              FROM base
+            )
+            SELECT shard_id::BIGINT AS shard_id, count(*)::BIGINT AS n_docs,
+                   sum(sz)::BIGINT AS tokens, sum(nc)::BIGINT AS bytes,
+                   min(doc_id)::BIGINT AS first_doc,
+                   max(doc_id)::BIGINT AS last_doc
+            FROM a GROUP BY 1 ORDER BY shard_id
+        """
+    # q90: q51's pipeline with ExactSubstr removal as the dedup stage —
+    # gopher CTEs and split CASE shared with q51 via module constants;
+    # the removal is q87's covered-position formulation restricted to
+    # the kept corpus (window counts over survivors only, matching the
+    # Spark composition).
+    oracles["q90_clean_pipeline_exactsubstr"] = f"""
+        WITH {_GOPHER_KEPT_CTES},
+        toks AS (
+          SELECT doc_id, {_TOKS} AS w
+          FROM documents JOIN kept USING (doc_id)
+        ),
+        wins AS (
+          SELECT doc_id,
+                 unnest([{{'pos': i, 'txt': array_to_string(w[i+1 : i+8], ' ')}}
+                         for i in generate_series(0, len(w) - 8)]) AS s
+          FROM toks WHERE len(w) >= 8
+        ),
+        flat AS (SELECT doc_id, s.pos AS pos, s.txt AS wtext FROM wins),
+        cnt AS (SELECT wtext FROM flat GROUP BY 1 HAVING count(*) >= 2),
+        dup AS (SELECT f.doc_id, f.pos FROM flat f JOIN cnt USING (wtext)),
+        cov AS (
+          SELECT DISTINCT doc_id, pos + g AS p
+          FROM dup CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS g)
+        ),
+        tk AS (
+          SELECT doc_id, u.i - 1 AS p, u.x AS tok
+          FROM (SELECT doc_id,
+                       unnest(list_transform(w, (x, i) -> {{'i': i, 'x': x}})) AS u
+                FROM toks)
+        ),
+        kp AS (
+          SELECT t2.doc_id, t2.p, t2.tok
+          FROM tk t2 ANTI JOIN cov c ON t2.doc_id = c.doc_id AND t2.p = c.p
+        ),
+        res AS (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean
+          FROM kp GROUP BY 1
+        ),
+        cleaned AS (
+          SELECT t.doc_id, md5(coalesce(r.clean, '')) AS clean_sig
+          FROM toks t LEFT JOIN res r USING (doc_id)
+        ),
+        canon AS (SELECT clean_sig, min(doc_id) AS canonical_id FROM cleaned GROUP BY 1)
+        SELECT c.doc_id,
+               {_split_case_sql("c.doc_id")} AS split,
+               c.clean_sig
+        FROM cleaned c JOIN canon USING (clean_sig)
+        WHERE c.doc_id = canon.canonical_id
+    """
+    # q89: q86's pair derivation feeding q47's recursive-CTE closure;
+    # keep = the canonical (cluster-min) doc.
+    oracles["q89_fingerprint_dedup_clusters"] = f"""
+        WITH RECURSIVE pairs AS (
+          SELECT id_a, id_b FROM ({oracles["q86_fingerprint_overlap"]})
+        ),
+        bi AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs
+        ),
+        reach(src, dst) AS (
+          SELECT src, dst FROM bi
+          UNION
+          SELECT r.src, b.dst FROM reach r JOIN bi b ON r.dst = b.src
+        ),
+        comp AS (SELECT src AS doc_id, min(dst) AS mn FROM reach GROUP BY 1)
+        SELECT d.doc_id,
+               CAST(COALESCE(least(c.mn, d.doc_id), d.doc_id) AS BIGINT) AS component,
+               COALESCE(least(c.mn, d.doc_id), d.doc_id) = d.doc_id AS keep
+        FROM documents d LEFT JOIN comp c USING (doc_id)
     """
     return oracles

@@ -108,9 +108,24 @@ def _budget_cut(popped: DataFrame, budget: int, n_buckets: int = 1024) -> DataFr
     pool = popped.localCheckpoint(eager=True)
     stats_cols = [F.count(F.lit(1)).alias("n")]
     for c in ORDER_COLS:
-        stats_cols += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+        stats_cols += [
+            F.min(c).alias(f"mn_{c}"),
+            F.max(c).alias(f"mx_{c}"),
+            F.count(c).alias(f"nn_{c}"),  # non-null count
+        ]
     st = pool.agg(*stats_cols).collect()[0]
     n = int(st["n"])
+    # The histogram cut is provably equal to orderBy().limit() ONLY for
+    # non-null order columns: a NULL bucket evaluates NULL and would be
+    # silently excluded by both phase filters, while the sorted-limit
+    # law places NULLs FIRST. All frontier law columns are non-null by
+    # construction — enforce it so a future nullable column fails loud.
+    null_cols = [c for c in ORDER_COLS if int(st[f"nn_{c}"]) != n]
+    if null_cols:
+        raise ValueError(
+            f"_budget_cut: NULLs in order column(s) {null_cols}; the "
+            "histogram cut requires non-null law columns"
+        )
     if n <= budget:
         return pool
     cut_col = None

@@ -721,6 +721,67 @@ def benchmark_overlap(
     )
 
 
+def _maximal_dup_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int,
+    min_count: int,
+) -> DataFrame:
+    """Maximal duplicated-substring spans per document as
+    (doc_id, island, s, e, nw) rows — the shared core of the q63
+    MEASUREMENT (duplicated_substring_spans) and the q87 REMOVAL
+    (remove_duplicated_spans). s/e are 0-based token offsets,
+    [s, e) half-open; spans within a doc are disjoint by the
+    gaps-and-islands merge.
+
+    Plan shape (unchanged from the original q63 body): one narrow
+    posexplode; ONE wide shuffle keyed on (xxhash64(window),
+    length(window)) — 12 bytes per position, never the window string;
+    survivors regroup per document for the island merge.
+    """
+    flat = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(textkit.word_shingles(F.col(text_col), w)).alias("pos", "wtext"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.xxhash64("wtext").alias("wh"),
+        F.length("wtext").alias("wl"),
+    )
+    # groupBy (partial-aggregated map-side) + join back, NOT a window
+    # over the raw key: the count table after the ≥min_count filter
+    # is the duplicated-substring dictionary — small on a cleaned corpus
+    # and broadcastable at scale, where a window would materialize every
+    # occurrence of a hot boilerplate window in one task
+    counts = (
+        flat.groupBy("wh", "wl")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("wh", "wl")
+    )
+    dup = flat.join(counts, ["wh", "wl"]).select("doc_id", "pos")
+    prior = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run_end = F.max(F.col("pos") + w).over(prior)
+    flagged = dup.withColumn(
+        "flag",
+        F.when(run_end.isNull() | (F.col("pos") > run_end), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    seq = Window.partitionBy("doc_id").orderBy("pos")
+    islands = flagged.withColumn("island", F.sum("flag").over(seq))
+    return islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + w).alias("e"),
+        F.count("*").alias("nw"),
+    )
+
+
 def duplicated_substring_spans(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -764,47 +825,7 @@ def duplicated_substring_spans(
     duplicated-substring dictionary — the same
     broadcastable-dictionary scale path as span_dedup.
     """
-    w = window_tokens
-    flat = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(textkit.word_shingles(F.col(text_col), w)).alias("pos", "wtext"),
-    ).select(
-        "doc_id",
-        "pos",
-        F.xxhash64("wtext").alias("wh"),
-        F.length("wtext").alias("wl"),
-    )
-    # groupBy (partial-aggregated map-side) + join back, NOT a window
-    # over the raw key: the count table after the ≥min_count filter
-    # is the duplicated-substring dictionary — small on a cleaned corpus
-    # and broadcastable at scale, where a window would materialize every
-    # occurrence of a hot boilerplate window in one task
-    counts = (
-        flat.groupBy("wh", "wl")
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= min_count)
-        .select("wh", "wl")
-    )
-    dup = flat.join(counts, ["wh", "wl"]).select("doc_id", "pos")
-    prior = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    run_end = F.max(F.col("pos") + w).over(prior)
-    flagged = dup.withColumn(
-        "flag",
-        F.when(run_end.isNull() | (F.col("pos") > run_end), F.lit(1)).otherwise(
-            F.lit(0)
-        ),
-    )
-    seq = Window.partitionBy("doc_id").orderBy("pos")
-    islands = flagged.withColumn("island", F.sum("flag").over(seq))
-    spans = islands.groupBy("doc_id", "island").agg(
-        F.min("pos").alias("s"),
-        (F.max("pos") + w).alias("e"),
-        F.count("*").alias("nw"),
-    )
+    spans = _maximal_dup_spans(docs, id_col, text_col, window_tokens, min_count)
     per = spans.groupBy("doc_id").agg(
         F.sum("nw").cast("long").alias("n_dup_windows"),
         F.count("*").cast("long").alias("n_dup_spans"),
@@ -822,6 +843,89 @@ def duplicated_substring_spans(
         F.round(
             F.coalesce("dup_tokens", F.lit(0)).cast("double") / F.col("n_toks"), 4
         ).alias("dup_frac"),
+    )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """ExactSubstr span REMOVAL (Lee et al. 2021 §4.1 — the actual
+    intervention their suffix-array measurement feeds): delete every
+    token covered by a maximal duplicated span (q63's spans — EVERY
+    occurrence is cut, the paper's published behavior, which may leave
+    zero copies of a heavily-duplicated run) and reassemble the
+    remaining tokens in order. Unlike span_dedup's disjoint 4-token
+    chunks (q49), sliding windows catch SHIFTED copies, so this is the
+    cleaning stage chunking can't replicate.
+
+    Returns one row per input document:
+      (doc_id, orig_tokens, kept_tokens, removed_tokens, clean_text)
+    clean_text is the space-joined survivors of the corpus-canonical
+    normalization; removed_tokens = sum of span lengths (spans are
+    disjoint after the island merge, so the sum is exact coverage).
+
+    Plan shape: the span pass is q63's exactly (one wide shuffle on
+    (xxhash64(window), length) — never window strings); spans then
+    aggregate per doc into a sorted array (output rows ~= duplicated
+    docs, tiny on a cleaned corpus) and join back to the docs table,
+    where reassembly is ONE pure projection: complement intervals via
+    zip_with over (0 ++ span ends, span starts ++ n) and exact-length
+    slices (never slice-to-INT_MAX under a HOF — CLAUDE.md pitfall),
+    flattened and space-joined. The token array is hoisted into its own
+    projection so the HOF lambdas reference a bound attribute, not the
+    split/normalize subtree. Per-doc cost is linear in tokens + spans;
+    nothing ever shuffles document text except the doc_id join of the
+    span arrays, which AQE broadcasts when the duplicated set is small.
+    """
+    w = window_tokens
+    spans = _maximal_dup_spans(docs, id_col, text_col, w, min_count)
+    sp_arr = spans.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("sps"),
+        F.sum(F.col("e") - F.col("s")).cast("long").alias("cut"),
+    )
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(textkit.normalized(F.col(text_col)), " ").alias("toks"),
+    )
+    joined = (
+        toked.join(sp_arr, "doc_id", "left")
+        .withColumn(
+            "sps",
+            F.coalesce(
+                F.col("sps"), F.expr("CAST(array() AS array<struct<s:int,e:int>>)")
+            ),
+        )
+        .withColumn("cut", F.coalesce(F.col("cut"), F.lit(0)).cast("long"))
+    )
+    # kept ranges are the complement of the (disjoint, sorted) spans:
+    # starts = 0 ++ span ends, ends = span starts ++ n; each range
+    # yields slice(toks, start+1, max(len, 0)) — 1-based, exact length
+    starts = F.concat(
+        F.array(F.lit(0)), F.transform(F.col("sps"), lambda sp: sp["e"])
+    )
+    ends = F.concat(
+        F.transform(F.col("sps"), lambda sp: sp["s"]),
+        F.array(F.size("toks")),
+    )
+    kept = F.flatten(
+        F.zip_with(
+            starts,
+            ends,
+            lambda st, en: F.slice(
+                F.col("toks"), st + F.lit(1), F.greatest(en - st, F.lit(0))
+            ),
+        )
+    )
+    return joined.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("orig_tokens"),
+        (F.size("toks") - F.col("cut")).cast("long").alias("kept_tokens"),
+        F.col("cut").alias("removed_tokens"),
+        F.array_join(kept, " ").alias("clean_text"),
     )
 
 

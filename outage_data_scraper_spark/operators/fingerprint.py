@@ -43,6 +43,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: pos is packed into the low 24 bits of the selection key
 _POS_BITS = 24
@@ -95,6 +96,16 @@ def winnow_fingerprints(
     count.
     """
     src = docs.select(F.col(id_col), F.col(text_col).alias("__text"))
+    # Output id keeps the INPUT id column's type (a string doc_id must
+    # not silently coerce to long at the Arrow boundary).
+    id_type = docs.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("pos", T.LongType()),
+            T.StructField("fp", T.LongType()),
+        ]
+    )
 
     def _batches(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdfs:
@@ -106,9 +117,7 @@ def winnow_fingerprints(
                     fps.append(fp)
             yield pd.DataFrame({id_col: ids, "pos": poss, "fp": fps})
 
-    return src.mapInPandas(
-        _batches, f"{id_col} long, pos long, fp long"
-    )
+    return src.mapInPandas(_batches, out_schema)
 
 
 def fingerprint_overlap(

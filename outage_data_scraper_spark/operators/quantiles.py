@@ -64,7 +64,7 @@ def exact_order_stats(
     # integer bucket width: ceil(span/B) via DIV — no float boundary
     # drift, no (v-mn)*B overflow at extreme longs
     width = max((mx - mn + n_buckets) // n_buckets, 1)
-    bucket = ((F.col(value_col) - F.lit(mn)) / F.lit(width)).cast("long")
+    bucket = F.expr(f"({value_col} - {mn}) DIV {width}")
 
     hist = (
         df.select(bucket.alias("b"))

@@ -49,7 +49,7 @@ def plan_shards(
     base = df.select(
         F.col(order_col).alias("ord"),
         F.col(size_col).cast("long").alias("size"),
-        (F.col(order_col) / F.lit(int(chunk))).cast("long").alias("chk"),
+        F.expr(f"{order_col} DIV {int(chunk)}").alias("chk"),
     )
     w_in = Window.partitionBy("chk").orderBy("ord")
     within = base.withColumn("cum_in", F.sum("size").over(w_in))

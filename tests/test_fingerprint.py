@@ -174,3 +174,58 @@ def test_zero_shuffle_plan(spark):
 
     df = spark.createDataFrame([(1, "a b c d e f g h")], "doc_id long, text string")
     assert count_exchanges(winnow_fingerprints(df)) == 0
+
+
+def test_winnow_string_doc_id_passthrough(spark):
+    """The mapInPandas output id column keeps the INPUT id type (r6
+    advisor finding: it was hard-coded long)."""
+    df = spark.createDataFrame(
+        [("docA", "a b c d e f g h"), ("docB", "x y z w v u t s")],
+        "doc_id string, text string",
+    )
+    out = winnow_fingerprints(df)
+    assert dict(out.dtypes)["doc_id"] == "string"
+    ids = {r.doc_id for r in out.collect()}
+    assert ids == {"docA", "docB"}
+
+
+def test_fingerprint_clusters_planted_cliques(spark):
+    """q89 composition: planted replica cliques {0,1,2} and {5,6} must
+    come out as components labeled by their minimum doc_id with only
+    the canonical doc kept; unique docs stay singletons. Exact replicas
+    (selection is context-dependent — CLAUDE.md)."""
+    from outage_data_scraper_spark.operators.dedup import connected_components
+    from outage_data_scraper_spark.operators.fingerprint import (
+        fingerprint_overlap,
+    )
+    from pyspark.sql import functions as F
+
+    rep_a = "the quick brown fox jumps over the lazy dog again and again"
+    rep_b = "pack my box with five dozen liquor jugs every single day now"
+    rows = [
+        (0, rep_a), (1, rep_a), (2, rep_a),
+        (3, "completely unrelated text about mountains rivers and valleys here"),
+        (4, "another fully distinct document speaking of oceans and tides only"),
+        (5, rep_b), (6, rep_b),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = fingerprint_overlap(docs, k=4, w=4, min_shared=2, max_df=50).select(
+        "id_a", "id_b"
+    )
+    comp = connected_components(pairs)
+    out = {
+        r.doc_id: (r.component, r.keep)
+        for r in docs.select("doc_id")
+        .join(comp, docs["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", "doc_id").alias("component"),
+            (F.coalesce("label", "doc_id") == F.col("doc_id")).alias("keep"),
+        )
+        .collect()
+    }
+    assert out == {
+        0: (0, True), 1: (0, False), 2: (0, False),
+        3: (3, True), 4: (4, True),
+        5: (5, True), 6: (5, False),
+    }

@@ -1234,6 +1234,117 @@ def test_duplicated_substring_spans_gap_splits_islands(spark):
     assert out[2].n_dup_spans == 1 and out[2].dup_tokens == 8
 
 
+def _brute_remove_spans(rows, w=8, min_count=2):
+    """Plain-Python ExactSubstr removal twin: corpus-wide window counts
+    → per-doc covered-position union → reassembly. Independent of the
+    operator's span/complement formulation."""
+    import re
+    from collections import Counter
+
+    toks = {}
+    for i, txt in rows:
+        t = re.sub(r"\s+", " ", txt).strip().lower()
+        toks[i] = t.split(" ")
+    cnt = Counter()
+    wins = {}
+    for i, tk in toks.items():
+        ws = [" ".join(tk[j : j + w]) for j in range(len(tk) - w + 1)]
+        wins[i] = ws
+        cnt.update(ws)
+    out = {}
+    for i, tk in toks.items():
+        covered = set()
+        for j, s in enumerate(wins[i]):
+            if cnt[s] >= min_count:
+                covered.update(range(j, j + w))
+        kept = [t for p, t in enumerate(tk) if p not in covered]
+        out[i] = (len(tk), len(kept), len(tk) - len(kept), " ".join(kept))
+    return out
+
+
+def test_remove_duplicated_spans_hand_checked(spark):
+    """Shifted cross-doc copy, within-doc repeat, unique doc, and a
+    two-span doc with a preserved middle gap — reassembled text checked
+    byte-for-byte."""
+    from outage_data_scraper_spark.operators.dedup import remove_duplicated_spans
+
+    common = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    run_a = "a1 a2 a3 a4 a5 a6 a7 a8"
+    run_b = "b1 b2 b3 b4 b5 b6 b7 b8"
+    gap = "g1 g2 g3 g4 g5 g6 g7 g8 g9 g10"
+    rows = [
+        (0, common + " u1 u2 u3 u4"),          # span at doc START
+        (1, "v1 v2 v3 " + common),             # span at doc END
+        (2, "p q r s t u v w p q r s t u v w"),  # whole doc removed
+        (3, "one two three four five six seven eight nine"),  # untouched
+        (4, run_a + " " + gap + " " + run_b),  # two spans, gap survives
+        (5, run_a),
+        (6, run_b),
+        (7, "short doc"),                      # < w tokens, untouched
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in remove_duplicated_spans(docs).collect()}
+    assert out[0].clean_text == "u1 u2 u3 u4"
+    assert (out[0].orig_tokens, out[0].kept_tokens, out[0].removed_tokens) == (12, 4, 8)
+    assert out[1].clean_text == "v1 v2 v3"
+    # every occurrence is cut — the within-doc repeat leaves NOTHING
+    assert out[2].clean_text == "" and out[2].kept_tokens == 0
+    assert out[2].removed_tokens == 16
+    assert out[3].clean_text == rows[3][1]
+    assert out[3].removed_tokens == 0
+    assert out[4].clean_text == gap
+    assert out[4].removed_tokens == 16
+    # the donor docs lose their whole text too (paper semantics)
+    assert out[5].clean_text == "" and out[6].clean_text == ""
+    assert out[7].clean_text == "short doc" and out[7].removed_tokens == 0
+
+
+def test_remove_duplicated_spans_normalizes_and_counts(spark):
+    """clean_text is the corpus-canonical normalization (lower,
+    collapsed whitespace) even for untouched docs; counts are over
+    normalized tokens."""
+    from outage_data_scraper_spark.operators.dedup import remove_duplicated_spans
+
+    docs = spark.createDataFrame(
+        [(0, "  Mixed   CASE\ttext  here ")], ["doc_id", "text"]
+    )
+    r = remove_duplicated_spans(docs).collect()[0]
+    assert r.clean_text == "mixed case text here"
+    assert (r.orig_tokens, r.kept_tokens, r.removed_tokens) == (4, 4, 0)
+
+
+def test_remove_duplicated_spans_brute_parity(spark):
+    """Seeded random corpus with planted shifted/partial/within-doc
+    duplicates vs the covered-position brute-force twin — every column
+    including the reassembled text."""
+    import random
+
+    from outage_data_scraper_spark.operators.dedup import remove_duplicated_spans
+
+    rng = random.Random(87)
+    vocab = [f"w{i}" for i in range(40)]
+    planted = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(8, 14)))
+        for _ in range(5)
+    ]
+    rows = []
+    for i in range(60):
+        n = rng.randint(0, 30)
+        toks = [rng.choice(vocab) for _ in range(n)]
+        if rng.random() < 0.5:
+            ins = rng.choice(planted).split(" ")
+            at = rng.randint(0, len(toks))
+            toks = toks[:at] + ins + toks[at:]
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.orig_tokens, r.kept_tokens, r.removed_tokens, r.clean_text)
+        for r in remove_duplicated_spans(docs).collect()
+    }
+    want = _brute_remove_spans(rows)
+    assert got == want
+
+
 def test_boilerplate_dictionary_orders_and_counts(spark):
     """Chunk unit parity with span_dedup + deterministic tiebreak."""
     from outage_data_scraper_spark.operators.dedup import boilerplate_dictionary
