@@ -1383,6 +1383,31 @@ def q90_clean_pipeline_exactsubstr(spark, sf_dir):
     )
 
 
+def q91_bigram_lm_model_table(spark, sf_dir):
+    """q62's frozen-model scoring with the model persisted AS PARQUET
+    TABLES and applied via map-side broadcast joins
+    (lm.train_bigram_lm_table / score_bigram_lm_table) — the
+    production shape when the floored count tables are too big for a
+    driver dict (VERDICT r6 caution). Trained on the same corpus it
+    scores, so q57's oracle gates it value-exact, like q62 (parity
+    pytest proves table ≡ dict ≡ self-trained; the plan test pins both
+    model joins to BroadcastHashJoin with the per-doc regroup as the
+    only exchange)."""
+    import hashlib as _hl
+    import tempfile
+
+    from outage_data_scraper_spark.operators.lm import (
+        score_bigram_lm_table,
+        train_bigram_lm_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_q91_model_{tag}")
+    train_bigram_lm_table(docs, path)
+    return score_bigram_lm_table(docs, path)
+
+
 def q64_boilerplate_dictionary(spark, sf_dir):
     """Corpus boilerplate dictionary (dedup.boilerplate_dictionary): the
     top-20 most widespread 4-token spans (q49's unit, ndocs ≥ 5) with
@@ -1956,6 +1981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_training_export": q88_training_export,
         "q89_fingerprint_dedup_clusters": q89_fingerprint_dedup_clusters,
         "q90_clean_pipeline_exactsubstr": q90_clean_pipeline_exactsubstr,
+        "q91_bigram_lm_model_table": q91_bigram_lm_model_table,
     }
 
 
@@ -3102,6 +3128,10 @@ def oracle_sql() -> dict[str, str]:
     # same corpus (pytest parity + zero-shuffle plan test), so the q57
     # oracle gates q62 value-exact too
     oracles["q62_bigram_lm_frozen"] = oracles["q57_bigram_lm_score"]
+    # q91 scores the parquet-table model trained on the same corpus —
+    # table ≡ dict ≡ self-trained (pytest parity), so q57's oracle
+    # gates it too
+    oracles["q91_bigram_lm_model_table"] = oracles["q57_bigram_lm_score"]
     # q63: sliding 8-token windows (positions 0..len-8, the exact set
     # word_shingles emits) → corpus-wide occurrence count (>= 2 counts
     # POSITIONS, so a within-doc repeat is duplicated — suffix-array

@@ -24,6 +24,7 @@ passes here; a frozen-model variant broadcasts the count tables.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -89,14 +90,10 @@ class FrozenBigramLM:
     vocab: int
 
 
-def train_bigram_lm(
-    docs: DataFrame, text_col: str = "text", min_count: int = 1
-) -> FrozenBigramLM:
-    """Train once: the same two count aggregations bigram_lm_scores
-    runs, collected into driver dicts. At web scale the floored tables
-    are vocab-sized (tens of millions of entries), which is exactly what
-    production pipelines broadcast as a model file; the 100 TB corpus
-    itself never re-shuffles at scoring time."""
+def _count_tables(docs: DataFrame, text_col: str, min_count: int):
+    """The two floored count aggregations + unfloored |V| shared by the
+    dict and table trainers (flooring AFTER the vocab count so
+    smoothing matches the unfloored model)."""
     text = F.col(text_col)
     uni = (
         docs.select(F.explode(F.split(textkit.normalized(text), " ")).alias("t"))
@@ -114,11 +111,55 @@ def train_bigram_lm(
     )
     if min_count > 1:
         bgc = bgc.filter(F.col("c12") >= min_count)
+    return uni, bgc, vocab
+
+
+def train_bigram_lm(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    max_entries: int = 20_000_000,
+) -> FrozenBigramLM:
+    """Train once: the same two count aggregations bigram_lm_scores
+    runs, collected into driver dicts. The dict form is right for
+    floored/sampled training sets; distinct bigrams on an UNFLOORED web
+    corpus run to billions, so the collect is guarded — past
+    ``max_entries`` total table rows it raises and points at
+    train_bigram_lm_table, which persists the model as parquet and
+    never moves counts through the driver."""
+    uni, bgc, vocab = _count_tables(docs, text_col, min_count)
+    bgc = bgc.localCheckpoint(eager=True)  # counted then collected — one compute
+    n_entries = uni.count() + bgc.count()
+    if n_entries > max_entries:
+        raise ValueError(
+            f"train_bigram_lm: {n_entries} floored table rows exceed "
+            f"max_entries={max_entries}; a driver dict of this size is the "
+            "wrong shape — use train_bigram_lm_table/score_bigram_lm_table "
+            "(parquet model + map-side broadcast join), or raise min_count"
+        )
     return FrozenBigramLM(
         uni={r["t"]: r["c1"] for r in uni.collect()},
         big={r["bg"]: r["c12"] for r in bgc.collect()},
         vocab=vocab,
     )
+
+
+def train_bigram_lm_table(
+    docs: DataFrame, path: str, text_col: str = "text", min_count: int = 1
+) -> None:
+    """Persist the frozen model AS TABLES: parquet (t, c1) / (bg, c12)
+    count tables plus a one-row meta table holding |V|. Nothing ever
+    collects to the driver — the counts stream executor-side from the
+    aggregation into the writers, so the model size is bounded by disk,
+    not driver memory. This is the production-honest 100 TB shape the
+    dict variant's guard points at (the model file CCNet ships, as a
+    table)."""
+    uni, bgc, vocab = _count_tables(docs, text_col, min_count)
+    uni.write.mode("overwrite").parquet(os.path.join(path, "uni"))
+    bgc.write.mode("overwrite").parquet(os.path.join(path, "big"))
+    docs.sparkSession.createDataFrame([(vocab,)], "vocab long").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "meta"))
 
 
 def score_bigram_lm_frozen(
@@ -189,4 +230,57 @@ def score_bigram_lm_frozen(
 
     return toks_df.mapInPandas(
         run, "doc_id long, n_bigrams long, avg_nll double"
+    )
+
+
+def score_bigram_lm_table(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score under a parquet-persisted model (train_bigram_lm_table)
+    via MAP-SIDE BROADCAST JOINS — the distributed twin of the
+    driver-dict frozen path, with identical values (pytest parity):
+    unseen bigrams/unigrams score as count 0 (left join + coalesce, ≡
+    the dict path's fillna(0)), per-bigram NLL HALF_UP-rounds to
+    integer micro-nats BEFORE the per-doc sum, final avg rounds to 4dp.
+
+    Plan shape at 100 TB: the corpus side never exchanges for the
+    model — both joins broadcast the floored count tables (explicitly
+    hinted; plan-asserted BroadcastHashJoin) — and the only wide
+    shuffle is the per-doc aggregation carrying (doc_id, micro_nll)
+    longs, exactly the self-trained path's final regroup. Model size is
+    bounded by the broadcast budget rather than driver dict memory; for
+    tables past broadcast size, bucket both sides on the join key
+    instead (same expressions, drop the hint)."""
+    spark = docs.sparkSession
+    uni = spark.read.parquet(os.path.join(path, "uni"))
+    big = spark.read.parquet(os.path.join(path, "big"))
+    vocab = int(
+        spark.read.parquet(os.path.join(path, "meta")).collect()[0]["vocab"]
+    )
+    bgs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(textkit.word_shingles(F.col(text_col), 2)).alias("bg"),
+    )
+    scored = (
+        bgs.join(F.broadcast(big), "bg", "left")
+        .withColumn("t", F.split(F.col("bg"), " ")[0])
+        .join(F.broadcast(uni), "t", "left")
+        .select(
+            "doc_id",
+            F.round(
+                -F.log(
+                    (F.coalesce(F.col("c12"), F.lit(0)) + 1.0)
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(float(vocab)))
+                )
+                * 1e6,
+                0,
+            ).cast("long").alias("micro_nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.sum("micro_nll") / (F.count("*") * 1e6), 4).alias("avg_nll"),
     )

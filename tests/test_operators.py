@@ -1167,6 +1167,69 @@ def test_frozen_lm_parity_and_unseen_tokens(spark):
     assert set(floored.uni) == {"a", "b", "z"}
 
 
+def test_lm_table_parity_with_dict_path(spark, tmp_path):
+    """The parquet-persisted model scored via broadcast joins must equal
+    the driver-dict frozen path value-for-value — on the training
+    corpus AND on new text with unseen tokens (coalesce-0 ≡ fillna-0),
+    floored and unfloored."""
+    from outage_data_scraper_spark.operators.lm import (
+        score_bigram_lm_frozen,
+        score_bigram_lm_table,
+        train_bigram_lm,
+        train_bigram_lm_table,
+    )
+
+    corpus = _docs(spark, ["a b a b", "a b", "z", "", "b a b z a"])
+    new = _docs(spark, ["q q", "a q b a b"])
+    for mc in (1, 2):
+        path = str(tmp_path / f"model_mc{mc}")
+        train_bigram_lm_table(corpus, path, min_count=mc)
+        model = train_bigram_lm(corpus, min_count=mc)
+        for data in (corpus, new):
+            dict_rows = {
+                r.doc_id: (r.n_bigrams, r.avg_nll)
+                for r in score_bigram_lm_frozen(data, model).collect()
+            }
+            table_rows = {
+                r.doc_id: (r.n_bigrams, r.avg_nll)
+                for r in score_bigram_lm_table(data, path).collect()
+            }
+            assert table_rows == dict_rows, (mc, table_rows, dict_rows)
+
+
+def test_lm_table_plan_broadcasts_model(spark, tmp_path):
+    """Scoring under the table model: both model joins broadcast and the
+    only shuffle exchange is the per-doc (doc_id, micro_nll) regroup."""
+    from outage_data_scraper_spark.operators.lm import (
+        score_bigram_lm_table,
+        train_bigram_lm_table,
+    )
+    from outage_data_scraper_spark.plans import (
+        assert_broadcast_join,
+        count_exchanges,
+    )
+
+    corpus = _docs(spark, ["a b a b", "b a b z a"])
+    path = str(tmp_path / "model")
+    train_bigram_lm_table(corpus, path)
+    out = score_bigram_lm_table(corpus, path)
+    assert_broadcast_join(out, n_min=2)
+    assert count_exchanges(out) == 1
+
+
+def test_train_bigram_lm_size_guard(spark):
+    """Past max_entries total table rows the dict trainer refuses and
+    points at the table variant (VERDICT r6: billions of bigrams must
+    not collect to the driver)."""
+    import pytest as _pytest
+
+    from outage_data_scraper_spark.operators.lm import train_bigram_lm
+
+    corpus = _docs(spark, ["a b c d e f g h"])
+    with _pytest.raises(ValueError, match="train_bigram_lm_table"):
+        train_bigram_lm(corpus, max_entries=3)
+
+
 def test_duplicated_substring_spans_hand_checked(spark):
     """Two docs share an 8-token run at DIFFERENT offsets (the shifted
     copy C4 chunking misses); one doc repeats a run within itself; one
