@@ -28,7 +28,18 @@ SPARK_GRAFT_GO_RUNS (back-to-back runs per sample, min reported,
 default 2), SPARK_GRAFT_PAIR_PARTS (pair partitions, default 48),
 SPARK_GRAFT_RUNS (measured runs for the local[32] throughput child,
 default 5), SPARK_GRAFT_HW32_URLS (all-core hardware-control size for
-the headline/p32 controls, default 200000).
+the headline/p32 controls, default 200000),
+SPARK_GRAFT_HEADLINE_PASSES / _MAX_PASSES (adaptive headline pass
+bounds, default 3/6).
+
+Round-7 protocol addition: the headline suite pins an explicit
+full-machine affinity mask, runs ADAPTIVE passes until the per-QUERY
+floor total converges (<3% improvement on the final pass, up to
+_MAX_PASSES), and reports engine÷control per pass.
+headline_repeat_disagree is now computed on the hardware-NORMALIZED
+pass totals (raw-total disagreement rides along as
+headline_repeat_disagree_raw) — a raw spread with agreeing normalized
+ratios is silicon, not code.
 
 Round-6 protocol addition: the headline suite and the p32 throughput
 run now carry the same hardware-control instrument the 2→8 pair has —
@@ -91,6 +102,13 @@ EXTENDED = [
     "q81_cms_heavy_hitters",
     "q82_exact_quantiles",
     "q83_shard_plan",
+    # round-7 additions (q88 composes q51+q79+q83 — its stages are
+    # benched individually; the composition is correctness surface)
+    "q85_winnow_fingerprints",
+    "q86_fingerprint_overlap",
+    "q87_remove_dup_spans",
+    "q90_clean_pipeline_exactsubstr",
+    "q91_bigram_lm_model_table",
 ]
 
 
@@ -122,8 +140,16 @@ def run_headline(spark, ctrl=None) -> tuple[dict[str, float], dict]:
     names = HEADLINE + EXTENDED
     dfs = {name: qs[name](spark, SF_DIR) for name in names}
     best = {name: float("inf") for name in names}
-    pass_totals, ctrl_walls = [], []
-    for _ in range(3):
+    pass_totals, ctrl_walls, floor_by_pass = [], [], []
+    # ADAPTIVE pass count (round-7 protocol): per-PASS totals on this
+    # host spread up to 1.8× inside one artifact (r6:
+    # headline_repeat_disagree) because a co-tenant burst dents whole
+    # passes; the per-QUERY floor total is the converging statistic —
+    # floors are monotone under additive noise, so run passes until the
+    # floor total stops improving (<3% on the last pass) or the cap.
+    min_passes = int(os.environ.get("SPARK_GRAFT_HEADLINE_PASSES", "3"))
+    max_passes = int(os.environ.get("SPARK_GRAFT_HEADLINE_MAX_PASSES", "6"))
+    for p in range(max_passes):
         if ctrl is not None:
             ctrl_walls.append(round(ctrl.run_once(), 3))
         pass_total = 0.0
@@ -135,22 +161,53 @@ def run_headline(spark, ctrl=None) -> tuple[dict[str, float], dict]:
             if name in HEADLINE:
                 pass_total += wall
         pass_totals.append(round(pass_total, 3))
-    proto: dict = {"headline_pass_totals": pass_totals}
+        floor_by_pass.append(
+            round(sum(best[n] for n in HEADLINE), 3)
+        )
+        if (
+            p + 1 >= min_passes
+            and floor_by_pass[-2] - floor_by_pass[-1]
+            < 0.03 * floor_by_pass[-1]
+        ):
+            break
+    proto: dict = {
+        "headline_pass_totals": pass_totals,
+        # running per-query-floor totals after each pass; the last two
+        # agreeing (<10%) is the round-7 "stable artifact" criterion —
+        # floors converge from above, so the spread is the improvement
+        # the final pass still bought
+        "headline_floor_total_by_pass": floor_by_pass,
+    }
+    spread = (floor_by_pass[-2] - floor_by_pass[-1]) / floor_by_pass[-1]
+    proto["headline_floor_spread"] = round(spread, 4)
+    proto["headline_floor_converged"] = bool(spread < 0.10)
     if len(pass_totals) >= 2:
         ordered = sorted(pass_totals)
-        # two-consecutive-runs guard: the best and second-best pass
-        # totals are two full measurements of the same suite — >10%
-        # disagreement means an unstable window, so the headline floor
-        # should be read with the control ratio, not at face value
+        # raw per-pass totals still ride along: their spread is the
+        # machine-state story, which the per-hw ratios attribute
         proto["headline_repeat_total"] = ordered[1]
-        proto["headline_repeat_disagree"] = bool(
+        proto["headline_repeat_disagree_raw"] = bool(
             ordered[1] > 1.10 * ordered[0]
         )
     if ctrl_walls:
         proto["hw_ctrl_headline_walls"] = ctrl_walls
-        # min-over-min ratio: both terms are floors over the same three
-        # windows, so the ratio is the noise-free engine-per-silicon
-        # number a cross-round comparison should use
+        # engine ÷ control PER PASS: each pass total next to the control
+        # wall sampled at its start — if the raw pass spread is silicon,
+        # these ratios agree while the raw totals don't
+        per_hw_by_pass = [
+            round(t / c, 3) for t, c in zip(pass_totals, ctrl_walls)
+        ]
+        proto["headline_per_hw_by_pass"] = per_hw_by_pass
+        # the protocol's disagree flag is now computed on the
+        # hardware-NORMALIZED totals: two normalized passes >10% apart
+        # mean something other than silicon moved (the actionable case)
+        ordered_hw = sorted(per_hw_by_pass)
+        proto["headline_repeat_disagree"] = bool(
+            len(ordered_hw) >= 2 and ordered_hw[1] > 1.10 * ordered_hw[0]
+        )
+        # min-over-min ratio: both terms are floors over the same
+        # windows — the noise-free engine-per-silicon number for
+        # cross-round comparison
         proto["headline_per_hw"] = round(
             min(pass_totals) / min(ctrl_walls), 3
         )
@@ -383,11 +440,24 @@ def main():
     if os.environ.get("SPARK_GRAFT_SKIP_HEADLINE") == "1":  # dev knob
         timings, head_proto = {}, {}
     else:
+        # Pin the headline driver (and, by inheritance, the JVM and its
+        # Python workers) to an explicit full-machine affinity mask
+        # BEFORE the session starts — same instrument as the taskset'd
+        # crawl children: a fixed mask keeps the scheduler from
+        # migrating the JVM across the interrupt-loaded low cores
+        # mid-pass and makes the headline child's placement reproducible
+        # across rounds (r6 directive).
+        try:
+            os.sched_setaffinity(0, set(range(total_cores)))
+            headline_pin = f"0-{total_cores - 1}"
+        except (AttributeError, OSError):
+            headline_pin = "unpinned"
         hw32 = _hw32_runner()
         spark = get_spark(app_name="bench-headline", master=f"local[{CPUS}]")
         try:
             hw32.wait_ready()
             timings, head_proto = run_headline(spark, ctrl=hw32)
+            head_proto["headline_affinity"] = headline_pin
         finally:
             spark.stop()
             hw32.stop()
