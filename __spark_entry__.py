@@ -1408,6 +1408,39 @@ def q91_bigram_lm_model_table(spark, sf_dir):
     return score_bigram_lm_table(docs, path)
 
 
+def q92_kmeans_micro(spark, sf_dir):
+    """Integer-exact distributed k-means (operators/cluster.py —
+    pagerank_micro's integer trick applied to geometry): floor-quantized
+    micro coordinates with a positivity offset (Spark DIV and DuckDB //
+    agree only on non-negative operands), argmin assignment as ONE
+    array_min over a literal-centroid struct array (pure projection —
+    the corpus never shuffles to find its cluster), centroid update as
+    one map-side-combined (cid, dim) shuffle reduced to k×dim cells.
+    Value-gated: the oracle unrolls the identical rounds as chained
+    CTEs (the q58 pattern), so cluster LABELS match bit-for-bit — a
+    gate float Lloyd iterations cannot pass."""
+    from outage_data_scraper_spark.operators import cluster
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cluster.kmeans_micro(emb, k=8, n_iter=2).orderBy("vec_id")
+
+
+def q93_semdedup(spark, sf_dir):
+    """SemDeDup semantic dedup (Abbas et al. 2023; operators/cluster.py)
+    over the twin-planted corpus: q92's integer k-means blocks the
+    quadratic search into clusters, then a vector is dropped iff a
+    LOWER-id same-cluster vector has 4dp-rounded cosine ≥ 0.99 (the
+    q24 rounded-threshold law). The twin plant (q36's corpus) gives the
+    τ=0.99 operating point real positives; cross-cluster near-dups are
+    the documented approximation. Oracle: twin CTEs + the unrolled
+    k-means CTEs + the same pair law."""
+    from outage_data_scraper_spark.operators import cluster
+
+    return cluster.semdedup(
+        _twin_corpus(spark, sf_dir), k=8, n_iter=2, tau=0.99
+    ).orderBy("vec_id")
+
+
 def q64_boilerplate_dictionary(spark, sf_dir):
     """Corpus boilerplate dictionary (dedup.boilerplate_dictionary): the
     top-20 most widespread 4-token spans (q49's unit, ndocs ≥ 5) with
@@ -1982,6 +2015,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_fingerprint_dedup_clusters": q89_fingerprint_dedup_clusters,
         "q90_clean_pipeline_exactsubstr": q90_clean_pipeline_exactsubstr,
         "q91_bigram_lm_model_table": q91_bigram_lm_model_table,
+        "q92_kmeans_micro": q92_kmeans_micro,
+        "q93_semdedup": q93_semdedup,
     }
 
 
@@ -2029,6 +2064,22 @@ _GOPHER_KEPT_CTES = f"""t AS (
                 AND mean_tok_len BETWEEN 3.0 AND 10.0
                 AND alpha_frac >= 0.9 AND stop_ratio >= 0.02
                 AND ttr >= 0.35 AND top_tok_frac <= 0.2
+            )"""
+
+
+# Twin-corpus CTE block (base, corpus) shared by the q36 and q93
+# oracles — the deterministic near-dup plant (_twin_corpus's SQL twin;
+# DuckDB lambda index i is 1-based, hence (i-1) % 2 for Spark's 0-based
+# odd dims).
+_TWIN_CORPUS_CTES = """base AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            corpus AS (
+              SELECT vec_id, v FROM base
+              UNION ALL
+              SELECT vec_id + 1000000 AS vec_id,
+                     list_transform(v, (x, i) -> (x * (1.0 + ((i - 1) % 2) * 0.02))::DOUBLE) AS v
+              FROM base
             )"""
 
 
@@ -2708,17 +2759,8 @@ def oracle_sql() -> dict[str, str]:
                          (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS cos_sim
             FROM embeddings ORDER BY cos_sim DESC, vec_id LIMIT 10
         """,
-        "q36_embedding_near_dup_lsh": """
-            WITH base AS (
-              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-            ),
-            corpus AS (
-              SELECT vec_id, v FROM base
-              UNION ALL
-              SELECT vec_id + 1000000 AS vec_id,
-                     list_transform(v, (x, i) -> (x * (1.0 + ((i - 1) % 2) * 0.02))::DOUBLE) AS v
-              FROM base
-            ),
+        "q36_embedding_near_dup_lsh": f"""
+            WITH {_TWIN_CORPUS_CTES},
             pairs AS (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                      round(list_cosine_similarity(a.v, b.v), 6) AS c
@@ -3838,6 +3880,32 @@ def oracle_sql() -> dict[str, str]:
                c.clean_sig
         FROM cleaned c JOIN canon USING (clean_sig)
         WHERE c.doc_id = canon.canonical_id
+    """
+    # q92/q93: the k-means law lives in ONE generator
+    # (cluster.kmeans_oracle_sql) interpolated here — rounds unrolled as
+    # chained CTEs; q93 wraps it over the shared twin corpus and applies
+    # the q24 rounded-cosine pair law within clusters.
+    from outage_data_scraper_spark.operators.cluster import kmeans_oracle_sql
+
+    oracles["q92_kmeans_micro"] = (
+        kmeans_oracle_sql(k=8, n_iter=2) + " ORDER BY vec_id"
+    )
+    oracles["q93_semdedup"] = f"""
+        WITH {_TWIN_CORPUS_CTES},
+        km AS ({kmeans_oracle_sql(k=8, n_iter=2, source="corpus", vec_expr="v")}),
+        lab AS (
+          SELECT c.vec_id, c.v, k1.cluster
+          FROM corpus c JOIN km k1 USING (vec_id)
+        ),
+        drp AS (
+          SELECT DISTINCT b.vec_id
+          FROM lab a JOIN lab b
+            ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.99::DOUBLE
+        )
+        SELECT k.vec_id, k.cluster, d.vec_id IS NULL AS keep
+        FROM km k LEFT JOIN drp d USING (vec_id)
+        ORDER BY k.vec_id
     """
     # q89: q86's pair derivation feeding q47's recursive-CTE closure;
     # keep = the canonical (cluster-min) doc.

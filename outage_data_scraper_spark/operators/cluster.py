@@ -1,0 +1,243 @@
+"""Integer-exact distributed k-means + SemDeDup semantic dedup.
+
+Two pieces a 100 TB training-data pipeline needs that the fingerprint
+family (exact/MinHash/SimHash/winnowing) cannot provide: EMBEDDING-
+space clustering, and the cluster-pruned semantic near-dup removal
+built on it (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+web-scale through semantic deduplication" — cluster first so the
+quadratic pair search runs within clusters only). The reference repo
+has no analog; this extends the training-data-pipeline surface.
+
+Cross-engine exactness (the part that makes k-means VALUE-GATABLE,
+which float Lloyd iterations are not): all clustering arithmetic is
+integer — the ``pagerank_micro`` trick applied to geometry.
+
+- quantize: q[i] = floor(x[i] * 1e6) + OFFSET. floor is the one
+  rounding both engines define identically (CLAUDE.md: DuckDB
+  ``round`` vs Spark ``round`` HALF_UP agree, but ``floor`` needs no
+  agreement argument at all); the double product x * 1e6 is IEEE-
+  identical in both engines. OFFSET = 2e6 shifts every coordinate
+  positive so centroid updates divide NON-NEGATIVE sums — Spark
+  ``DIV`` truncates toward zero while DuckDB ``//`` floors, and the
+  two only agree on non-negative operands (the r6 q82/q83 pairing was
+  validated there). Offsets cancel in every distance difference.
+- assignment: argmin over centroids of the integer squared L2
+  distance, ties to the LOWEST centroid id — one array_min over an
+  array<struct<dist, cid>> (lexicographic struct order IS the tie
+  law). |q| ≤ 4e6 ⇒ dist ≤ 64 · 1.6e13 ≈ 1e15 ≪ 2^63: no overflow.
+- update: centroid[i] = sum(q[i]) DIV count — integer, order-free.
+- init: the k smallest ids' quantized vectors (deterministic), empty
+  clusters keep their previous centroid.
+
+Scale shape: assignment is a PURE PROJECTION — centroids are a
+driver-held k×dim literal baked into the plan (k·dim ≈ 512 longs), so
+the corpus never joins or shuffles to find its cluster; the update is
+ONE map-side-combined shuffle keyed (cid, dim) whose reduced size is
+k×dim cells; the only driver traffic per iteration is those cells
+(the similarity.py IVF-centroid scale class). n_iter is small and
+fixed (Lloyd for partitioning, not convergence — SemDeDup §3 uses
+exactly this regime). SemDeDup's pair join is cluster-blocked: the
+quadratic term is bounded by the largest cluster, the same
+bucket-bounding law as the LSH/banding dedups (plan test forbids
+cartesians).
+
+DuckDB oracle: the same rounds unrolled as chained CTEs (the q58
+PageRank-oracle pattern), assembled by ``kmeans_oracle_sql`` so both
+engines interpolate one law.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: scale for micro-quantization and the positivity offset (|x| must be
+#: < OFFSET / SCALE = 2.0 — asserted at quantize time)
+SCALE = 1_000_000
+OFFSET = 2_000_000
+
+
+def quantize_micro(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, q) with q[i] = floor(x[i]·1e6) + OFFSET (long). Raises
+    at action time if any |x| ≥ 2 (offset would go negative and the
+    DIV/`//` agreement argument breaks)."""
+    v = F.col(vec_col).cast("array<double>")
+    q = F.transform(
+        v, lambda x: F.floor(x * F.lit(1000000.0)).cast("long") + F.lit(OFFSET)
+    )
+    out = emb.select(F.col(id_col).alias("vec_id"), q.alias("q"))
+    return out.withColumn(
+        "q",
+        F.when(
+            F.exists(F.col("q"), lambda c: (c < 0) | (c >= 2 * OFFSET)),
+            F.raise_error(F.lit("quantize_micro: |x| >= 2 out of range")),
+        ).otherwise(F.col("q")),
+    )
+
+
+def _dist_expr(centroid: list[int], q_col: str):
+    """Integer squared L2 distance from q_col to a literal centroid."""
+    lit_c = F.array(*[F.lit(int(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(F.col(q_col), lit_c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_micro(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Integer-micro Lloyd k-means: (vec_id, cluster) after ``n_iter``
+    assignment rounds (assignment round r uses the centroids updated
+    from round r-1's assignment; the returned labels are round
+    n_iter's). Deterministic and bit-identical cross-engine — see the
+    module docstring for the law."""
+    if k < 1 or n_iter < 1:
+        raise ValueError("k and n_iter must be >= 1")
+    qdf = quantize_micro(emb, id_col, vec_col).localCheckpoint(eager=True)
+    init = qdf.orderBy("vec_id").limit(k).collect()
+    if len(init) < k:
+        raise ValueError(f"k={k} exceeds the {len(init)}-vector corpus")
+    cent: dict[int, list[int]] = {
+        i: list(r["q"]) for i, r in enumerate(sorted(init, key=lambda r: r["vec_id"]))
+    }
+    assigned = None
+    for _ in range(n_iter):
+        dists = F.array(
+            *[
+                F.struct(
+                    _dist_expr(cent[i], "q").alias("d"),
+                    F.lit(i).alias("cid"),
+                )
+                for i in range(k)
+            ]
+        )
+        assigned = qdf.withColumn("best", F.array_min(dists)).select(
+            "vec_id", F.col("best.cid").alias("cluster"), "q"
+        )
+        # update: ONE map-side-combined shuffle, k×dim reduced cells
+        cells = (
+            assigned.select("cluster", F.posexplode("q").alias("i", "v"))
+            .groupBy("cluster", "i")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .withColumn("nv", F.expr("s DIV n"))
+            .collect()
+        )
+        new_cent = dict(cent)  # empty clusters keep previous centroid
+        by_cid: dict[int, dict[int, int]] = {}
+        for r in cells:
+            by_cid.setdefault(int(r["cluster"]), {})[int(r["i"])] = int(r["nv"])
+        for cid, dims in by_cid.items():
+            new_cent[cid] = [dims[i] for i in range(len(cent[cid]))]
+        cent = new_cent
+    return assigned.select("vec_id", "cluster")
+
+
+def kmeans_oracle_sql(
+    k: int = 8,
+    n_iter: int = 2,
+    source: str = "embeddings",
+    vec_expr: str = "embedding::DOUBLE[]",
+) -> str:
+    """The identical k-means law as DuckDB SQL, rounds unrolled as
+    chained CTEs (q58-oracle pattern): quantize with the same
+    floor/offset, assign via ROW_NUMBER over (dist, cid), update with
+    non-negative `//` division, empty clusters inherit via left-join
+    coalesce. Returns a full SELECT yielding (vec_id, cluster)."""
+    parts = [
+        f"""v AS (
+          SELECT vec_id,
+                 [CAST(floor(x * 1000000) AS BIGINT) + {OFFSET}
+                  for x in {vec_expr}] AS q
+          FROM {source}
+        ),
+        c0 AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS c
+          FROM v QUALIFY row_number() OVER (ORDER BY vec_id) <= {k}
+        )"""
+    ]
+    for r in range(1, n_iter + 1):
+        parts.append(f"""a{r} AS (
+          SELECT vec_id, cid, q FROM (
+            SELECT v2.vec_id, c.cid, v2.q,
+                   row_number() OVER (
+                     PARTITION BY v2.vec_id
+                     ORDER BY list_sum([(v2.q[i] - c.c[i]) * (v2.q[i] - c.c[i])
+                                        for i in generate_series(1, len(v2.q))]),
+                              c.cid
+                   ) AS rn
+            FROM v v2 CROSS JOIN c{r - 1} c
+          ) WHERE rn = 1
+        )""")
+        if r < n_iter:
+            parts.append(f"""c{r} AS (
+          SELECT p.cid, coalesce(u.c, p.c) AS c
+          FROM c{r - 1} p LEFT JOIN (
+            SELECT cid, list(val ORDER BY i) AS c FROM (
+              SELECT a.cid AS cid, g.i AS i,
+                     sum(a.q[g.i]) // count(*) AS val
+              FROM a{r} a, (SELECT unnest(generate_series(1,
+                     (SELECT len(q) FROM v LIMIT 1))) AS i) g
+              GROUP BY 1, 2
+            ) GROUP BY cid
+          ) u USING (cid)
+        )""")
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + f"\n        SELECT vec_id, cid AS cluster FROM a{n_iter}"
+    )
+
+
+def semdedup(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    tau: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup: cluster-pruned semantic near-dup removal. Returns one
+    row per vector: (vec_id, cluster, keep) where keep is False iff a
+    LOWER-id vector in the SAME cluster has 4dp-rounded cosine ≥ tau
+    (the q24 rounded-threshold law, so the kept set is cross-engine
+    identical). Cluster blocking bounds the pair join by the largest
+    cluster — the reason SemDeDup scales where brute cosine pairs
+    don't; cross-cluster near-dups are the accepted approximation
+    (Abbas et al. §3.1)."""
+    from .similarity import cosine
+
+    labels = kmeans_micro(emb, k, n_iter, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
+    v = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).join(labels, "vec_id")
+    a, b = v.alias("a"), v.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(F.round(cosine(F.col("a.v"), F.col("b.v")), 4) >= F.lit(tau))
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("__drop", F.lit(True))
+    )
+    return (
+        labels.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"),
+        )
+    )
