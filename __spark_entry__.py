@@ -1441,6 +1441,50 @@ def q93_semdedup(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def q94_dsir_weights(spark, sf_dir):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — the n-gram-LM
+    log-ratio form): every document scored under TWO frozen bigram
+    models — target = the English subset, source = the full corpus —
+    via the q91 parquet-table broadcast-join path; weight_micro =
+    round((nll_source − nll_target)·1e4), an integer in 0.1-milli-nat
+    units (positive ⇒ more target-like), exact cross-engine because
+    both inputs are the gated 4dp-rounded avg_nll values. The weight
+    TABLE is the artifact; selection on it is q02/q78 machinery (a
+    per-row selected flag would need a row-scale unpartitioned window
+    — banned). Scale shape: two broadcast-join scoring passes (zero
+    model shuffles) + one doc_id join of two doc-sized score tables."""
+    import hashlib as _hl
+    import tempfile
+
+    from outage_data_scraper_spark.operators.lm import (
+        score_bigram_lm_table,
+        train_bigram_lm_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_q94_{tag}")
+    train_bigram_lm_table(docs.filter(F.col("lang") == "en"), base + "/target")
+    train_bigram_lm_table(docs, base + "/source")
+    t = score_bigram_lm_table(docs, base + "/target").select(
+        "doc_id", F.col("avg_nll").alias("t_nll")
+    )
+    s = score_bigram_lm_table(docs, base + "/source").select(
+        "doc_id", F.col("avg_nll").alias("s_nll")
+    )
+    return (
+        t.join(s, "doc_id")
+        .select(
+            "doc_id",
+            F.round((F.col("s_nll") - F.col("t_nll")) * 10000, 0)
+            .cast("long")
+            .alias("weight_micro"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q64_boilerplate_dictionary(spark, sf_dir):
     """Corpus boilerplate dictionary (dedup.boilerplate_dictionary): the
     top-20 most widespread 4-token spans (q49's unit, ndocs ≥ 5) with
@@ -2017,6 +2061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_bigram_lm_model_table": q91_bigram_lm_model_table,
         "q92_kmeans_micro": q92_kmeans_micro,
         "q93_semdedup": q93_semdedup,
+        "q94_dsir_weights": q94_dsir_weights,
     }
 
 
@@ -2081,6 +2126,49 @@ _TWIN_CORPUS_CTES = """base AS (
                      list_transform(v, (x, i) -> (x * (1.0 + ((i - 1) % 2) * 0.02))::DOUBLE) AS v
               FROM base
             )"""
+
+
+def _frozen_bigram_nll_sql(train_where: str) -> str:
+    """avg_nll of EVERY document under an add-one bigram model trained
+    on ``documents WHERE {train_where}`` — the frozen/table scoring law
+    in SQL (unseen bigram/unigram counts 0 via LEFT JOIN + coalesce,
+    per-bigram micro-nat rounding before the per-doc sum). NLL ≥ 0
+    always: within one training corpus c12 ≤ c1 and V ≥ 1, so the
+    smoothed ratio never exceeds 1 — the HALF_UP/round agreement holds.
+    Shared by the q94 DSIR oracle (target + source models)."""
+    return f"""
+        WITH ttoks AS (SELECT doc_id, {_TOKS} AS w FROM documents
+                       WHERE {train_where}),
+        uni AS (
+          SELECT t, count(*) AS c1
+          FROM (SELECT unnest(w) AS t FROM ttoks) GROUP BY 1
+        ),
+        v AS (SELECT count(*)::DOUBLE AS v FROM uni),
+        stoks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+        big AS (
+          SELECT doc_id,
+                 unnest([w[i+1] || ' ' || w[i+2]
+                         for i in generate_series(0, len(w) - 2)]) AS bg
+          FROM stoks WHERE len(w) >= 2
+        ),
+        bgc AS (
+          SELECT bg, count(*) AS c12 FROM (
+            SELECT unnest([w[i+1] || ' ' || w[i+2]
+                           for i in generate_series(0, len(w) - 2)]) AS bg
+            FROM ttoks WHERE len(w) >= 2
+          ) GROUP BY 1
+        ),
+        scored AS (
+          SELECT doc_id,
+                 CAST(round(-ln((coalesce(c12, 0) + 1.0)
+                                / (coalesce(c1, 0) + v.v)) * 1e6) AS BIGINT) AS m
+          FROM big LEFT JOIN bgc USING (bg)
+               LEFT JOIN uni ON uni.t = split_part(big.bg, ' ', 1), v
+        )
+        SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+               round(sum(m) / (count(*) * 1e6), 4) AS avg_nll
+        FROM scored GROUP BY 1
+    """
 
 
 def _split_case_sql(col: str) -> str:
@@ -3906,6 +3994,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT k.vec_id, k.cluster, d.vec_id IS NULL AS keep
         FROM km k LEFT JOIN drp d USING (vec_id)
         ORDER BY k.vec_id
+    """
+    # q94: two frozen-model scoring passes from ONE SQL generator
+    # (train subset differs), weight = integer 0.1-milli-nat log-ratio
+    # of the gated 4dp avg_nll values
+    oracles["q94_dsir_weights"] = f"""
+        WITH t AS ({_frozen_bigram_nll_sql("lang = 'en'")}),
+             s AS ({_frozen_bigram_nll_sql("TRUE")})
+        SELECT t.doc_id,
+               CAST(round((s.avg_nll - t.avg_nll) * 10000) AS BIGINT)
+                 AS weight_micro
+        FROM t JOIN s USING (doc_id)
+        ORDER BY t.doc_id
     """
     # q89: q86's pair derivation feeding q47's recursive-CTE closure;
     # keep = the canonical (cluster-min) doc.
