@@ -1485,6 +1485,31 @@ def q94_dsir_weights(spark, sf_dir):
     )
 
 
+def q95_streaming_dedup(spark, sf_dir):
+    """STREAMING exact dedup, VALUE-GATED (streaming/stateful.py:
+    dedup_stream): q17's batch dedup as keyed state — per content
+    signature (md5 of event_type|props), the first micro-batch
+    containing it emits exactly one row (min-(ts, event_id) occurrence
+    + that batch's count); later batches only bump the seen counter.
+    State is O(distinct signatures), the content analog of the crawl's
+    URL-seen set. Events replay as q84's four weekly files, one batch
+    each under AvailableNow; emitted rows are pure functions of the
+    data + thresholds, so the batch oracle reproduces the streaming
+    run exactly. Fresh mkdtemp workdir per invocation."""
+    import tempfile
+    from datetime import datetime
+
+    from outage_data_scraper_spark.streaming.stateful import run_streaming_dedup
+
+    ev = _t(spark, sf_dir, "events")
+    thresholds = [datetime(2024, 1, 8), datetime(2024, 1, 15), datetime(2024, 1, 22)]
+    d = tempfile.mkdtemp(prefix="q95_")
+    sig = F.md5(F.concat_ws("|", "event_type", "props"))
+    return run_streaming_dedup(
+        spark, ev, thresholds, d, sig, ts_col="ts", id_col="event_id"
+    ).orderBy("sig")
+
+
 def q64_boilerplate_dictionary(spark, sf_dir):
     """Corpus boilerplate dictionary (dedup.boilerplate_dictionary): the
     top-20 most widespread 4-token spans (q49's unit, ndocs ≥ 5) with
@@ -2062,6 +2087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_kmeans_micro": q92_kmeans_micro,
         "q93_semdedup": q93_semdedup,
         "q94_dsir_weights": q94_dsir_weights,
+        "q95_streaming_dedup": q95_streaming_dedup,
     }
 
 
@@ -3994,6 +4020,30 @@ def oracle_sql() -> dict[str, str]:
         SELECT k.vec_id, k.cluster, d.vec_id IS NULL AS keep
         FROM km k LEFT JOIN drp d USING (vec_id)
         ORDER BY k.vec_id
+    """
+    # q95: streaming keyed-state dedup replayed in batch — first file
+    # (q84's fixed weekly thresholds) containing each signature, then
+    # the min-(ts, id) row and count within that file
+    oracles["q95_streaming_dedup"] = """
+        WITH ev AS (
+          SELECT md5(event_type || '|' || props) AS sig,
+                 ts::TIMESTAMP AS ts, event_id::BIGINT AS rid,
+                 CASE WHEN ts < TIMESTAMP '2024-01-08' THEN 0
+                      WHEN ts < TIMESTAMP '2024-01-15' THEN 1
+                      WHEN ts < TIMESTAMP '2024-01-22' THEN 2
+                      ELSE 3 END AS f
+          FROM events
+        ),
+        fb AS (SELECT sig, min(f) AS f0 FROM ev GROUP BY 1),
+        infb AS (
+          SELECT e.sig, e.ts, e.rid,
+                 row_number() OVER (PARTITION BY e.sig ORDER BY e.ts, e.rid) AS rn,
+                 count(*) OVER (PARTITION BY e.sig) AS nfb
+          FROM ev e JOIN fb ON e.sig = fb.sig AND e.f = fb.f0
+        )
+        SELECT sig, epoch_us(ts)::BIGINT AS first_ts_us, rid AS first_id,
+               nfb::BIGINT AS n_first_batch
+        FROM infb WHERE rn = 1 ORDER BY sig
     """
     # q94: two frozen-model scoring passes from ONE SQL generator
     # (train subset differs), weight = integer 0.1-milli-nat log-ratio

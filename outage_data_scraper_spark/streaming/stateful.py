@@ -318,3 +318,112 @@ def run_stateful_sessions(
         "n_events",
         "closed_by",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming exact dedup: keyed seen-state, first occurrence emitted once
+# ---------------------------------------------------------------------------
+
+DEDUP_OUT_SCHEMA = StructType(
+    [
+        StructField("sig", StringType()),
+        StructField("first_ts", TimestampType()),
+        StructField("first_id", LongType()),
+        StructField("n_first_batch", LongType()),
+    ]
+)
+DEDUP_STATE_SCHEMA = StructType([StructField("n_seen", LongType())])
+
+
+def dedup_stream(
+    stream: DataFrame,
+    sig_col: str = "sig",
+    ts_col: str = "ts",
+    id_col: str = "rid",
+) -> DataFrame:
+    """Streaming EXACT dedup — the q17 batch operator as keyed state:
+    per signature, the FIRST micro-batch containing it emits exactly
+    one row (the batch's min-(ts, id) occurrence plus that batch's
+    occurrence count); every later batch only bumps the seen counter
+    in state and emits nothing. State is O(distinct signatures) — the
+    content analog of the crawl's URL-seen set; at unbounded-key scale
+    swap NoTimeout for an event-time TTL exactly like the cuckoo
+    filter's deletable window (state eviction changes re-emit
+    semantics, so the TTL variant is a different, documented
+    contract).
+
+    Determinism (what makes it VALUE-GATABLE): emitted rows depend
+    only on (a) which file/batch first contains a signature and (b)
+    the min-(ts, id) row within that batch — both pure functions of
+    the data + the fixed file thresholds, reproduced by the batch
+    oracle. The within-batch pandas sort is total (ts, id)."""
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        rows = pd.concat(list(pdfs))
+        if state.exists:
+            (n,) = state.get
+            state.update((n + len(rows),))
+            return
+            yield  # pragma: no cover — generator marker
+        rows = rows.sort_values([ts_col, id_col])
+        first = rows.iloc[0]
+        state.update((len(rows),))
+        yield pd.DataFrame(
+            {
+                "sig": [key[0]],
+                "first_ts": [first[ts_col]],
+                "first_id": [int(first[id_col])],
+                "n_first_batch": [len(rows)],
+            }
+        )
+
+    return stream.groupBy(sig_col).applyInPandasWithState(
+        fn,
+        DEDUP_OUT_SCHEMA,
+        DEDUP_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_streaming_dedup(
+    spark,
+    events: DataFrame,
+    thresholds: list,
+    work_dir: str,
+    sig_expr,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Full replay: time-split files → keyed-state dedup stream →
+    availableNow parquet sink → read back as (sig, first_ts_us,
+    first_id, n_first_batch)."""
+    from .poll import run_available_now
+
+    src = events.select(
+        sig_expr.alias("sig"),
+        F.col(ts_col).cast("timestamp").alias("ts"),
+        F.col(id_col).cast("long").alias("rid"),
+    )
+    in_dir = os.path.join(work_dir, "in")
+    write_time_split(src, in_dir, thresholds, ts_col="ts")
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(in_dir)
+    )
+    out = dedup_stream(stream, sig_col="sig", ts_col="ts", id_col="rid")
+    run_available_now(
+        out, os.path.join(work_dir, "sink"), os.path.join(work_dir, "ckpt")
+    )
+    return (
+        spark.read.schema(DEDUP_OUT_SCHEMA)
+        .parquet(os.path.join(work_dir, "sink"))
+        .select(
+            "sig",
+            F.unix_micros(F.col("first_ts")).alias("first_ts_us"),
+            "first_id",
+            "n_first_batch",
+        )
+    )

@@ -97,3 +97,41 @@ def test_deterministic_across_runs(spark, tmp_path):
     a = _run(spark, tmp_path, rows, [_ts(1000), _ts(2000), _ts(3000)], tag="f")
     b = _run(spark, tmp_path, rows, [_ts(1000), _ts(2000), _ts(3000)], tag="g")
     assert a == b and len(a) > 0
+
+
+def test_streaming_dedup_first_batch_wins_and_suppresses(spark, tmp_path):
+    """A signature seen in batches 1 and 3 emits ONCE, with batch-1's
+    min-(ts, id) row and batch-1-only count; a batch-3-only signature
+    emits from batch 3; within a batch the (ts, id) tiebreak picks the
+    lowest id."""
+    from pyspark.sql import functions as F
+
+    from outage_data_scraper_spark.streaming.stateful import run_streaming_dedup
+
+    T = dt.datetime
+    rows = [
+        # batch 0 (< Jan 8): key A twice (tie on ts -> min id), key B once
+        (1, T(2024, 1, 2, 10, 0), "A"),
+        (2, T(2024, 1, 2, 10, 0), "A"),
+        (3, T(2024, 1, 3, 9, 0), "B"),
+        # batch 1: key A again (must NOT re-emit), key C appears
+        (4, T(2024, 1, 9, 8, 0), "A"),
+        (5, T(2024, 1, 10, 8, 0), "C"),
+        # batch 3: key A yet again
+        (6, T(2024, 1, 23, 8, 0), "A"),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, k string")
+    thresholds = [T(2024, 1, 8), T(2024, 1, 15), T(2024, 1, 22)]
+    out = {
+        r.sig: (r.first_ts_us, r.first_id, r.n_first_batch)
+        for r in run_streaming_dedup(
+            spark, ev, thresholds, str(tmp_path / "wd"), F.col("k"),
+            ts_col="ts", id_col="event_id",
+        ).collect()
+    }
+    us = lambda t: int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    assert out == {
+        "A": (us(T(2024, 1, 2, 10, 0)), 1, 2),
+        "B": (us(T(2024, 1, 3, 9, 0)), 3, 1),
+        "C": (us(T(2024, 1, 10, 8, 0)), 5, 1),
+    }
