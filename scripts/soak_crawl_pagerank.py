@@ -61,6 +61,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _build(args):
+    # 4M-scale bloom/bitset collects OOM the 8g default heap (r7 run:
+    # wave-3 Pickler OOM); the soak owns the machine, so take the heap
+    # the r6 ops soak uses unless the caller overrides
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     from outage_data_scraper_spark.session import get_spark
     from outage_data_scraper_spark.catalog import SnapshotCatalog
     from outage_data_scraper_spark.frontier.crawler import Crawler
