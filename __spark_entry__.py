@@ -1510,6 +1510,23 @@ def q95_streaming_dedup(spark, sf_dir):
     ).orderBy("sig")
 
 
+def q96_nb_quality_classifier(spark, sf_dir):
+    """Learned quality CLASSIFIER (operators/classifier.py): the
+    fastText-style filter LLM pipelines train to separate good text
+    from raw crawl, as multinomial Naive Bayes — closed-form count
+    training makes the weights value-gatable where SGD is not. Labels
+    bootstrap from the Gopher rules (q43's frozen predicate — the
+    heuristic-label cold start); every doc gets the integer micro-nat
+    log-likelihood-ratio score and the ≥0 decision. Oracle shares the
+    gopher CTEs with q51/q90 and mirrors the weight expression."""
+    from outage_data_scraper_spark.operators.classifier import nb_quality_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.withColumn("__gtoks", textkit.tokens(F.col("text")))
+    label = textkit.gopher_keep(F.col("text"), F.col("__gtoks"))
+    return nb_quality_scores(toked, label).orderBy("doc_id")
+
+
 def q64_boilerplate_dictionary(spark, sf_dir):
     """Corpus boilerplate dictionary (dedup.boilerplate_dictionary): the
     top-20 most widespread 4-token spans (q49's unit, ndocs ≥ 5) with
@@ -2088,6 +2105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_semdedup": q93_semdedup,
         "q94_dsir_weights": q94_dsir_weights,
         "q95_streaming_dedup": q95_streaming_dedup,
+        "q96_nb_quality_classifier": q96_nb_quality_classifier,
     }
 
 
@@ -4020,6 +4038,39 @@ def oracle_sql() -> dict[str, str]:
         SELECT k.vec_id, k.cluster, d.vec_id IS NULL AS keep
         FROM km k LEFT JOIN drp d USING (vec_id)
         ORDER BY k.vec_id
+    """
+    # q96: NB classifier — labels from the shared gopher CTEs, weights
+    # in the exact expression shape of classifier.nb_quality_scores,
+    # integer micro-nat sums (order-free)
+    oracles["q96_nb_quality_classifier"] = f"""
+        WITH {_GOPHER_KEPT_CTES},
+        lab AS (
+          SELECT d.doc_id, {_TOKS} AS w, (k.doc_id IS NOT NULL) AS pos
+          FROM documents d LEFT JOIN kept k USING (doc_id)
+        ),
+        tok AS (SELECT doc_id, pos, unnest(w) AS t FROM lab),
+        cnt AS (
+          SELECT t,
+                 sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS cp,
+                 sum(CASE WHEN pos THEN 0 ELSE 1 END)::BIGINT AS cn
+          FROM tok GROUP BY 1
+        ),
+        tot AS (
+          SELECT sum(cp)::DOUBLE AS np, sum(cn)::DOUBLE AS nn,
+                 count(*)::DOUBLE AS v
+          FROM cnt
+        ),
+        sc AS (
+          SELECT tok.doc_id,
+                 CAST(round(ln(((cnt.cp + 1.0) / (tot.np + tot.v))
+                               / ((cnt.cn + 1.0) / (tot.nn + tot.v)))
+                            * 1e6) AS BIGINT) AS m
+          FROM tok JOIN cnt USING (t), tot
+        )
+        SELECT doc_id, count(*)::BIGINT AS n_tokens,
+               sum(m)::BIGINT AS score_micro,
+               sum(m) >= 0 AS predicted_keep
+        FROM sc GROUP BY 1 ORDER BY doc_id
     """
     # q95: streaming keyed-state dedup replayed in batch — first file
     # (q84's fixed weekly thresholds) containing each signature, then

@@ -2294,3 +2294,59 @@ def test_dsir_weights_favor_target_language(spark):
     w_en = sum(v for k, v in w.items() if k % 2 == 0) / 20
     w_xx = sum(v for k, v in w.items() if k % 2 == 1) / 20
     assert w_en > 0 > w_xx, (w_en, w_xx)
+
+
+def test_nb_classifier_separates_planted_classes(spark):
+    """Hand-checkable NB: label is doc_id-based; positive docs use one
+    vocabulary, negative another, one shared filler token. Exclusive
+    tokens must push scores to the correct sign; the shared token's
+    weight is near zero and cannot flip a doc."""
+    from pyspark.sql import functions as F
+
+    from outage_data_scraper_spark.operators.classifier import nb_quality_scores
+
+    rows = []
+    for i in range(20):
+        if i % 2 == 0:
+            rows.append((i, "good clean prose filler good clean prose"))
+        else:
+            rows.append((i, "spam junk noise filler spam junk noise"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_tokens, r.score_micro, r.predicted_keep)
+        for r in nb_quality_scores(docs, F.col("doc_id") % 2 == 0).collect()
+    }
+    assert len(out) == 20
+    for i, (n, s, keep) in out.items():
+        assert n == 7
+        if i % 2 == 0:
+            assert s > 0 and keep, (i, s)
+        else:
+            assert s < 0 and not keep, (i, s)
+    # symmetric corpus: scores mirror exactly
+    assert out[0][1] == -out[1][1]
+
+
+def test_nb_classifier_unseen_token_weight_is_smoothing_only(spark):
+    """A token appearing ONLY in the positive class still yields finite
+    weights via Laplace smoothing; weight magnitudes match the
+    closed-form by hand."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from outage_data_scraper_spark.operators.classifier import nb_quality_scores
+
+    docs = spark.createDataFrame(
+        [(0, "alpha alpha"), (1, "beta")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r.score_micro
+        for r in nb_quality_scores(docs, F.col("doc_id") == 0).collect()
+    }
+    # vocab = {alpha, beta}, Np = 2, Nn = 1; w(alpha) = ln((3/4)/(1/3)),
+    # w(beta) = ln((1/4)/(2/3))
+    w_alpha = round(math.log((3 / 4) / (1 / 3)) * 1e6)
+    w_beta = round(math.log((1 / 4) / (2 / 3)) * 1e6)
+    assert out[0] == 2 * w_alpha
+    assert out[1] == w_beta
