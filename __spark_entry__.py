@@ -1527,6 +1527,35 @@ def q96_nb_quality_classifier(spark, sf_dir):
     return nb_quality_scores(toked, label).orderBy("doc_id")
 
 
+def q97_streaming_dedup_ttl(spark, sf_dir):
+    """TTL-EVICTED streaming dedup, VALUE-GATED
+    (streaming/stateful.py:dedup_stream_ttl): q95's seen-state with
+    event-time eviction — the unbounded-key shape (state = keys live
+    within one TTL window); a key re-emits once per eviction island.
+    Key = md5(user_id|props) (7,310 sigs with skip-a-batch sighting
+    patterns), TTL 6 days, delay 900 s: (1,4)-pattern keys re-emit,
+    (2,4) keys split on whether their last week-2 sighting beats the
+    cm(2)−TTL boundary, and (1,3) keys can NEVER re-emit because the
+    watermark lags one file — the oracle's recursive-CTE fold encodes
+    exactly the probe-confirmed q84 watermark laws (strict excess,
+    data-beats-timeout, cummax through q−2)."""
+    import tempfile
+    from datetime import datetime
+
+    from outage_data_scraper_spark.streaming.stateful import (
+        run_streaming_dedup_ttl,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    thresholds = [datetime(2024, 1, 8), datetime(2024, 1, 15), datetime(2024, 1, 22)]
+    d = tempfile.mkdtemp(prefix="q97_")
+    sig = F.md5(F.concat_ws("|", F.col("user_id"), F.col("props")))
+    return run_streaming_dedup_ttl(
+        spark, ev, thresholds, d, sig, ttl_s=6 * 86400, delay_s=900,
+        ts_col="ts", id_col="event_id",
+    ).orderBy("sig", "first_ts_us")
+
+
 def q64_boilerplate_dictionary(spark, sf_dir):
     """Corpus boilerplate dictionary (dedup.boilerplate_dictionary): the
     top-20 most widespread 4-token spans (q49's unit, ndocs ≥ 5) with
@@ -2106,6 +2135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_dsir_weights": q94_dsir_weights,
         "q95_streaming_dedup": q95_streaming_dedup,
         "q96_nb_quality_classifier": q96_nb_quality_classifier,
+        "q97_streaming_dedup_ttl": q97_streaming_dedup_ttl,
     }
 
 
@@ -4038,6 +4068,57 @@ def oracle_sql() -> dict[str, str]:
         SELECT k.vec_id, k.cluster, d.vec_id IS NULL AS keep
         FROM km k LEFT JOIN drp d USING (vec_id)
         ORDER BY k.vec_id
+    """
+    # q97: TTL-evicted dedup — per-key recursive-CTE fold over its
+    # sighting batches under the q84 watermark laws: re-emit at batch q
+    # iff q ≥ p+2 AND cummax(file maxes through q−2) − delay >
+    # island_last_seen + ttl (strict); island last_seen resets on
+    # re-emission, else accumulates by max
+    oracles["q97_streaming_dedup_ttl"] = """
+        WITH RECURSIVE ev AS (
+          SELECT md5(user_id || '|' || props) AS sig,
+                 ts::TIMESTAMP AS ts, event_id::BIGINT AS rid,
+                 CASE WHEN ts < TIMESTAMP '2024-01-08' THEN 0
+                      WHEN ts < TIMESTAMP '2024-01-15' THEN 1
+                      WHEN ts < TIMESTAMP '2024-01-22' THEN 2
+                      ELSE 3 END AS f
+          FROM events
+        ),
+        batches AS (
+          SELECT f, row_number() OVER (ORDER BY f) AS b,
+                 max(mx_ms) OVER (ORDER BY f ROWS UNBOUNDED PRECEDING) AS cm_ms
+          FROM (SELECT f, max(epoch_ms(ts)) AS mx_ms FROM ev GROUP BY 1)
+        ),
+        evb AS (SELECT e.sig, e.ts, e.rid, b.b FROM ev e JOIN batches b USING (f)),
+        pb AS (
+          SELECT sig, b, ts AS fts, rid AS frid, mx
+          FROM (
+            SELECT sig, b, ts, rid,
+                   row_number() OVER (PARTITION BY sig, b ORDER BY ts, rid) AS rn,
+                   max(epoch_ms(ts)) OVER (PARTITION BY sig, b) AS mx
+            FROM evb
+          ) WHERE rn = 1
+        ),
+        seq AS (
+          SELECT pb.*, row_number() OVER (PARTITION BY sig ORDER BY b) AS j
+          FROM pb
+        ),
+        rec AS (
+          SELECT sig, j, b, TRUE AS emit, mx AS l, fts, frid
+          FROM seq WHERE j = 1
+          UNION ALL
+          SELECT s.sig, s.j, s.b,
+                 (s.b >= r.b + 2
+                  AND cm.cm_ms - 900000 > r.l + 518400000) AS emit,
+                 CASE WHEN s.b >= r.b + 2
+                           AND cm.cm_ms - 900000 > r.l + 518400000
+                      THEN s.mx ELSE greatest(r.l, s.mx) END AS l,
+                 s.fts, s.frid
+          FROM rec r JOIN seq s ON s.sig = r.sig AND s.j = r.j + 1
+          LEFT JOIN batches cm ON cm.b = s.b - 2
+        )
+        SELECT sig, epoch_us(fts)::BIGINT AS first_ts_us, frid AS first_id
+        FROM rec WHERE emit ORDER BY sig, first_ts_us
     """
     # q96: NB classifier — labels from the shared gopher CTEs, weights
     # in the exact expression shape of classifier.nb_quality_scores,

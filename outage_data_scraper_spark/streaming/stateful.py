@@ -427,3 +427,134 @@ def run_streaming_dedup(
             "n_first_batch",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TTL-evicting streaming dedup: watermark-bounded seen-state
+# ---------------------------------------------------------------------------
+
+DEDUP_TTL_OUT_SCHEMA = StructType(
+    [
+        StructField("sig", StringType()),
+        StructField("first_ts", TimestampType()),
+        StructField("first_id", LongType()),
+    ]
+)
+DEDUP_TTL_STATE_SCHEMA = StructType([StructField("last_ms", LongType())])
+
+
+def dedup_stream_ttl(
+    stream: DataFrame,
+    ttl_s: int,
+    delay_s: int = 900,
+    sig_col: str = "sig",
+    ts_col: str = "ts",
+    id_col: str = "rid",
+) -> DataFrame:
+    """The UNBOUNDED-KEY form of dedup_stream: seen-state is EVICTED by
+    the watermark ttl_s after a key's last sighting, so state is
+    O(keys live inside one TTL window) — the shape a 10^10-key stream
+    actually needs — at the price of a DIFFERENT contract: a key
+    re-emits once per eviction "island" (first occurrence per island),
+    not once ever.
+
+    Still value-gatable, because every emission is a pure function of
+    the data + file thresholds under the probe-confirmed q84 watermark
+    laws: the watermark live DURING batch k is cummax(file maxes
+    through k−1) − delay; a timeout fires on STRICT excess; data beats
+    timeout within a batch. Hence a sighting at batch q re-emits iff
+    an intervening NO-DATA batch e (p < e < q) had watermark >
+    last_seen + ttl — maximized at e = q−1, so the law is
+    `q ≥ p+2 AND cummax(through q−2) − delay > last_seen + ttl`
+    (adjacent-batch sightings can NEVER re-emit: the watermark lags
+    one file). The q97 oracle folds exactly this per key with a
+    recursive CTE over its ≤ n_files sighting batches.
+
+    Timeout timestamps are always > watermark by construction here:
+    time-split files mean every ts in file k exceeds all earlier
+    files' maxima, so last_seen + ttl > watermark + ttl − delay."""
+    ttl_ms = int(ttl_s) * 1000
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()  # eviction emits nothing — islands re-open lazily
+            return
+            yield  # pragma: no cover — generator marker
+        rows = pd.concat(list(pdfs)).sort_values([ts_col, id_col])
+        mx = _ms(rows[ts_col].iloc[-1])
+        out = None
+        if state.exists:
+            (last,) = state.get
+            new_last = max(int(last), mx)
+        else:
+            first = rows.iloc[0]
+            out = pd.DataFrame(
+                {
+                    "sig": [key[0]],
+                    "first_ts": [first[ts_col]],
+                    "first_id": [int(first[id_col])],
+                }
+            )
+            new_last = mx
+        state.update((new_last,))
+        state.setTimeoutTimestamp(new_last + ttl_ms)
+        if out is not None:
+            yield out
+
+    return (
+        stream.withWatermark(ts_col, f"{int(delay_s)} seconds")
+        .groupBy(sig_col)
+        .applyInPandasWithState(
+            fn,
+            DEDUP_TTL_OUT_SCHEMA,
+            DEDUP_TTL_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_streaming_dedup_ttl(
+    spark,
+    events: DataFrame,
+    thresholds: list,
+    work_dir: str,
+    sig_expr,
+    ttl_s: int,
+    delay_s: int = 900,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Full replay of dedup_stream_ttl over time-split files → parquet
+    sink → (sig, first_ts_us, first_id), possibly several rows per sig
+    (one per eviction island)."""
+    from .poll import run_available_now
+
+    src = events.select(
+        sig_expr.alias("sig"),
+        F.col(ts_col).cast("timestamp").alias("ts"),
+        F.col(id_col).cast("long").alias("rid"),
+    )
+    in_dir = os.path.join(work_dir, "in")
+    write_time_split(src, in_dir, thresholds, ts_col="ts")
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(in_dir)
+    )
+    out = dedup_stream_ttl(
+        stream, ttl_s, delay_s, sig_col="sig", ts_col="ts", id_col="rid"
+    )
+    run_available_now(
+        out, os.path.join(work_dir, "sink"), os.path.join(work_dir, "ckpt")
+    )
+    return (
+        spark.read.schema(DEDUP_TTL_OUT_SCHEMA)
+        .parquet(os.path.join(work_dir, "sink"))
+        .select(
+            "sig",
+            F.unix_micros(F.col("first_ts")).alias("first_ts_us"),
+            "first_id",
+        )
+    )

@@ -135,3 +135,49 @@ def test_streaming_dedup_first_batch_wins_and_suppresses(spark, tmp_path):
         "B": (us(T(2024, 1, 3, 9, 0)), 3, 1),
         "C": (us(T(2024, 1, 10, 8, 0)), 5, 1),
     }
+
+
+def test_streaming_dedup_ttl_eviction_islands(spark, tmp_path):
+    """TTL contract: (a) a key skipping a batch with an event gap past
+    the TTL re-emits; (b) ADJACENT-batch sightings never re-emit (the
+    watermark lags one file); (c) a skip-batch key within the TTL does
+    not re-emit. TTL 6 days, delay 900 s, weekly files."""
+    from pyspark.sql import functions as F
+
+    from outage_data_scraper_spark.streaming.stateful import (
+        run_streaming_dedup_ttl,
+    )
+
+    T = dt.datetime
+    rows = [
+        # filler rows so every file exists and carries its week's max ts
+        (100, T(2024, 1, 7, 23, 0), "F1"),
+        (101, T(2024, 1, 14, 23, 0), "F2"),
+        (102, T(2024, 1, 21, 23, 0), "F3"),
+        (103, T(2024, 1, 28, 23, 0), "F4"),
+        # (a) A: batch 1 early, batch 4 — cm(2)=Jan 14 23:00; gap >> 6d
+        (1, T(2024, 1, 1, 8, 0), "A"),
+        (6, T(2024, 1, 23, 8, 0), "A"),
+        # (b) B: batches 1 and 2 (adjacent) — never re-emits
+        (2, T(2024, 1, 1, 9, 0), "B"),
+        (7, T(2024, 1, 9, 9, 0), "B"),
+        # (c) C: batch 2 LATE then batch 4 — cm(3)−900s vs last+6d:
+        # Jan 21 23:00 − 900 s < Jan 14 22:00 + 6 d → stays seen
+        (3, T(2024, 1, 14, 22, 0), "C"),
+        (8, T(2024, 1, 23, 9, 0), "C"),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, k string")
+    thresholds = [T(2024, 1, 8), T(2024, 1, 15), T(2024, 1, 22)]
+    got = [
+        (r.sig, r.first_id)
+        for r in run_streaming_dedup_ttl(
+            spark, ev, thresholds, str(tmp_path / "wd"), F.col("k"),
+            ttl_s=6 * 86400, delay_s=900, ts_col="ts", id_col="event_id",
+        ).orderBy("sig", "first_ts_us").collect()
+    ]
+    by_key: dict[str, list[int]] = {}
+    for sig, fid in got:
+        by_key.setdefault(sig, []).append(fid)
+    assert by_key["A"] == [1, 6]          # re-emitted after eviction
+    assert by_key["B"] == [2]             # adjacent batches: never
+    assert by_key["C"] == [3]             # within TTL: suppressed
