@@ -103,12 +103,18 @@ EXTENDED = [
     "q82_exact_quantiles",
     "q83_shard_plan",
     # round-7 additions (q88 composes q51+q79+q83 — its stages are
-    # benched individually; the composition is correctness surface)
+    # benched individually; the composition is correctness surface;
+    # q95/q97 are streaming replays dominated by micro-batch
+    # scheduling, not engine work — soaked separately)
     "q85_winnow_fingerprints",
     "q86_fingerprint_overlap",
     "q87_remove_dup_spans",
     "q90_clean_pipeline_exactsubstr",
     "q91_bigram_lm_model_table",
+    "q92_kmeans_micro",
+    "q93_semdedup",
+    "q94_dsir_weights",
+    "q96_nb_quality_classifier",
 ]
 
 

@@ -53,6 +53,14 @@ def main():
         json_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
     only = set(argv)
+    bad = [a for a in only if a.startswith("-")]
+    if bad:
+        raise SystemExit(
+            f"unknown option(s) {bad}: positional args are query-name "
+            "filters; the only flag is --json OUT.json (an unrecognized "
+            "flag would otherwise match nothing and print an empty "
+            "'ALL MATCH')"
+        )
     report: dict[str, dict] = {}
     spark = get_spark(master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()

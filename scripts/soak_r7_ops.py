@@ -115,6 +115,62 @@ def main() -> None:
     out["q87_remove_s"] = round(time.monotonic() - t0, 1)
     out["q87_removed_frac"] = round(int(row["cut"]) / int(row["orig"]), 4)
 
+    # q96: NB classifier over the replica corpus (gopher-rule labels)
+    from outage_data_scraper_spark.functions import textkit
+    from outage_data_scraper_spark.operators.classifier import nb_quality_scores
+
+    t0 = time.monotonic()
+    toked = docs.withColumn("__gtoks", textkit.tokens(F.col("text")))
+    label = textkit.gopher_keep(F.col("text"), F.col("__gtoks"))
+    nb = nb_quality_scores(toked, label)
+    nrow = nb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("predicted_keep").cast("long")).alias("kept"),
+    ).collect()[0]
+    out["q96_nb_s"] = round(time.monotonic() - t0, 1)
+    out["q96_predicted_keep_frac"] = round(int(nrow["kept"]) / int(nrow["n"]), 4)
+
+    # q92/q93: integer k-means + SemDeDup over a 50k-vector replica
+    # corpus (5k sf0.1 embeddings x 10 near-identical twins)
+    from outage_data_scraper_spark.operators.cluster import kmeans_micro, semdedup
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    rep = spark.range(replicas).withColumnRenamed("id", "rep")
+    vecs = (
+        emb.crossJoin(F.broadcast(rep))
+        .select(
+            (F.col("vec_id") * replicas + F.col("rep")).alias("vec_id"),
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x, i: x
+                * (
+                    F.lit(1.0)
+                    + (i % F.lit(2)).cast("double")
+                    * F.col("rep").cast("double")
+                    * F.lit(0.0005)
+                ),
+            ).alias("embedding"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_vecs = vecs.count()
+    t0 = time.monotonic()
+    km = kmeans_micro(vecs, k=64, n_iter=2)
+    n_lab = km.count()
+    out["q92_kmeans_s"] = round(time.monotonic() - t0, 1)
+    out["q92_vectors"] = int(n_lab)
+    assert n_lab == n_vecs
+    t0 = time.monotonic()
+    sd = semdedup(vecs, k=64, n_iter=2, tau=0.999)
+    srow = sd.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((~F.col("keep")).cast("long")).alias("dropped"),
+    ).collect()[0]
+    out["q93_semdedup_s"] = round(time.monotonic() - t0, 1)
+    out["q93_dropped"] = int(srow["dropped"])
+    # replicas are near-identical: most non-canonical twins must drop
+    assert int(srow["dropped"]) > n_vecs // 2, srow
+
     print(json.dumps(out))
 
 
