@@ -203,6 +203,7 @@ def semdedup(
     tau: float = 0.99,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    labels: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup: cluster-pruned semantic near-dup removal. Returns one
     row per vector: (vec_id, cluster, keep) where keep is False iff a
@@ -211,12 +212,15 @@ def semdedup(
     identical). Cluster blocking bounds the pair join by the largest
     cluster — the reason SemDeDup scales where brute cosine pairs
     don't; cross-cluster near-dups are the accepted approximation
-    (Abbas et al. §3.1)."""
+    (Abbas et al. §3.1). Pass precomputed ``labels`` (vec_id, cluster)
+    to reuse an existing clustering instead of re-running k-means —
+    the r7 soak's q93 wall was ~2× the necessary cost without it."""
     from .similarity import cosine
 
-    labels = kmeans_micro(emb, k, n_iter, id_col, vec_col).localCheckpoint(
-        eager=True
-    )
+    if labels is None:
+        labels = kmeans_micro(emb, k, n_iter, id_col, vec_col).localCheckpoint(
+            eager=True
+        )
     v = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),

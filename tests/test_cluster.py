@@ -116,3 +116,23 @@ def test_semdedup_no_cartesian_and_final_assignment_is_projection(spark):
     # the labels themselves: assignment is a pure projection over the
     # checkpointed quantized table — zero shuffle exchanges
     assert count_exchanges(kmeans_micro(df, k=2, n_iter=1)) == 0
+
+
+def test_semdedup_precomputed_labels_parity(spark):
+    """semdedup(labels=...) must equal the self-clustering path when
+    given kmeans_micro's own output."""
+    rng = random.Random(95)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(6)] for i in range(30)}
+    for i in range(30):
+        vecs[100 + i] = [x * 1.005 for x in vecs[i]]
+    df = _emb_df(spark, vecs)
+    base = {
+        (r.vec_id): (r.cluster, r.keep)
+        for r in semdedup(df, k=3, n_iter=2, tau=0.99).collect()
+    }
+    labels = kmeans_micro(df, k=3, n_iter=2)
+    reused = {
+        (r.vec_id): (r.cluster, r.keep)
+        for r in semdedup(df, k=3, n_iter=2, tau=0.99, labels=labels).collect()
+    }
+    assert reused == base
