@@ -2350,3 +2350,23 @@ def test_nb_classifier_unseen_token_weight_is_smoothing_only(spark):
     w_beta = round(math.log((1 / 4) / (2 / 3)) * 1e6)
     assert out[0] == 2 * w_alpha
     assert out[1] == w_beta
+
+
+def test_nb_classifier_plan_broadcasts_counts(spark):
+    """NB scoring: the vocab count table joins by broadcast; the only
+    shuffle exchanges are the (token, class-counts) training agg and
+    the per-doc regroup."""
+    from pyspark.sql import functions as F
+
+    from outage_data_scraper_spark.operators.classifier import nb_quality_scores
+    from outage_data_scraper_spark.plans import (
+        assert_broadcast_join,
+        count_exchanges,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "c d e")], "doc_id long, text string"
+    )
+    out = nb_quality_scores(docs, F.col("doc_id") == 0)
+    assert_broadcast_join(out, n_min=1)
+    assert count_exchanges(out) == 2
