@@ -1556,6 +1556,85 @@ def q97_streaming_dedup_ttl(spark, sf_dir):
     ).orderBy("sig", "first_ts_us")
 
 
+def q98_sequence_packing(spark, sf_dir):
+    """GPT-style training-sequence packing manifest
+    (operators/packing.py:pack_sequences): all documents concatenated
+    in doc_id order (whitespace token counts), the token stream cut
+    every 256 tokens, documents SPLIT across boundaries — the
+    concat-and-chunk export step (vs q83's no-split shard planner).
+    Global offsets come from the two-level distributed prefix sum;
+    each doc explodes only to the sequences it touches. The oracle is
+    the semantic one-window definition + generate_series expansion, so
+    the decomposition and the split arithmetic are both value-gated.
+    Integer-only arithmetic throughout (token counts, DIV boundaries)."""
+    from outage_data_scraper_spark.functions import textkit
+    from outage_data_scraper_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", textkit.token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(
+        docs, "n_tokens", "doc_id", seq_len=256, chunk=64
+    ).orderBy("seq_id")
+
+
+def q99_paragraph_dedup_keep_first(spark, sf_dir):
+    """CCNet-style corpus-wide KEEP-FIRST chunk dedup
+    (dedup.chunk_dedup_keep_first): every repeated 4-token chunk (q49's
+    unit standing in for CCNet's paragraph — the corpus has no
+    newlines) keeps exactly ONE copy, the globally first occurrence by
+    (doc_id, pos); all later occurrences are cut and survivors
+    reassemble in order. Distinct from q49/C4 (removes ALL copies when
+    df ≥ 5) and q87/ExactSubstr (maximal spans): this is the dedup
+    that PRESERVES one canonical instance. clean_md5 gates the full
+    reassembled text. Winner law = min packed doc_id*2^24+pos,
+    identical integer expression in both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        dedup.chunk_dedup_keep_first(docs, span_tokens=4)
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dropped",
+            F.md5("clean_text").alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q100_redirect_resolution(spark, sf_dir):
+    """Redirect-chain resolution (frontier/redirects.py:
+    resolve_redirects): every URL follows its redirect chain to the
+    terminal URL in O(log chain) POINTER-DOUBLING self-joins — at
+    10^10 frontier scale a linear walk is ~15 sequential shuffles,
+    doubling is 4 (localCheckpoint per round per the iterative-loop
+    law; cycles / over-deep chains fail loud via the residual-domain
+    assert). The canonical-URL step the seen-set and frontier key on.
+    Edges are synthesized deterministically from doc_ids (src → src−1−
+    (src%3) unless src%13==0): irregular chain lengths up to ~15 hops.
+    The oracle walks the SAME edges with a recursive CTE — linear
+    semantics vs logarithmic execution, value-gated."""
+    from outage_data_scraper_spark.frontier.redirects import resolve_redirects
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        (F.col("doc_id") - 1 - (F.col("doc_id") % 3)).alias("dst"),
+    ).filter((F.col("doc_id") % 13 != 0) & (F.col("dst") >= 0))
+    resolved = resolve_redirects(edges, "src", "dst", max_hops=64)
+    return (
+        docs.join(resolved, docs["doc_id"] == resolved["node"], "left")
+        .select(
+            F.col("doc_id").cast("long").alias("node"),
+            F.coalesce(F.col("terminal"), F.col("doc_id"))
+            .cast("long")
+            .alias("terminal"),
+            F.coalesce(F.col("hops"), F.lit(0)).cast("long").alias("hops"),
+        )
+        .orderBy("node")
+    )
+
+
 def q64_boilerplate_dictionary(spark, sf_dir):
     """Corpus boilerplate dictionary (dedup.boilerplate_dictionary): the
     top-20 most widespread 4-token spans (q49's unit, ndocs ≥ 5) with
@@ -2136,6 +2215,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_streaming_dedup": q95_streaming_dedup,
         "q96_nb_quality_classifier": q96_nb_quality_classifier,
         "q97_streaming_dedup_ttl": q97_streaming_dedup_ttl,
+        "q98_sequence_packing": q98_sequence_packing,
+        "q99_paragraph_dedup_keep_first": q99_paragraph_dedup_keep_first,
+        "q100_redirect_resolution": q100_redirect_resolution,
     }
 
 
@@ -4210,5 +4292,88 @@ def oracle_sql() -> dict[str, str]:
                CAST(COALESCE(least(c.mn, d.doc_id), d.doc_id) AS BIGINT) AS component,
                COALESCE(least(c.mn, d.doc_id), d.doc_id) = d.doc_id AS keep
         FROM documents d LEFT JOIN comp c USING (doc_id)
+    """
+    # q98: the semantic one-window prefix sum + generate_series
+    # expansion of the concat-and-chunk law; all-integer arithmetic
+    # (// floors = DIV truncates on the non-negative domain —
+    # CLAUDE.md sign law holds: start and n are both ≥ 0).
+    oracles["q98_sequence_packing"] = f"""
+        WITH sized AS (
+          SELECT doc_id, ({_N_TOKS})::BIGINT AS n FROM documents
+        ),
+        pos AS (
+          SELECT doc_id, n,
+                 (sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n
+                 )::BIGINT AS strt
+          FROM sized WHERE n > 0
+        ),
+        touched AS (
+          SELECT doc_id, n, strt,
+                 unnest(generate_series(strt // 256, (strt + n - 1) // 256))
+                   AS seq_id
+          FROM pos
+        )
+        SELECT seq_id::BIGINT AS seq_id,
+               count(*)::BIGINT AS n_docs,
+               sum(least(strt + n, (seq_id + 1) * 256)
+                   - greatest(strt, seq_id * 256))::BIGINT AS n_tokens,
+               sum(CASE WHEN (strt + n - 1) // 256 = seq_id THEN 1 ELSE 0 END
+                  )::BIGINT AS n_doc_ends,
+               min(doc_id)::BIGINT AS first_doc,
+               max(doc_id)::BIGINT AS last_doc
+        FROM touched GROUP BY 1 ORDER BY seq_id
+    """
+    # q99: q49's chunk derivation, keep-first winner = min packed
+    # doc_id*2^24+pos — the identical integer tie law both engines
+    # compute; clean_md5 digests the reassembled survivors.
+    oracles["q99_paragraph_dedup_keep_first"] = f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+        spans AS (
+          SELECT doc_id,
+                 unnest([{{'pos': i, 'txt': array_to_string(w[i*4+1 : i*4+4], ' ')}}
+                         for i in generate_series(0, CAST(ceil(len(w)/4.0) AS INT) - 1)]) AS s
+          FROM toks WHERE len(w) > 0
+        ),
+        flat AS (SELECT doc_id, s.pos AS pos, s.txt AS span_text,
+                        doc_id * 16777216 + s.pos AS key FROM spans),
+        win AS (SELECT span_text, min(key) AS wkey FROM flat GROUP BY 1)
+        SELECT f.doc_id,
+               count(*)::BIGINT AS n_spans,
+               sum(CASE WHEN f.key <> w.wkey THEN 1 ELSE 0 END)::BIGINT
+                 AS n_dropped,
+               md5(coalesce(string_agg(CASE WHEN f.key = w.wkey
+                                            THEN f.span_text END,
+                                       ' ' ORDER BY f.pos), '')) AS clean_md5
+        FROM flat f JOIN win w USING (span_text)
+        GROUP BY 1 ORDER BY f.doc_id
+    """
+    # q100: the linear recursive-CTE walk over the SAME synthesized
+    # edges the engine resolves by pointer doubling — semantics vs
+    # execution, value-gated. Strictly-decreasing dst ⇒ the walk
+    # terminates; the deepest row per node is the terminal.
+    oracles["q100_redirect_resolution"] = """
+        WITH RECURSIVE edges AS (
+          SELECT doc_id AS src, doc_id - 1 - (doc_id % 3) AS dst
+          FROM documents
+          WHERE doc_id % 13 <> 0 AND doc_id - 1 - (doc_id % 3) >= 0
+        ),
+        walk(node, cur, hops) AS (
+          SELECT src, dst, 1::BIGINT FROM edges
+          UNION ALL
+          SELECT w.node, e.dst, w.hops + 1
+          FROM walk w JOIN edges e ON w.cur = e.src
+        ),
+        fin AS (
+          SELECT node, cur, hops,
+                 row_number() OVER (PARTITION BY node ORDER BY hops DESC) AS rn
+          FROM walk
+        )
+        SELECT d.doc_id::BIGINT AS node,
+               COALESCE(f.cur, d.doc_id)::BIGINT AS terminal,
+               COALESCE(f.hops, 0)::BIGINT AS hops
+        FROM documents d
+        LEFT JOIN (SELECT node, cur, hops FROM fin WHERE rn = 1) f
+          ON d.doc_id = f.node
+        ORDER BY node
     """
     return oracles

@@ -592,6 +592,78 @@ def span_dedup(
     )
 
 
+def chunk_dedup_keep_first(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 4,
+) -> DataFrame:
+    """CCNet-style corpus-wide KEEP-FIRST dedup (Wenzek et al. 2020 §3
+    "deduplicating paragraphs across shards, keeping one copy"; the
+    unit here is q49's fixed ``span_tokens``-token chunk because the
+    synthetic corpus has no paragraph breaks): every chunk whose exact
+    text repeats anywhere in the corpus keeps exactly ONE instance —
+    the globally first by (doc_id, pos) — and every later instance is
+    cut; survivors reassemble in document order.
+
+    Contrast with the other two dedup laws in this module: ``span_dedup``
+    (C4) removes ALL instances once df ≥ df_min (including the first),
+    and ``remove_duplicated_spans`` (ExactSubstr) cuts maximal repeated
+    windows from every occurrence. Keep-first is the one that
+    PRESERVES a canonical copy — the CCNet choice.
+
+    Winner law: min over instances of the packed integer key
+    ``doc_id * 2**24 + pos`` (requires pos < 2^24 — a 16M-chunk
+    document — and doc_id < 2^39; asserted cheap on the driver-sized
+    bound, identical expression in the DuckDB oracle so the tie rule
+    is engine-exact).
+
+    Plan shape: chunk (narrow posexplode) → per-chunk-text min-key agg
+    → join back on chunk text (the agg's hash partitioning is reused
+    by the join — one effective exchange of the flat relation) →
+    per-doc regroup. No collect; the winner table is
+    distinct-chunk-sized, never broadcast (it is corpus-scale, unlike
+    span_dedup's tiny ≥df_min dictionary).
+
+    Returns (id_col, n_spans, n_dropped, clean_text); documents whose
+    every chunk lost keep an empty clean_text (stats row preserved).
+    """
+    from ..functions import textkit
+
+    # tokenization hoisted out of the HOF lambda (per-element
+    # re-evaluation trap, CLAUDE.md)
+    base = docs.select(
+        F.col(id_col),
+        F.split(textkit.normalized(F.col(text_col)), " ").alias("__toks"),
+    )
+    flat = base.select(
+        F.col(id_col),
+        F.posexplode(textkit.span_chunks(F.col("__toks"), span_tokens)).alias(
+            "pos", "span_text"
+        ),
+    )
+    packed = (F.col(id_col) * F.lit(1 << 24) + F.col("pos")).alias("__key")
+    keyed = flat.select(id_col, "pos", "span_text", packed)
+    winners = keyed.groupBy("span_text").agg(F.min("__key").alias("__win"))
+    joined = keyed.join(winners, "span_text")
+    keep = F.col("__key") == F.col("__win")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.when(~keep, 1).otherwise(0)).cast("long").alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(keep, F.struct(F.col("pos"), F.col("span_text")))
+                    )
+                ),
+                lambda s: s["span_text"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
 def connected_components_star(
     edges: DataFrame,
     id_a: str = "id_a",

@@ -1,0 +1,110 @@
+"""Training-sequence packing manifest — the concat-and-chunk step a
+GPT-style pretraining export runs after cleaning: all documents are
+concatenated in a deterministic global order and the token stream is
+cut every ``seq_len`` tokens; documents SPLIT across sequence
+boundaries (the standard causal-LM packing, vs. the no-split shard
+planner in ``shards.plan_shards`` which never splits a document).
+
+The manifest answers, per training sequence: how many documents
+contribute tokens to it, how many tokens it holds (``seq_len``
+everywhere except the ragged tail), which documents open/close inside
+it — what a loader needs to build attention-mask resets without
+re-scanning the corpus.
+
+Scale shape (the whole point at 100 TB):
+
+  1. the global exclusive token offset per document comes from the
+     same two-level distributed prefix sum as ``shards.plan_shards``
+     (level-1 per-chunk windows in parallel; the ONLY single-partition
+     window is over n/chunk chunk totals) — never a row-scale
+     ``Window.orderBy`` with no partitionBy (CLAUDE.md law);
+  2. each document explodes to the sequences it touches —
+     1 + floor(len/seq_len) rows on average, so the exploded relation
+     is ~(total_tokens/seq_len + n_docs) rows, linear in the corpus;
+  3. one final hash-partition aggregate on seq_id.
+
+All arithmetic is integer (token counts, integer DIV boundaries), so
+the manifest is value-gatable cross-engine (oracle ``q98``).
+
+The reference repo has no export surface; this generalizes its
+"write parsed records out per run" step (`app/scraper.py` save loop)
+to the artifact a trainer actually consumes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    size_col: str,
+    order_col: str,
+    seq_len: int,
+    chunk: int = 4096,
+) -> DataFrame:
+    """Per-sequence packing manifest.
+
+    ``df`` carries one row per document with an integer token count
+    ``size_col`` and a unique integer global order ``order_col``.
+    Documents with ``size <= 0`` occupy no tokens and are dropped.
+
+    Returns (seq_id, n_docs, n_tokens, n_doc_ends, first_doc,
+    last_doc), ordered semantics left to the caller:
+
+    - ``n_docs``    — documents contributing ≥1 token to the sequence
+    - ``n_tokens``  — tokens in the sequence (= seq_len except the tail)
+    - ``n_doc_ends``— documents whose LAST token falls in the sequence
+                      (the attention-reset count a loader needs)
+    - ``first_doc`` / ``last_doc`` — order_col range touching the seq
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    base = df.filter(F.col(size_col) > 0).select(
+        F.col(order_col).alias("ord"),
+        F.col(size_col).cast("long").alias("size"),
+        F.expr(f"{order_col} DIV {int(chunk)}").alias("chk"),
+    )
+    # two-level exclusive prefix sum (shards.plan_shards pattern):
+    # within-chunk running sum in parallel; chunk offsets from the
+    # group-count-sized level-2 window, broadcast back.
+    w_in = Window.partitionBy("chk").orderBy("ord")
+    within = base.withColumn("cum_in", F.sum("size").over(w_in))
+    w_chk = Window.orderBy("chk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        base.groupBy("chk")
+        .agg(F.sum("size").alias("tot"))
+        .withColumn("off", F.coalesce(F.sum("tot").over(w_chk), F.lit(0)))
+        .select("chk", "off")
+    )
+    L = int(seq_len)
+    spans = within.join(F.broadcast(offsets), "chk").select(
+        "ord",
+        "size",
+        F.expr("off + cum_in - size").alias("start"),
+    )
+    # a doc covering token interval [start, start+size) touches
+    # sequences start DIV L .. (start+size-1) DIV L inclusive —
+    # integer DIV boundaries, the cross-engine bucketing law.
+    touched = spans.select(
+        "ord",
+        "size",
+        "start",
+        F.explode(
+            F.sequence(
+                F.expr(f"start DIV {L}"), F.expr(f"(start + size - 1) DIV {L}")
+            )
+        ).alias("seq_id"),
+    )
+    overlap = F.least(
+        F.col("start") + F.col("size"), (F.col("seq_id") + 1) * L
+    ) - F.greatest(F.col("start"), F.col("seq_id") * L)
+    ends_here = F.expr(f"(start + size - 1) DIV {L}") == F.col("seq_id")
+    return touched.groupBy("seq_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(overlap).cast("long").alias("n_tokens"),
+        F.sum(F.when(ends_here, 1).otherwise(0)).cast("long").alias("n_doc_ends"),
+        F.min("ord").alias("first_doc"),
+        F.max("ord").alias("last_doc"),
+    )

@@ -726,6 +726,60 @@ def test_span_dedup_tail_spans_and_empty_doc(spark):
     assert out[0].clean_text == "a b c d e f g h i j k"
 
 
+def test_chunk_dedup_keep_first_hand_case(spark):
+    """CCNet keep-first: a chunk shared by three docs survives ONLY in
+    the earliest (doc_id, pos) instance; within-doc repeats keep the
+    first position; unique chunks untouched."""
+    from outage_data_scraper_spark.operators.dedup import chunk_dedup_keep_first
+
+    boiler = "subscribe to our newsletter"
+    docs = _docs(
+        spark,
+        [
+            f"alpha beta gamma delta {boiler}",  # boiler at pos 1
+            f"{boiler} epsilon zeta eta theta",  # pos 0, but doc0 is the earlier doc
+            f"iota kappa lambda mu {boiler}",
+            # within-doc repeat: first instance kept, second cut
+            "nu xi omicron pi nu xi omicron pi",
+        ],
+    )
+    out = {
+        r.doc_id: r for r in chunk_dedup_keep_first(docs, span_tokens=4).collect()
+    }
+    # winner = min(doc_id*2^24+pos): doc0 pos1 beats doc1 pos0 and doc2 pos1
+    assert out[0].n_dropped == 0
+    assert out[0].clean_text == f"alpha beta gamma delta {boiler}"
+    assert out[1].n_dropped == 1
+    assert out[1].clean_text == "epsilon zeta eta theta"
+    assert out[2].n_dropped == 1
+    assert out[2].clean_text == "iota kappa lambda mu"
+    assert out[3].n_spans == 2 and out[3].n_dropped == 1
+    assert out[3].clean_text == "nu xi omicron pi"
+
+
+def test_chunk_dedup_keep_first_vs_c4_and_empty(spark):
+    """Keep-first differs from C4 exactly on the first instance: C4 at
+    df_min=2 removes BOTH copies, keep-first retains one. Fully-duped
+    docs keep an empty clean_text stats row."""
+    from outage_data_scraper_spark.operators.dedup import (
+        chunk_dedup_keep_first,
+        span_dedup,
+    )
+
+    docs = _docs(spark, ["a b c d tail x y", "a b c d"])
+    kf = {r.doc_id: r for r in chunk_dedup_keep_first(docs, span_tokens=4).collect()}
+    c4 = {r.doc_id: r for r in span_dedup(docs, span_tokens=4, df_min=2).collect()}
+    assert kf[0].clean_text == "a b c d tail x y" and kf[0].n_dropped == 0
+    assert kf[1].clean_text == "" and kf[1].n_dropped == 1  # doc1 fully duped
+    assert c4[0].clean_text == "tail x y"  # C4 cut the first copy too
+    assert c4[1].clean_text == ""
+    # every chunk instance accounted for: kept + dropped == n_spans
+    tot = chunk_dedup_keep_first(docs).selectExpr(
+        "sum(n_spans) s", "sum(n_dropped) d"
+    ).collect()[0]
+    assert tot.s == 3 and tot.d == 1
+
+
 def test_top_terms_hand_computed(spark):
     """TF-IDF on a 3-doc corpus checked by hand: a term in every doc has
     idf ln(1)=0; a repeated rare term outranks a singleton rare term."""
