@@ -1635,6 +1635,86 @@ def q100_redirect_resolution(spark, sf_dir):
     )
 
 
+def q101_crawl_trap_detection(spark, sf_dir):
+    """Crawl-trap detection (frontier/traps.py): URLs collapse to
+    TEMPLATES (digit runs → N, query values → V) and any
+    (host, template) minting ≥ 60 distinct URLs is a trap — the
+    frontier-hygiene law that keeps session-id mints and calendars
+    from filling a 10^10-URL queue with one host's infinite space.
+    URLs synthesize from events: click events mint one
+    /click/session/<id>?uid=<u> URL each (unbounded shape — ~100
+    distinct per host at sf0.01, trapped), every other type cycles
+    through 50 bounded /page/<n> URLs (stays under threshold). The
+    oracle re-derives the template from the URL STRING with the same
+    two regexes, so the squashing law itself is value-gated. One
+    map-side-combined shuffle on (host, template); enforcement
+    (filter_trapped) is a broadcast anti-join on the shape table."""
+    from outage_data_scraper_spark.frontier.traps import detect_traps
+
+    ev = _t(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("https://h"),
+        F.pmod(F.col("user_id"), F.lit(20)).cast("string"),
+        F.lit(".synth.net/"),
+        F.col("event_type"),
+        F.lit("/"),
+        F.when(
+            F.col("event_type") == "click",
+            F.concat(
+                F.lit("session/"),
+                F.col("event_id").cast("string"),
+                F.lit("?uid="),
+                F.col("user_id").cast("string"),
+            ),
+        ).otherwise(
+            F.concat(F.lit("page/"), F.pmod(F.col("event_id"), F.lit(50)).cast("string"))
+        ),
+    )
+    urls = ev.select(url.alias("url"))
+    return (
+        detect_traps(urls, "url", min_distinct=60)
+        .select("host", "template", F.col("n_urls").cast("long").alias("n_urls"))
+        .orderBy("host", "template")
+    )
+
+
+def q102_registered_domain_rollup(spark, sf_dir):
+    """Registered-domain (eTLD+1) rollup (urlkit.registered_domain):
+    politeness is per-HOST (one token bucket per authority) but crawl
+    BUDGETS are per-REGISTRANT — without eTLD+1 keying, a wildcard
+    subdomain mints a fresh budget per *.spam.co.uk host. The frozen
+    two-level public-suffix mini-list is mirrored verbatim in the
+    oracle; hosts synthesize from doc_ids across .co.uk/.com/.com.au/
+    .net:port/.org.uk shapes so the 3-label, 2-label and port-strip
+    branches all gate. Pure column algebra — one shuffle on the
+    registered domain."""
+    from outage_data_scraper_spark.functions.urlkit import registered_domain
+
+    docs = _t(spark, sf_dir, "documents")
+    suffix = F.element_at(
+        F.array(
+            F.lit(".shop.co.uk"),
+            F.lit(".example.com"),
+            F.lit(".mirror.com.au"),
+            F.lit(".synth.net:8080"),
+            F.lit(".blog.org.uk"),
+        ),
+        (F.pmod(F.col("doc_id"), F.lit(5)) + 1).cast("int"),
+    )
+    host = F.concat(
+        F.lit("h"), F.pmod(F.col("doc_id"), F.lit(7)).cast("string"), suffix
+    )
+    return (
+        docs.select(host.alias("host"))
+        .groupBy(registered_domain(F.col("host")).alias("registered_domain"))
+        .agg(
+            F.count_distinct("host").cast("long").alias("n_hosts"),
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+        )
+        .orderBy("registered_domain")
+    )
+
+
 def q64_boilerplate_dictionary(spark, sf_dir):
     """Corpus boilerplate dictionary (dedup.boilerplate_dictionary): the
     top-20 most widespread 4-token spans (q49's unit, ndocs ≥ 5) with
@@ -2218,6 +2298,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_sequence_packing": q98_sequence_packing,
         "q99_paragraph_dedup_keep_first": q99_paragraph_dedup_keep_first,
         "q100_redirect_resolution": q100_redirect_resolution,
+        "q101_crawl_trap_detection": q101_crawl_trap_detection,
+        "q102_registered_domain_rollup": q102_registered_domain_rollup,
     }
 
 
@@ -4375,5 +4457,62 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN (SELECT node, cur, hops FROM fin WHERE rn = 1) f
           ON d.doc_id = f.node
         ORDER BY node
+    """
+    # q101: the oracle re-derives each template FROM THE URL STRING with
+    # the same two regex squashes (digits → N first, then =value → =V),
+    # so the template law is gated, not just the counting.
+    oracles["q101_crawl_trap_detection"] = """
+        WITH u AS (
+          SELECT 'h' || (user_id % 20) || '.synth.net' AS host,
+                 'https://h' || (user_id % 20) || '.synth.net/' || event_type || '/' ||
+                 CASE WHEN event_type = 'click'
+                      THEN 'session/' || event_id || '?uid=' || user_id
+                      ELSE 'page/' || (event_id % 50) END AS url
+          FROM events
+        ),
+        t AS (
+          SELECT host, url,
+                 'https://' || host ||
+                 regexp_replace(
+                   regexp_replace(substr(url, length('https://' || host) + 1),
+                                  '[0-9]+', 'N', 'g'),
+                   '=[^&#]*', '=V', 'g') AS template
+          FROM u
+        )
+        SELECT host, template, count(DISTINCT url)::BIGINT AS n_urls
+        FROM t GROUP BY 1, 2 HAVING count(DISTINCT url) >= 60
+        ORDER BY host, template
+    """
+    # q102: the frozen two-level suffix list mirrored verbatim; DuckDB
+    # 1-based INCLUSIVE slices take the last 2/3 labels.
+    oracles["q102_registered_domain_rollup"] = """
+        WITH h AS (
+          SELECT 'h' || (doc_id % 7) ||
+                 CASE (doc_id % 5)
+                   WHEN 0 THEN '.shop.co.uk'
+                   WHEN 1 THEN '.example.com'
+                   WHEN 2 THEN '.mirror.com.au'
+                   WHEN 3 THEN '.synth.net:8080'
+                   ELSE '.blog.org.uk' END AS host
+          FROM documents
+        ),
+        s AS (
+          SELECT host, split_part(host, ':', 1) AS hn,
+                 string_split(split_part(host, ':', 1), '.') AS w
+          FROM h
+        )
+        SELECT CASE
+                 WHEN len(w) <= 2 THEN hn
+                 WHEN list_contains(
+                        ['co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
+                         'org.au','co.jp','ne.jp','com.br','co.in'],
+                        array_to_string(w[len(w)-1 : len(w)], '.'))
+                      AND len(w) >= 3
+                 THEN array_to_string(w[len(w)-2 : len(w)], '.')
+                 ELSE array_to_string(w[len(w)-1 : len(w)], '.')
+               END AS registered_domain,
+               count(DISTINCT host)::BIGINT AS n_hosts,
+               count(*)::BIGINT AS n_urls
+        FROM s GROUP BY 1 ORDER BY registered_domain
     """
     return oracles

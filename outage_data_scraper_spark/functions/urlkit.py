@@ -56,6 +56,41 @@ def url_hash(url: Column) -> Column:
     return F.xxhash64(url)
 
 
+# Frozen two-level public-suffix mini-list (the full PSL is a fetched
+# artifact; this frozen subset keeps the LAW testable offline — swap in
+# the real list as a broadcast table in production). Mirrored verbatim
+# in the q102 oracle.
+TWO_LEVEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "com.br", "co.in",
+)
+
+
+def registered_domain(host_col: Column) -> Column:
+    """eTLD+1 — the REGISTERED domain (example.co.uk, not
+    h3.example.co.uk and not co.uk): the key crawl BUDGETS belong to.
+    Politeness is per-host (one token bucket per authority — subdomains
+    are distinct servers) but caps/quotas are per-registrant, or a
+    wildcard-subdomain host minting *.spam.co.uk gets a fresh budget
+    per subdomain. Port stripped; if the last two labels form a listed
+    two-level public suffix the registered domain is three labels,
+    otherwise two; hosts at or below suffix size return whole."""
+    h = F.substring_index(host_col, ":", 1)
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    last2 = F.array_join(F.slice(labels, -2, 2), ".")
+    last3 = F.array_join(F.slice(labels, -3, 3), ".")
+    is_two_level = F.array_contains(
+        F.array(*[F.lit(s) for s in TWO_LEVEL_SUFFIXES]), last2
+    )
+    return (
+        F.when(n <= 2, h)
+        .when(is_two_level & (n >= 3), last3)
+        .otherwise(last2)
+    )
+
+
 def adaptive_lanes(
     cnt: Column, num_parts: int, salt: int = 4, lane_cap: int = 500
 ) -> Column:

@@ -39,3 +39,22 @@ def test_salted_part_co_locates_host(spark):
     parts = {r["p"] for r in df.collect()}
     # one host spreads over at most `salt` partitions
     assert 1 <= len(parts) <= 4
+
+
+def test_registered_domain_suffix_law(spark):
+    cases = {
+        "h3.shop.co.uk": "shop.co.uk",       # two-level suffix -> 3 labels
+        "a.b.example.com": "example.com",    # plain TLD -> 2 labels
+        "example.com": "example.com",        # already registered-domain
+        "h1.synth.net:8080": "synth.net",    # port stripped first
+        "co.uk": "co.uk",                    # at suffix size: returned whole
+        "deep.x.mirror.com.au": "mirror.com.au",
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "host string")
+    got = {
+        r.host: r.rd
+        for r in df.select(
+            "host", urlkit.registered_domain(F.col("host")).alias("rd")
+        ).collect()
+    }
+    assert got == cases
