@@ -1715,6 +1715,26 @@ def q102_registered_domain_rollup(spark, sf_dir):
     )
 
 
+def q103_training_sequences(spark, sf_dir):
+    """The OTHER training-artifact composition (q88 packs survivors
+    into no-split shards; this packs them into fixed-length SPLIT
+    sequences — what a causal-LM loader actually reads): q51's
+    cleaning pipeline picks survivors → q79's BPE encode prices each
+    in tokens → q98's concat-and-chunk packs them into 512-token
+    training sequences. One row per sequence with doc/token/boundary
+    counts. The oracle composes the two gated oracles as subqueries
+    feeding the gated packing law — every stage boundary of the
+    corpus → sequences export is value-gated."""
+    from outage_data_scraper_spark.operators.packing import pack_sequences
+
+    surv = q51_clean_corpus_pipeline(spark, sf_dir).select("doc_id")
+    stats = q79_bpe_encode_stats(spark, sf_dir).select("doc_id", "n_bpe_tokens")
+    sized = surv.join(stats, "doc_id")
+    return pack_sequences(
+        sized, "n_bpe_tokens", "doc_id", seq_len=512, chunk=64
+    ).orderBy("seq_id")
+
+
 def q64_boilerplate_dictionary(spark, sf_dir):
     """Corpus boilerplate dictionary (dedup.boilerplate_dictionary): the
     top-20 most widespread 4-token spans (q49's unit, ndocs ≥ 5) with
@@ -2300,6 +2320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_redirect_resolution": q100_redirect_resolution,
         "q101_crawl_trap_detection": q101_crawl_trap_detection,
         "q102_registered_domain_rollup": q102_registered_domain_rollup,
+        "q103_training_sequences": q103_training_sequences,
     }
 
 
@@ -4514,5 +4535,42 @@ def oracle_sql() -> dict[str, str]:
                count(DISTINCT host)::BIGINT AS n_hosts,
                count(*)::BIGINT AS n_urls
         FROM s GROUP BY 1 ORDER BY registered_domain
+    """
+    # q103: q88's survivor+BPE-pricing composition feeding the q98
+    # packing law — the gated oracles composed as subqueries.
+    oracles["q103_training_sequences"] = f"""
+        WITH surv AS (
+          SELECT doc_id FROM ({oracles["q51_clean_corpus_pipeline"]})
+        ),
+        tok AS (
+          SELECT doc_id, n_bpe_tokens
+          FROM ({oracles["q79_bpe_encode_stats"]})
+        ),
+        base AS (
+          SELECT s.doc_id, t.n_bpe_tokens::BIGINT AS n
+          FROM surv s JOIN tok t USING (doc_id)
+          WHERE t.n_bpe_tokens > 0
+        ),
+        pos AS (
+          SELECT doc_id, n,
+                 (sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n
+                 )::BIGINT AS strt
+          FROM base
+        ),
+        touched AS (
+          SELECT doc_id, n, strt,
+                 unnest(generate_series(strt // 512, (strt + n - 1) // 512))
+                   AS seq_id
+          FROM pos
+        )
+        SELECT seq_id::BIGINT AS seq_id,
+               count(*)::BIGINT AS n_docs,
+               sum(least(strt + n, (seq_id + 1) * 512)
+                   - greatest(strt, seq_id * 512))::BIGINT AS n_tokens,
+               sum(CASE WHEN (strt + n - 1) // 512 = seq_id THEN 1 ELSE 0 END
+                  )::BIGINT AS n_doc_ends,
+               min(doc_id)::BIGINT AS first_doc,
+               max(doc_id)::BIGINT AS last_doc
+        FROM touched GROUP BY 1 ORDER BY seq_id
     """
     return oracles
