@@ -115,6 +115,12 @@ EXTENDED = [
     "q93_semdedup",
     "q94_dsir_weights",
     "q96_nb_quality_classifier",
+    # q103 composes q51+q79+q98 — stages benched individually.
+    "q98_sequence_packing",
+    "q99_paragraph_dedup_keep_first",
+    "q100_redirect_resolution",
+    "q101_crawl_trap_detection",
+    "q102_registered_domain_rollup",
 ]
 
 

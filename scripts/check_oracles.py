@@ -62,16 +62,29 @@ def main():
             "'ALL MATCH')"
         )
     report: dict[str, dict] = {}
+    qs = entrymod.queries()
+    # Filters match by prefix (so `q103` selects q103_training_sequences);
+    # a filter matching NOTHING is an error — it would otherwise print an
+    # empty "ALL MATCH" (the silent-trap CLAUDE.md documents).
+    if only:
+        selected = {n for n in qs if any(n.startswith(p) for p in only)}
+        dead = [p for p in only if not any(n.startswith(p) for n in qs)]
+        if dead:
+            raise SystemExit(
+                f"filter(s) {dead} match no registered query — "
+                "nothing would run (empty 'ALL MATCH')"
+            )
+    else:
+        selected = set(qs)
     spark = get_spark(master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
-    qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
-        if only and name not in only:
+        if name not in selected:
             continue
         t0 = time.time()
         try:
