@@ -1735,6 +1735,22 @@ def q103_training_sequences(spark, sf_dir):
     ).orderBy("seq_id")
 
 
+def q104_domain_quota_allocation(spark, sf_dir):
+    """Largest-remainder (Hamilton) quota apportionment
+    (sampling.allocate_quotas): 'sample 137 docs proportional to
+    source' as EXACT integer quotas — the derivation step that feeds
+    q78's quota_sample its quota table (domain-mixture curation).
+    base = (budget·n) DIV total, leftover units to the largest
+    remainders (ties → lexically smallest group); Σ quota = budget by
+    construction. All-integer on a non-negative domain, so DuckDB //
+    mirrors Spark DIV exactly; the corpus collapses to one group-count
+    relation before any window touches it."""
+    from outage_data_scraper_spark.operators.sampling import allocate_quotas
+
+    docs = _t(spark, sf_dir, "documents")
+    return allocate_quotas(docs, "source", budget=137).orderBy("source")
+
+
 def q64_boilerplate_dictionary(spark, sf_dir):
     """Corpus boilerplate dictionary (dedup.boilerplate_dictionary): the
     top-20 most widespread 4-token spans (q49's unit, ndocs ≥ 5) with
@@ -2321,6 +2337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_crawl_trap_detection": q101_crawl_trap_detection,
         "q102_registered_domain_rollup": q102_registered_domain_rollup,
         "q103_training_sequences": q103_training_sequences,
+        "q104_domain_quota_allocation": q104_domain_quota_allocation,
     }
 
 
@@ -4572,5 +4589,27 @@ def oracle_sql() -> dict[str, str]:
                min(doc_id)::BIGINT AS first_doc,
                max(doc_id)::BIGINT AS last_doc
         FROM touched GROUP BY 1 ORDER BY seq_id
+    """
+    # q104: Hamilton apportionment — integer base/remainder arithmetic
+    # mirrored exactly (// floors ≡ DIV on the non-negative domain).
+    oracles["q104_domain_quota_allocation"] = """
+        WITH c AS (
+          SELECT source, count(*)::BIGINT AS n_items FROM documents GROUP BY 1
+        ),
+        b AS (
+          SELECT source, n_items,
+                 (137 * n_items) // (SELECT sum(n_items) FROM c) AS base,
+                 (137 * n_items) % (SELECT sum(n_items) FROM c) AS rem
+          FROM c
+        ),
+        r AS (
+          SELECT source, n_items, base,
+                 row_number() OVER (ORDER BY rem DESC, source ASC) AS rk,
+                 (SELECT 137 - sum(base) FROM b) AS extra
+          FROM b
+        )
+        SELECT source, n_items,
+               (base + CASE WHEN rk <= extra THEN 1 ELSE 0 END)::BIGINT AS quota
+        FROM r ORDER BY source
     """
     return oracles

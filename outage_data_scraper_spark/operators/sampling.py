@@ -179,3 +179,65 @@ def quota_sample(
         .filter(F.col("sample_rank") <= F.col("__quota"))
         .drop("__quota")
     )
+
+
+def allocate_quotas(
+    df: DataFrame,
+    group_col: str,
+    budget: int,
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of an integer sample
+    ``budget`` across groups, proportional to group size — the quota
+    DERIVATION step whose output feeds ``quota_sample``'s externally
+    given quotas (domain-mixture curation: "take 1M docs, proportional
+    by registered domain").
+
+    All-integer arithmetic so the DuckDB oracle is bit-exact:
+    ``base = (budget·n) DIV total`` and ``rem = (budget·n) % total``
+    (non-negative operands — Spark DIV ≡ DuckDB ``//``); the
+    ``budget − Σ base`` leftover units go to the largest remainders,
+    ties to the lexically smallest group. Exactly ``Σ quota = budget``
+    whenever budget ≥ 0 (proved by the method; asserted in tests).
+
+    Scale shape: one map-side-combined count shuffle reduces the corpus
+    to GROUP-cardinality rows; the global-total window and the
+    remainder ranking run over that group-count-sized relation only
+    (the documented small-window exception — never the corpus).
+    Overflow contract: requires ``budget · max_group_count < 2^63``.
+    """
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items")
+    )
+    whole = Window.partitionBy()
+    sized = counts.select(
+        group_col,
+        "n_items",
+        F.sum("n_items").over(whole).alias("__tot"),
+    ).select(
+        group_col,
+        "n_items",
+        F.expr(f"({budget} * n_items) DIV __tot").alias("__base"),
+        F.expr(f"({budget} * n_items) % __tot").alias("__rem"),
+    )
+    rank_w = Window.orderBy(F.desc("__rem"), F.col(group_col).asc())
+    return (
+        sized.select(
+            group_col,
+            "n_items",
+            "__base",
+            F.row_number().over(rank_w).alias("__rk"),
+            (F.lit(budget) - F.sum("__base").over(whole)).alias("__extra"),
+        )
+        .select(
+            group_col,
+            "n_items",
+            (
+                F.col("__base")
+                + F.when(F.col("__rk") <= F.col("__extra"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("quota"),
+        )
+    )

@@ -2426,3 +2426,45 @@ def test_nb_classifier_plan_broadcasts_counts(spark):
     out = nb_quality_scores(docs, F.col("doc_id") == 0)
     assert_broadcast_join(out, n_min=1)
     assert count_exchanges(out) == 1
+
+
+def test_allocate_quotas_hand_case(spark):
+    """Hamilton on (a:3, b:3, c:1), budget 5: bases 2/2/0, the single
+    leftover unit goes to c (largest remainder 5/7)."""
+    from outage_data_scraper_spark.operators.sampling import allocate_quotas
+
+    df = spark.createDataFrame(
+        [("a",)] * 3 + [("b",)] * 3 + [("c",)], "grp string"
+    )
+    out = {r.grp: (r.n_items, r.quota) for r in allocate_quotas(df, "grp", 5).collect()}
+    assert out == {"a": (3, 2), "b": (3, 2), "c": (1, 1)}
+
+
+def test_allocate_quotas_tie_goes_to_smallest_group(spark):
+    """Equal remainders: the lexically smallest group takes the unit."""
+    from outage_data_scraper_spark.operators.sampling import allocate_quotas
+
+    df = spark.createDataFrame([("a",), ("b",)], "grp string")
+    out = {r.grp: r.quota for r in allocate_quotas(df, "grp", 3).collect()}
+    assert out == {"a": 2, "b": 1}
+
+
+def test_allocate_quotas_conservation_and_bounds(spark):
+    """Σ quota = budget exactly, and every quota is floor(share) or
+    floor(share)+1 (the Hamilton quota property); budget 0 → all 0;
+    negative budget raises."""
+    import pytest as _pytest
+
+    from outage_data_scraper_spark.operators.sampling import allocate_quotas
+
+    rows = [(f"g{i % 7}",) for i in range(123)]
+    df = spark.createDataFrame(rows, "grp string")
+    for budget in (0, 1, 6, 7, 100, 123, 1000):
+        got = allocate_quotas(df, "grp", budget).collect()
+        assert sum(r.quota for r in got) == budget
+        total = sum(r.n_items for r in got)
+        for r in got:
+            lo = (budget * r.n_items) // total
+            assert lo <= r.quota <= lo + 1
+    with _pytest.raises(ValueError):
+        allocate_quotas(df, "grp", -1)
