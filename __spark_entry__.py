@@ -1751,6 +1751,47 @@ def q104_domain_quota_allocation(spark, sf_dir):
     return allocate_quotas(docs, "source", budget=137).orderBy("source")
 
 
+def q105_snapshot_diff(spark, sf_dir):
+    """Crawl snapshot diff (frontier/snapshot.py): two synthetic crawls
+    of the same page space — old = even events sans user_id%11 pages,
+    new = odd events sans user_id%13 pages — each reduced to one
+    (page, signature) row where the signature is md5 over the SORTED
+    DISTINCT event types seen (content that CAN coincide across crawls,
+    so all four statuses occur). The diff itself is one full-outer
+    sort-merge join + a status projection — the recrawl-scheduling
+    input revisit.py consumes. Sig law identical both engines: sorted
+    distinct strings joined by '|', md5'd."""
+    from outage_data_scraper_spark.frontier.snapshot import snapshot_diff
+
+    ev = _t(spark, sf_dir, "events")
+
+    def snap(df):
+        return df.groupBy(F.col("user_id").alias("page_key")).agg(
+            F.md5(
+                F.concat_ws(
+                    "|", F.sort_array(F.collect_set("event_type"))
+                )
+            ).alias("sig")
+        )
+
+    old = snap(
+        ev.filter((F.col("event_id") % 2 == 0) & (F.col("user_id") % 11 != 0))
+    )
+    new = snap(
+        ev.filter((F.col("event_id") % 2 == 1) & (F.col("user_id") % 13 != 0))
+    )
+    return (
+        snapshot_diff(old, new, "page_key", "sig")
+        .select(
+            F.col("page_key").cast("long").alias("page_key"),
+            "status",
+            "old_sig",
+            "new_sig",
+        )
+        .orderBy("page_key")
+    )
+
+
 def q64_boilerplate_dictionary(spark, sf_dir):
     """Corpus boilerplate dictionary (dedup.boilerplate_dictionary): the
     top-20 most widespread 4-token spans (q49's unit, ndocs ≥ 5) with
@@ -2338,6 +2379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_registered_domain_rollup": q102_registered_domain_rollup,
         "q103_training_sequences": q103_training_sequences,
         "q104_domain_quota_allocation": q104_domain_quota_allocation,
+        "q105_snapshot_diff": q105_snapshot_diff,
     }
 
 
@@ -4611,5 +4653,34 @@ def oracle_sql() -> dict[str, str]:
         SELECT source, n_items,
                (base + CASE WHEN rk <= extra THEN 1 ELSE 0 END)::BIGINT AS quota
         FROM r ORDER BY source
+    """
+    # q105: same sig law (sorted distinct types, '|', md5), full-outer
+    # diff with the four-way status CASE.
+    oracles["q105_snapshot_diff"] = """
+        WITH old AS (
+          SELECT user_id AS page_key,
+                 md5(string_agg(DISTINCT event_type, '|' ORDER BY event_type))
+                   AS sig
+          FROM events
+          WHERE event_id % 2 = 0 AND user_id % 11 != 0
+          GROUP BY 1
+        ),
+        new AS (
+          SELECT user_id AS page_key,
+                 md5(string_agg(DISTINCT event_type, '|' ORDER BY event_type))
+                   AS sig
+          FROM events
+          WHERE event_id % 2 = 1 AND user_id % 13 != 0
+          GROUP BY 1
+        )
+        SELECT coalesce(o.page_key, n.page_key)::BIGINT AS page_key,
+               CASE WHEN o.sig IS NULL THEN 'new'
+                    WHEN n.sig IS NULL THEN 'gone'
+                    WHEN o.sig = n.sig THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               o.sig AS old_sig,
+               n.sig AS new_sig
+        FROM old o FULL OUTER JOIN new n ON o.page_key = n.page_key
+        ORDER BY page_key
     """
     return oracles
