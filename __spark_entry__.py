@@ -1792,6 +1792,50 @@ def q105_snapshot_diff(spark, sf_dir):
     )
 
 
+def q106_anchor_text_rollup(spark, sf_dir):
+    """Anchor-text aggregation (graph.aggregate_anchor_text): the
+    off-page description corpus — per target page, in-link/distinct-
+    source/distinct-anchor counts and the most frequent anchor (ties →
+    lexically smallest). Links synthesize deterministically from
+    doc_ids (3 out-links per doc, dst = (3·id + 17k) mod 101, self-
+    links dropped) with the anchor = the source's first two tokens, so
+    popular targets accumulate competing anchors. One (dst, anchor)
+    map-side-combined shuffle; top anchor via min(struct(−cnt, anchor))
+    — no window. DuckDB 1-based [1:2] slice ≡ Spark slice(_, 1, 2)."""
+    from outage_data_scraper_spark.operators.graph import aggregate_anchor_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    links = (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
+        )
+        .select(
+            F.col("doc_id").alias("src"),
+            F.pmod(F.col("doc_id") * 3 + F.col("k") * 17, F.lit(101)).alias(
+                "dst"
+            ),
+            F.array_join(F.slice(F.split(F.col("text"), " "), 1, 2), " ").alias(
+                "anchor"
+            ),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return (
+        aggregate_anchor_text(links)
+        .select(
+            F.col("dst").cast("long").alias("dst"),
+            "n_inlinks",
+            "n_src",
+            "n_anchors",
+            "top_anchor",
+            "top_anchor_count",
+        )
+        .orderBy("dst")
+    )
+
+
 def q64_boilerplate_dictionary(spark, sf_dir):
     """Corpus boilerplate dictionary (dedup.boilerplate_dictionary): the
     top-20 most widespread 4-token spans (q49's unit, ndocs ≥ 5) with
@@ -2380,6 +2424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_training_sequences": q103_training_sequences,
         "q104_domain_quota_allocation": q104_domain_quota_allocation,
         "q105_snapshot_diff": q105_snapshot_diff,
+        "q106_anchor_text_rollup": q106_anchor_text_rollup,
     }
 
 
@@ -4682,5 +4727,41 @@ def oracle_sql() -> dict[str, str]:
                n.sig AS new_sig
         FROM old o FULL OUTER JOIN new n ON o.page_key = n.page_key
         ORDER BY page_key
+    """
+    # q106: same link law; top anchor re-derived via row_number with the
+    # identical (cnt DESC, anchor ASC) tie rule (binary collation both
+    # engines); DuckDB list slice [1:2] is 1-based inclusive ≡ Spark
+    # slice(_, 1, 2).
+    oracles["q106_anchor_text_rollup"] = """
+        WITH links AS (
+          SELECT d.doc_id AS src,
+                 (d.doc_id * 3 + k.k * 17) % 101 AS dst,
+                 array_to_string((string_split(d.text, ' '))[1:2], ' ')
+                   AS anchor
+          FROM documents d, (VALUES (1), (2), (3)) k(k)
+          WHERE (d.doc_id * 3 + k.k * 17) % 101 != d.doc_id
+        ),
+        ac AS (
+          SELECT dst, anchor, count(*)::BIGINT AS cnt
+          FROM links GROUP BY 1, 2
+        ),
+        top AS (
+          SELECT dst, anchor, cnt,
+                 row_number() OVER (
+                   PARTITION BY dst ORDER BY cnt DESC, anchor ASC
+                 ) AS rk
+          FROM ac
+        ),
+        agg AS (
+          SELECT dst,
+                 count(*)::BIGINT AS n_inlinks,
+                 count(DISTINCT src)::BIGINT AS n_src,
+                 count(DISTINCT anchor)::BIGINT AS n_anchors
+          FROM links GROUP BY 1
+        )
+        SELECT agg.dst::BIGINT AS dst, n_inlinks, n_src, n_anchors,
+               t.anchor AS top_anchor, t.cnt AS top_anchor_count
+        FROM agg JOIN top t ON agg.dst = t.dst AND t.rk = 1
+        ORDER BY dst
     """
     return oracles

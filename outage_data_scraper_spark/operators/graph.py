@@ -138,3 +138,50 @@ def reprioritize_frontier(
         )
         .drop("_rank_p")
     )
+
+
+def aggregate_anchor_text(
+    links: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """Per-target anchor-text aggregation over a link graph: for every
+    dst, the in-link count, distinct-source count, distinct-anchor
+    count, and the most frequent anchor string (ties → lexically
+    smallest) with its count. Anchor text is the classic off-page
+    description signal — at web scale the (dst, aggregated anchors)
+    table IS a retrieval/LLM training corpus (query↔doc pairs), and
+    in-link counts feed the frontier priority beside PageRank.
+
+    Scale shape: trillions of edges reduce through ONE map-side-combined
+    (dst, anchor) count shuffle; everything after runs on the reduced
+    relation — a dst regroup picking the top anchor via min(struct(-cnt,
+    anchor)) (no window, no per-dst sort), plus a dst-keyed distinct-src
+    count joined back on the same key. Home-page dst skew is bounded
+    after the first agg by each dst's DISTINCT-anchor cardinality, not
+    its raw in-degree.
+    """
+    ac = links.groupBy(
+        F.col(dst_col).alias("__dst"), F.col(anchor_col).alias("__anchor")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+    per_dst = ac.groupBy("__dst").agg(
+        F.sum("__cnt").cast("long").alias("n_inlinks"),
+        F.count(F.lit(1)).cast("long").alias("n_anchors"),
+        F.min(F.struct((-F.col("__cnt")).alias("neg"), F.col("__anchor")))
+        .alias("__top"),
+    )
+    srcs = links.groupBy(F.col(dst_col).alias("__dst2")).agg(
+        F.count_distinct(F.col(src_col)).cast("long").alias("n_src")
+    )
+    return (
+        per_dst.join(srcs, per_dst["__dst"] == srcs["__dst2"])
+        .select(
+            F.col("__dst").alias(dst_col),
+            "n_inlinks",
+            "n_src",
+            "n_anchors",
+            F.col("__top.__anchor").alias("top_anchor"),
+            (-F.col("__top.neg")).cast("long").alias("top_anchor_count"),
+        )
+    )

@@ -2468,3 +2468,37 @@ def test_allocate_quotas_conservation_and_bounds(spark):
             assert lo <= r.quota <= lo + 1
     with _pytest.raises(ValueError):
         allocate_quotas(df, "grp", -1)
+
+
+def test_aggregate_anchor_text_hand_case(spark):
+    """t1: anchor 'a' ×2 (two srcs) beats 'b' ×1; t2: 1-1 tie between
+    'x' and 'y' → lexically smallest wins."""
+    from outage_data_scraper_spark.operators.graph import aggregate_anchor_text
+
+    links = spark.createDataFrame(
+        [
+            (1, 10, "a"),
+            (2, 10, "a"),
+            (3, 10, "b"),
+            (1, 20, "y"),
+            (2, 20, "x"),
+        ],
+        "src long, dst long, anchor string",
+    )
+    out = {r.dst: r for r in aggregate_anchor_text(links).collect()}
+    t1, t2 = out[10], out[20]
+    assert (t1.n_inlinks, t1.n_src, t1.n_anchors) == (3, 3, 2)
+    assert (t1.top_anchor, t1.top_anchor_count) == ("a", 2)
+    assert (t2.top_anchor, t2.top_anchor_count) == ("x", 1)
+    assert t2.n_anchors == 2
+
+
+def test_aggregate_anchor_text_repeat_src(spark):
+    """The same src linking twice counts 2 in-links but 1 distinct src."""
+    from outage_data_scraper_spark.operators.graph import aggregate_anchor_text
+
+    links = spark.createDataFrame(
+        [(1, 10, "a"), (1, 10, "b")], "src long, dst long, anchor string"
+    )
+    r = aggregate_anchor_text(links).collect()[0]
+    assert (r.n_inlinks, r.n_src, r.n_anchors) == (2, 1, 2)
