@@ -1836,6 +1836,51 @@ def q106_anchor_text_rollup(spark, sf_dir):
     )
 
 
+def q107_perplexity_tertiles(spark, sf_dir):
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): every doc
+    scored under a FROZEN English-trained bigram model (q91/q94's
+    parquet-table broadcast-join path with the integer micro-nat sum
+    exposed), per-doc score = sum_micro DIV n_bigrams (all-integer —
+    no float ranking), tertile thresholds = the EXACT ceil(n/3)- and
+    ceil(2n/3)-th order statistics via q82's two-bounded-pass
+    machinery (no global sort), label = pure threshold projection.
+    The bucket is CCNet's quality tier: 'head' docs feed training
+    directly, 'tail' docs are dropped or re-filtered. Collects exactly
+    two threshold values to the driver — everything else distributed."""
+    import hashlib as _hl
+    import tempfile
+
+    from outage_data_scraper_spark.operators.lm import (
+        score_bigram_lm_table,
+        train_bigram_lm_table,
+    )
+    from outage_data_scraper_spark.operators.quantiles import exact_order_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_q107_{tag}")
+    train_bigram_lm_table(docs.filter(F.col("lang") == "en"), path)
+    scored = score_bigram_lm_table(docs, path, with_micro=True).select(
+        "doc_id",
+        F.expr("sum_micro_nll DIV n_bigrams").cast("long").alias("ppl_micro"),
+    )
+    n = scored.count()
+    k1, k2 = (n + 2) // 3, (2 * n + 2) // 3
+    vals = {
+        int(r["rank"]): int(r["value"])
+        for r in exact_order_stats(scored, "ppl_micro", [k1, k2]).collect()
+    }
+    t1, t2 = vals[k1], vals[k2]
+    bucket = (
+        F.when(F.col("ppl_micro") <= F.lit(t1), F.lit("head"))
+        .when(F.col("ppl_micro") <= F.lit(t2), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.select("doc_id", "ppl_micro", bucket.alias("bucket")).orderBy(
+        "doc_id"
+    )
+
+
 def q64_boilerplate_dictionary(spark, sf_dir):
     """Corpus boilerplate dictionary (dedup.boilerplate_dictionary): the
     top-20 most widespread 4-token spans (q49's unit, ndocs ≥ 5) with
@@ -2425,6 +2470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_domain_quota_allocation": q104_domain_quota_allocation,
         "q105_snapshot_diff": q105_snapshot_diff,
         "q106_anchor_text_rollup": q106_anchor_text_rollup,
+        "q107_perplexity_tertiles": q107_perplexity_tertiles,
     }
 
 
@@ -2491,14 +2537,21 @@ _TWIN_CORPUS_CTES = """base AS (
             )"""
 
 
-def _frozen_bigram_nll_sql(train_where: str) -> str:
+def _frozen_bigram_nll_sql(train_where: str, final_select: str | None = None) -> str:
     """avg_nll of EVERY document under an add-one bigram model trained
     on ``documents WHERE {train_where}`` — the frozen/table scoring law
     in SQL (unseen bigram/unigram counts 0 via LEFT JOIN + coalesce,
     per-bigram micro-nat rounding before the per-doc sum). NLL ≥ 0
     always: within one training corpus c12 ≤ c1 and V ≥ 1, so the
     smoothed ratio never exceeds 1 — the HALF_UP/round agreement holds.
-    Shared by the q94 DSIR oracle (target + source models)."""
+    Shared by the q94 DSIR oracle (target + source models) and — via
+    ``final_select`` swapping only the last per-doc SELECT over the
+    shared ``scored`` CTE — the q107 integer ppl_micro tertiles."""
+    if final_select is None:
+        final_select = """
+        SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+               round(sum(m) / (count(*) * 1e6), 4) AS avg_nll
+        FROM scored GROUP BY 1"""
     return f"""
         WITH ttoks AS (SELECT doc_id, {_TOKS} AS w FROM documents
                        WHERE {train_where}),
@@ -2528,9 +2581,7 @@ def _frozen_bigram_nll_sql(train_where: str) -> str:
           FROM big LEFT JOIN bgc USING (bg)
                LEFT JOIN uni ON uni.t = split_part(big.bg, ' ', 1), v
         )
-        SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-               round(sum(m) / (count(*) * 1e6), 4) AS avg_nll
-        FROM scored GROUP BY 1
+        {final_select}
     """
 
 
@@ -4763,5 +4814,34 @@ def oracle_sql() -> dict[str, str]:
                t.anchor AS top_anchor, t.cnt AS top_anchor_count
         FROM agg JOIN top t ON agg.dst = t.dst AND t.rk = 1
         ORDER BY dst
+    """
+    # q107: the shared frozen-scoring CTEs with the per-doc SELECT
+    # swapped to the integer ppl_micro (sum // n — floors ≡ DIV on the
+    # non-negative micro-nat domain); tertile thresholds as exact
+    # order statistics (value at a rank is tie-independent).
+    _ppl_sql = _frozen_bigram_nll_sql(
+        "lang = 'en'",
+        final_select="SELECT doc_id, (sum(m) // count(*))::BIGINT AS"
+        " ppl_micro FROM scored GROUP BY 1",
+    )
+    oracles["q107_perplexity_tertiles"] = f"""
+        WITH s AS ({_ppl_sql}),
+        nn AS (SELECT count(*)::BIGINT AS n FROM s),
+        ord AS (
+          SELECT ppl_micro,
+                 row_number() OVER (ORDER BY ppl_micro) AS rk
+          FROM s
+        ),
+        thr AS (
+          SELECT
+            (SELECT ppl_micro FROM ord, nn WHERE rk = (n + 2) // 3) AS t1,
+            (SELECT ppl_micro FROM ord, nn
+             WHERE rk = (2 * n + 2) // 3) AS t2
+        )
+        SELECT s.doc_id, s.ppl_micro,
+               CASE WHEN s.ppl_micro <= thr.t1 THEN 'head'
+                    WHEN s.ppl_micro <= thr.t2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM s, thr ORDER BY doc_id
     """
     return oracles

@@ -238,6 +238,7 @@ def score_bigram_lm_table(
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    with_micro: bool = False,
 ) -> DataFrame:
     """Score under a parquet-persisted model (train_bigram_lm_table)
     via MAP-SIDE BROADCAST JOINS — the distributed twin of the
@@ -280,7 +281,13 @@ def score_bigram_lm_table(
             ).cast("long").alias("micro_nll"),
         )
     )
-    return scored.groupBy("doc_id").agg(
+    aggs = [
         F.count("*").cast("long").alias("n_bigrams"),
         F.round(F.sum("micro_nll") / (F.count("*") * 1e6), 4).alias("avg_nll"),
-    )
+    ]
+    if with_micro:
+        # integer-exact consumer path (q107 tertiles): the raw
+        # micro-nat sum, so downstream can compare docs without any
+        # float (sum DIV n -- both operands non-negative).
+        aggs.append(F.sum("micro_nll").cast("long").alias("sum_micro_nll"))
+    return scored.groupBy("doc_id").agg(*aggs)

@@ -2502,3 +2502,50 @@ def test_aggregate_anchor_text_repeat_src(spark):
     )
     r = aggregate_anchor_text(links).collect()[0]
     assert (r.n_inlinks, r.n_src, r.n_anchors) == (2, 1, 2)
+
+
+def test_score_bigram_lm_table_with_micro_consistent(spark, tmp_path):
+    """with_micro exposes the raw micro-nat sum; avg_nll must equal
+    round(sum/(n·1e6), 4) exactly (same aggregate, not a re-derivation),
+    and the default schema is unchanged."""
+    from outage_data_scraper_spark.operators.lm import (
+        score_bigram_lm_table,
+        train_bigram_lm_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "b c b c"), (2, "a a a a")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "m")
+    train_bigram_lm_table(docs, path)
+    assert score_bigram_lm_table(docs, path).columns == [
+        "doc_id", "n_bigrams", "avg_nll",
+    ]
+    for r in score_bigram_lm_table(docs, path, with_micro=True).collect():
+        assert r.avg_nll == round(r.sum_micro_nll / (r.n_bigrams * 1e6), 4)
+        assert r.sum_micro_nll >= 0
+
+
+def test_perplexity_tertile_floor_guarantees(spark):
+    """q107's label law over the sf0.001 corpus: thresholds are exact
+    order statistics, so |head| ≥ ceil(n/3), |head|+|middle| ≥
+    ceil(2n/3), and every bucket respects its threshold bounds."""
+    import __spark_entry__ as entrymod
+
+    out = entrymod.q107_perplexity_tertiles(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    n = len(out)
+    k1, k2 = (n + 2) // 3, (2 * n + 2) // 3
+    head = [r.ppl_micro for r in out if r.bucket == "head"]
+    mid = [r.ppl_micro for r in out if r.bucket == "middle"]
+    tail = [r.ppl_micro for r in out if r.bucket == "tail"]
+    assert len(head) >= k1 and len(head) + len(mid) >= k2
+    assert n == len(head) + len(mid) + len(tail)
+    if head and mid:
+        assert max(head) <= min(mid)
+    if mid and tail:
+        assert max(mid) < min(tail)
+    if head and tail:
+        assert max(head) < min(tail)
