@@ -1881,6 +1881,45 @@ def q107_perplexity_tertiles(spark, sf_dir):
     )
 
 
+def _anchor_links(docs):
+    """The shared deterministic link graph behind q106/q108: 3
+    out-links per doc, dst = (3·id + 17k) mod 101, self-links dropped —
+    docs are hubs, the 101 low-id pages are authorities."""
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
+        )
+        .select(
+            F.col("doc_id").alias("src"),
+            F.pmod(F.col("doc_id") * 3 + F.col("k") * 17, F.lit(101)).alias(
+                "dst"
+            ),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+
+
+def q108_hits(spark, sf_dir):
+    """HITS hubs/authorities (graph.hits_micro) over the q106 link
+    graph — PageRank's companion priority signal (authorities = fetch
+    next, hubs = re-parse for links), 3 rounds, max-normalized to
+    integer micro units each half-step so the fixpoint is bit-exact
+    cross-engine (the oracle unrolls all 6 half-steps as chained CTEs,
+    the q58 law). Per-round max is a one-row broadcast crossJoin —
+    never a node-scale window."""
+    from outage_data_scraper_spark.operators.graph import hits_micro
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    out = hits_micro(_anchor_links(docs), nodes, n_iter=3)
+    return out.select(
+        F.col("node").cast("long").alias("doc_id"),
+        "hub_micro",
+        "auth_micro",
+    ).orderBy("doc_id")
+
+
 def q64_boilerplate_dictionary(spark, sf_dir):
     """Corpus boilerplate dictionary (dedup.boilerplate_dictionary): the
     top-20 most widespread 4-token spans (q49's unit, ndocs ≥ 5) with
@@ -2471,6 +2510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q105_snapshot_diff": q105_snapshot_diff,
         "q106_anchor_text_rollup": q106_anchor_text_rollup,
         "q107_perplexity_tertiles": q107_perplexity_tertiles,
+        "q108_hits": q108_hits,
     }
 
 
@@ -2594,6 +2634,73 @@ def _split_case_sql(col: str) -> str:
         f"CASE WHEN {h} < 80 THEN 'train' "
         f"WHEN {h} < 90 THEN 'val' ELSE 'test' END"
     )
+
+
+# The q106/q108 link-graph law in SQL, shared so the two oracles cannot
+# drift (3 out-links/doc, dst = (3·id + 17k) mod 101, no self-links;
+# DuckDB [1:2] slice is 1-based inclusive ≡ Spark slice(_, 1, 2)).
+_ANCHOR_LINKS_SQL = """
+          SELECT d.doc_id AS src,
+                 (d.doc_id * 3 + k.k * 17) % 101 AS dst,
+                 array_to_string((string_split(d.text, ' '))[1:2], ' ')
+                   AS anchor
+          FROM documents d, (VALUES (1), (2), (3)) k(k)
+          WHERE (d.doc_id * 3 + k.k * 17) % 101 != d.doc_id
+"""
+
+
+def _q108_oracle(n_iter: int = 3) -> str:
+    """q108's oracle, assembled at call time: the integer-micro HITS
+    fixpoint unrolled as chained CTEs — two per round (authority from
+    the previous hub table, hub from the FRESH authority table),
+    max-normalization as an integer (raw·unit) // max scalar-subquery
+    (// floors ≡ Spark DIV on the non-negative domain)."""
+    # every CTE in the chain is AS MATERIALIZED: each {tag}r is read
+    # THREE times (max CTE + normalization) and each level feeds the
+    # next — inlined, the plan doubles per half-step (2^6 re-evaluation
+    # of the whole history; measured 437 s at sf0.01 vs <2 s
+    # materialized).
+    parts = []
+    prev = "h0"
+    for i in range(1, n_iter + 1):
+        for tag, src_of, frm in (
+            (f"a{i}", prev, ("dst", "src")),
+            (f"h{i}", f"a{i}", ("src", "dst")),
+        ):
+            to_col, from_col = frm
+            parts.append(f"""
+            {tag}r AS MATERIALIZED (
+              SELECT n.node, COALESCE(s.s, 0) AS raw
+              FROM nodes n LEFT JOIN (
+                SELECT e.{to_col} AS node, SUM(p.v) AS s
+                FROM edges e JOIN {src_of} p ON p.node = e.{from_col}
+                GROUP BY 1
+              ) s ON s.node = n.node
+            ),
+            {tag}m AS MATERIALIZED (
+              SELECT max(raw) AS mx FROM {tag}r
+            ),
+            {tag} AS MATERIALIZED (
+              SELECT node,
+                     CASE WHEN m.mx <= 0 THEN 0
+                          ELSE (raw * 1000000) // m.mx
+                     END::BIGINT AS v
+              FROM {tag}r, {tag}m m
+            )""")
+        prev = f"h{i}"
+    return f"""
+        WITH links AS ({_ANCHOR_LINKS_SQL}),
+        edges AS (SELECT src, dst FROM links),
+        nodes AS (SELECT doc_id AS node FROM documents),
+        h0 AS (SELECT node, 1000000::BIGINT AS v FROM nodes),
+        {",".join(parts)}
+        SELECT n.node::BIGINT AS doc_id, h.v AS hub_micro,
+               a.v AS auth_micro
+        FROM nodes n
+        JOIN h{n_iter} h ON h.node = n.node
+        JOIN a{n_iter} a ON a.node = n.node
+        ORDER BY doc_id
+    """
 
 
 def _q58_oracle(n_iter: int = 5) -> str:
@@ -4783,15 +4890,8 @@ def oracle_sql() -> dict[str, str]:
     # identical (cnt DESC, anchor ASC) tie rule (binary collation both
     # engines); DuckDB list slice [1:2] is 1-based inclusive ≡ Spark
     # slice(_, 1, 2).
-    oracles["q106_anchor_text_rollup"] = """
-        WITH links AS (
-          SELECT d.doc_id AS src,
-                 (d.doc_id * 3 + k.k * 17) % 101 AS dst,
-                 array_to_string((string_split(d.text, ' '))[1:2], ' ')
-                   AS anchor
-          FROM documents d, (VALUES (1), (2), (3)) k(k)
-          WHERE (d.doc_id * 3 + k.k * 17) % 101 != d.doc_id
-        ),
+    oracles["q106_anchor_text_rollup"] = f"""
+        WITH links AS ({_ANCHOR_LINKS_SQL}),
         ac AS (
           SELECT dst, anchor, count(*)::BIGINT AS cnt
           FROM links GROUP BY 1, 2
@@ -4844,4 +4944,5 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'tail' END AS bucket
         FROM s, thr ORDER BY doc_id
     """
+    oracles["q108_hits"] = _q108_oracle()
     return oracles

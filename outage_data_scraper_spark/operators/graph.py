@@ -185,3 +185,86 @@ def aggregate_anchor_text(
             (-F.col("__top.neg")).cast("long").alias("top_anchor_count"),
         )
     )
+
+
+def hits_micro(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_iter: int = 3,
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """HITS hubs/authorities (Kleinberg 1999) over directed ``edges``
+    (src, dst) for every row of ``nodes`` (node), returned as
+    (node, hub_micro, auth_micro) — PageRank's companion crawl-priority
+    signal: authorities are the pages worth fetching, hubs the pages
+    worth re-parsing for links.
+
+    Integer-exact so the oracle can unroll the fixpoint (the q58/q92
+    law): h⁰ = unit; each round
+      a_raw(v) = Σ_{u→v} h(u);  a(v) = (a_raw·unit) DIV max(a_raw)
+    and symmetrically for h over the fresh a. Max-normalization (not
+    L2) keeps every intermediate an integer; the top hub/authority sits
+    at exactly ``unit``. The per-round max is a ONE-ROW aggregate
+    crossJoined back (broadcast — never a node-scale window, never a
+    driver collect); empty/edgeless graphs settle at 0.
+    localCheckpoint per round (iterative-lineage law).
+
+    Overflow contract: max weighted in-degree · unit² < 2^63 — at the
+    default unit, in-degrees up to ~9·10^6 are safe; scale unit down
+    for denser graphs.
+    """
+    h = nodes.select("node", F.lit(int(unit)).cast("long").alias("h"))
+    a = None
+    for _ in range(n_iter):
+        a = _hits_half(edges, nodes, h, "h", "src", "dst", unit, "a")
+        h = _hits_half(edges, nodes, a, "a", "dst", "src", unit, "h")
+    return (
+        nodes.join(h, "node")
+        .join(a, "node")
+        .select(
+            "node",
+            F.col("h").alias("hub_micro"),
+            F.col("a").alias("auth_micro"),
+        )
+    )
+
+
+def _hits_half(
+    edges: DataFrame,
+    nodes: DataFrame,
+    scores: DataFrame,
+    score_col: str,
+    from_col: str,
+    to_col: str,
+    unit: int,
+    out_col: str,
+) -> DataFrame:
+    """One HITS half-step: sum ``scores`` over edges from ``from_col``
+    onto ``to_col``, then max-normalize to ``unit`` in integer DIV."""
+    raw = (
+        nodes.join(
+            edges.join(
+                scores.withColumnRenamed("node", "__sn"),
+                F.col(from_col) == F.col("__sn"),
+            )
+            .groupBy(F.col(to_col).alias("node"))
+            .agg(F.sum(score_col).alias("__s")),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce(F.col("__s"), F.lit(0)).alias("__raw"))
+        # materialize ONCE per half-step: the max aggregate and the
+        # normalization projection share this subtree, and the next
+        # half-step's lineage starts here instead of nesting the whole
+        # history (iterative-loop law — without this, each round
+        # re-executes every previous round's joins).
+        .localCheckpoint(eager=True)
+    )
+    mx = raw.agg(F.max("__raw").alias("__mx"))
+    return raw.crossJoin(F.broadcast(mx)).select(
+        "node",
+        F.when(F.col("__mx") <= 0, F.lit(0))
+        .otherwise(F.expr(f"(__raw * {int(unit)}) DIV __mx"))
+        .cast("long")
+        .alias(out_col),
+    )

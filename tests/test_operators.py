@@ -2549,3 +2549,39 @@ def test_perplexity_tertile_floor_guarantees(spark):
         assert max(mid) < min(tail)
     if head and tail:
         assert max(head) < min(tail)
+
+
+def test_hits_micro_star_graph(spark):
+    """Two hubs pointing at one authority: fixpoint lands exactly at
+    hub=unit for the pointers, auth=unit for the target, zeros
+    elsewhere — and is stable across rounds."""
+    from outage_data_scraper_spark.operators.graph import hits_micro
+
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "node long")
+    edges = spark.createDataFrame([(1, 3), (2, 3)], "src long, dst long")
+    for it in (1, 3):
+        out = {r.node: r for r in hits_micro(edges, nodes, n_iter=it).collect()}
+        assert (out[1].hub_micro, out[2].hub_micro, out[3].hub_micro) == (
+            1_000_000, 1_000_000, 0,
+        )
+        assert (out[1].auth_micro, out[2].auth_micro, out[3].auth_micro) == (
+            0, 0, 1_000_000,
+        )
+
+
+def test_hits_micro_edgeless_and_max_normalization(spark):
+    """No edges → all zeros after round 1; with edges, the max hub and
+    max authority sit at exactly unit every round."""
+    from outage_data_scraper_spark.operators.graph import hits_micro
+
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "node long")
+    none = spark.createDataFrame([], "src long, dst long")
+    for r in hits_micro(none, nodes, n_iter=2).collect():
+        assert r.hub_micro == 0 and r.auth_micro == 0
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (3, 2), (4, 2)], "src long, dst long"
+    )
+    rows = hits_micro(edges, nodes, n_iter=3).collect()
+    assert max(r.hub_micro for r in rows) == 1_000_000
+    assert max(r.auth_micro for r in rows) == 1_000_000
+    assert all(0 <= r.hub_micro <= 1_000_000 for r in rows)
