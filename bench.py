@@ -115,12 +115,18 @@ EXTENDED = [
     "q93_semdedup",
     "q94_dsir_weights",
     "q96_nb_quality_classifier",
-    # q103 composes q51+q79+q98 — stages benched individually.
+    # q103 composes q51+q79+q98 — stages benched individually; q107
+    # composes q91 scoring + q82 order stats (and re-trains its model
+    # each run) — likewise stage-benched.
     "q98_sequence_packing",
     "q99_paragraph_dedup_keep_first",
     "q100_redirect_resolution",
     "q101_crawl_trap_detection",
     "q102_registered_domain_rollup",
+    "q104_domain_quota_allocation",
+    "q105_snapshot_diff",
+    "q106_anchor_text_rollup",
+    "q108_hits",
 ]
 
 
