@@ -1920,6 +1920,38 @@ def q108_hits(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q109_triangle_counts(spark, sf_dir):
+    """Per-node triangle counts (graph.triangle_count) — the local
+    clustering signal that separates organic link neighborhoods
+    (triangle-dense) from mint-style link farms (triangle-free stars).
+    Edges synthesize deterministically from doc_ids (ring chords i→i+1,
+    i→i+2 guarantee consecutive-triple triangles; a mod-101 long edge
+    adds irregular ones). The operator orients each edge from the
+    (degree, id)-lower endpoint so wedge fan-out is out-degree-capped
+    (O(m^1.5) worst case — no celebrity blowup); the oracle counts the
+    SAME orientation-independent triangle set via the plain a<b<c
+    double-join."""
+    from outage_data_scraper_spark.operators.graph import triangle_count
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    base = docs.select(F.col("doc_id").alias("a"))
+    edges = (
+        base.select("a", (F.col("a") + 1).alias("b"))
+        .unionAll(base.select("a", (F.col("a") + 2).alias("b")))
+        .unionAll(
+            base.select(
+                "a", F.pmod(F.col("a") * 7 + 3, F.lit(101)).alias("b")
+            )
+        )
+    )
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    return (
+        triangle_count(edges, nodes)
+        .select(F.col("node").cast("long").alias("node"), "n_triangles")
+        .orderBy("node")
+    )
+
+
 def q64_boilerplate_dictionary(spark, sf_dir):
     """Corpus boilerplate dictionary (dedup.boilerplate_dictionary): the
     top-20 most widespread 4-token spans (q49's unit, ndocs ≥ 5) with
@@ -2511,6 +2543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_anchor_text_rollup": q106_anchor_text_rollup,
         "q107_perplexity_tertiles": q107_perplexity_tertiles,
         "q108_hits": q108_hits,
+        "q109_triangle_counts": q109_triangle_counts,
     }
 
 
@@ -4945,4 +4978,34 @@ def oracle_sql() -> dict[str, str]:
         FROM s, thr ORDER BY doc_id
     """
     oracles["q108_hits"] = _q108_oracle()
+    # q109: the triangle set is orientation-independent, so the oracle
+    # counts it with the plain a<b<c double-join over the same
+    # synthesized edges (operator side uses degree orientation for
+    # skew-capped wedges — values must agree exactly).
+    oracles["q109_triangle_counts"] = """
+        WITH e AS (
+          SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+          UNION ALL SELECT doc_id, doc_id + 2 FROM documents
+          UNION ALL SELECT doc_id, (doc_id * 7 + 3) % 101 FROM documents
+        ),
+        und AS (
+          SELECT DISTINCT least(a, b) AS x, greatest(a, b) AS y
+          FROM e WHERE a != b
+        ),
+        tri AS (
+          SELECT e1.x AS a, e1.y AS b, e2.y AS c
+          FROM und e1
+          JOIN und e2 ON e2.x = e1.y
+          JOIN und e3 ON e3.x = e1.x AND e3.y = e2.y
+        ),
+        pern AS (
+          SELECT node, count(*)::BIGINT AS n_triangles FROM (
+            SELECT unnest([a, b, c]) AS node FROM tri
+          ) GROUP BY 1
+        )
+        SELECT d.doc_id::BIGINT AS node,
+               coalesce(p.n_triangles, 0)::BIGINT AS n_triangles
+        FROM documents d LEFT JOIN pern p ON p.node = d.doc_id
+        ORDER BY node
+    """
     return oracles

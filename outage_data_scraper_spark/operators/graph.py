@@ -268,3 +268,81 @@ def _hits_half(
         .cast("long")
         .alias(out_col),
     )
+
+
+def triangle_count(
+    edges: DataFrame,
+    nodes: DataFrame,
+) -> DataFrame:
+    """Per-node triangle counts over an undirected graph — the local
+    clustering signal (link-farm / spam-community density: organic
+    neighborhoods close triangles, mint-style link farms are stars
+    that close none).
+
+    Input ``edges`` (a, b) is treated as undirected: self-loops drop,
+    duplicates and reversed duplicates collapse. Returns one row per
+    ``nodes`` row: (node, n_triangles).
+
+    Scale shape — the standard orientation trick: each undirected edge
+    is directed from the endpoint with (degree, id) LOWER to the higher
+    one, so every triangle is counted exactly once from its lowest-
+    degree corner and the wedge join fans out by OUT-degree, which
+    orientation caps at O(√m) per node (Σ out² = O(m^1.5) worst case —
+    a celebrity node of degree 10^6 contributes wedges only through its
+    low-degree neighbors, never 10^12 pairs by itself). Two equi-joins
+    (wedge build + closing-edge semi join), both on edge keys; no
+    cartesian, no window. The triangle SET is orientation-independent,
+    which is what lets the oracle use the simple a<b<c formulation.
+    """
+    und = (
+        edges.select(
+            F.least(F.col("a"), F.col("b")).alias("x"),
+            F.greatest(F.col("a"), F.col("b")).alias("y"),
+        )
+        .filter(F.col("x") != F.col("y"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("x").alias("n"))
+        .unionAll(und.select(F.col("y").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    dx = deg.select(F.col("n").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("n").alias("y"), F.col("d").alias("dy"))
+    oriented = (
+        und.join(dx, "x")
+        .join(dy, "y")
+        .select(
+            F.when(
+                (F.col("dx") < F.col("dy"))
+                | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))),
+                F.struct(F.col("x").alias("s"), F.col("y").alias("t")),
+            )
+            .otherwise(F.struct(F.col("y").alias("s"), F.col("x").alias("t")))
+            .alias("e")
+        )
+        .select(F.col("e.s").alias("s"), F.col("e.t").alias("t"))
+    )
+    e1 = oriented.select(F.col("s").alias("u"), F.col("t").alias("v"))
+    e2 = oriented.select(F.col("s").alias("v"), F.col("t").alias("w"))
+    wedges = e1.join(e2, "v").filter(F.col("u") != F.col("w"))
+    # closing edge may be oriented either way between u and w
+    closing = oriented.select(
+        F.least("s", "t").alias("__cx"), F.greatest("s", "t").alias("__cy")
+    )
+    tris = wedges.join(
+        closing,
+        (F.least("u", "w") == F.col("__cx"))
+        & (F.greatest("u", "w") == F.col("__cy")),
+        "leftsemi",
+    )
+    per_node = (
+        tris.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("__nt"))
+    )
+    return nodes.join(per_node, "node", "left").select(
+        "node",
+        F.coalesce(F.col("__nt"), F.lit(0)).cast("long").alias("n_triangles"),
+    )

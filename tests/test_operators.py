@@ -2585,3 +2585,22 @@ def test_hits_micro_edgeless_and_max_normalization(spark):
     assert max(r.hub_micro for r in rows) == 1_000_000
     assert max(r.auth_micro for r in rows) == 1_000_000
     assert all(0 <= r.hub_micro <= 1_000_000 for r in rows)
+
+
+def test_triangle_count_hand_cases(spark):
+    """K3 → every node 1; K4 → every node 3 (C(3,2)); a star closes
+    none; duplicate/reversed/self edges collapse first."""
+    from outage_data_scraper_spark.operators.graph import triangle_count
+
+    def run(pairs, node_ids):
+        edges = spark.createDataFrame(pairs, "a long, b long")
+        nodes = spark.createDataFrame([(i,) for i in node_ids], "node long")
+        return {r.node: r.n_triangles for r in triangle_count(edges, nodes).collect()}
+
+    assert run([(1, 2), (2, 3), (3, 1)], [1, 2, 3]) == {1: 1, 2: 1, 3: 1}
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    assert run(k4, [1, 2, 3, 4]) == {1: 3, 2: 3, 3: 3, 4: 3}
+    star = [(0, i) for i in range(1, 6)]
+    assert run(star, list(range(6))) == {i: 0 for i in range(6)}
+    messy = [(1, 2), (2, 1), (2, 3), (1, 3), (3, 3), (1, 2)]
+    assert run(messy, [1, 2, 3]) == {1: 1, 2: 1, 3: 1}
