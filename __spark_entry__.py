@@ -1952,6 +1952,20 @@ def q109_triangle_counts(spark, sf_dir):
     )
 
 
+def q110_posting_size_plan(spark, sf_dir):
+    """Inverted-index storage planner (index.posting_size_plan): per
+    term, the posting-list byte cost under delta+LEB128-varint coding
+    vs raw 8-byte doc ids — the sizing pass run BEFORE building a
+    10^10-doc index (shard and replica budgets come from exactly this
+    table). Integer-exact: bit lengths via length(bin(δ)) (both engines
+    render minimal binary strings), ceil division as (len+6) DIV 7,
+    first delta = doc_id + 1. Same q70 tokenization law."""
+    from outage_data_scraper_spark.operators.index import posting_size_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    return posting_size_plan(docs).orderBy("term")
+
+
 def q64_boilerplate_dictionary(spark, sf_dir):
     """Corpus boilerplate dictionary (dedup.boilerplate_dictionary): the
     top-20 most widespread 4-token spans (q49's unit, ndocs ≥ 5) with
@@ -2544,6 +2558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_perplexity_tertiles": q107_perplexity_tertiles,
         "q108_hits": q108_hits,
         "q109_triangle_counts": q109_triangle_counts,
+        "q110_posting_size_plan": q110_posting_size_plan,
     }
 
 
@@ -5007,5 +5022,30 @@ def oracle_sql() -> dict[str, str]:
                coalesce(p.n_triangles, 0)::BIGINT AS n_triangles
         FROM documents d LEFT JOIN pern p ON p.node = d.doc_id
         ORDER BY node
+    """
+    # q110: identical varint law — minimal bin() strings both engines,
+    # (len+6) // 7 ceil bytes, first delta = doc_id + 1, q70 token law.
+    oracles["q110_posting_size_plan"] = f"""
+        WITH toks AS (
+          SELECT DISTINCT doc_id, term FROM (
+            SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+          ) WHERE term != ''
+        ),
+        posting AS (
+          SELECT term, doc_id,
+                 lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id)
+                   AS prev
+          FROM toks
+        ),
+        sized AS (
+          SELECT term,
+                 CASE WHEN prev IS NULL THEN doc_id + 1
+                      ELSE doc_id - prev END AS delta
+          FROM posting
+        )
+        SELECT term, count(*)::BIGINT AS df,
+               (count(*) * 8)::BIGINT AS raw_bytes,
+               sum((length(bin(delta)) + 6) // 7)::BIGINT AS varint_bytes
+        FROM sized GROUP BY 1 ORDER BY term
     """
     return oracles

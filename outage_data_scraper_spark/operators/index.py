@@ -135,3 +135,51 @@ def bm25_topk(
         .orderBy(F.col("score_u").desc(), id_col)
         .limit(top_k)
     )
+
+
+def posting_size_plan(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-term index STORAGE planner: the byte cost of each posting
+    list under delta + LEB128-varint encoding (how real inverted
+    indexes store doc-id lists) vs raw 8-byte ids — the sizing input
+    for shard/replica planning before building a 10^10-doc index.
+
+    Per term: df, raw_bytes = 8·df, varint_bytes = Σ ceil(bitlen(δ)/7)
+    over doc-id deltas (first delta = doc_id + 1 so id 0 still costs
+    one byte). All-integer: bit length via length(bin(δ)) — both
+    engines render minimal binary strings — and ceil as (len+6) DIV 7.
+
+    Scale shape: one (doc, term) distinct projection, then the deltas
+    come from a lag window PARTITIONED BY TERM — bounded by each term's
+    df, the same Zipf-head caveat build_inverted_index documents (shard
+    stopword terms by doc-bucket there; sizes then sum per bucket).
+    Final agg is map-side combined on term.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(textkit.tokens(textkit.normalized(F.col(text_col))))
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("term").orderBy("doc_id")
+    delta = (
+        toks.select("term", "doc_id", F.lag("doc_id").over(w).alias("__prev"))
+        .select(
+            "term",
+            F.when(F.col("__prev").isNull(), F.col("doc_id") + 1)
+            .otherwise(F.col("doc_id") - F.col("__prev"))
+            .alias("delta"),
+        )
+    )
+    return delta.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        (F.count(F.lit(1)) * 8).cast("long").alias("raw_bytes"),
+        F.sum(F.expr("(length(bin(delta)) + 6) DIV 7"))
+        .cast("long")
+        .alias("varint_bytes"),
+    )

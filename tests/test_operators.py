@@ -2604,3 +2604,19 @@ def test_triangle_count_hand_cases(spark):
     assert run(star, list(range(6))) == {i: 0 for i in range(6)}
     messy = [(1, 2), (2, 1), (2, 3), (1, 3), (3, 3), (1, 2)]
     assert run(messy, [1, 2, 3]) == {1: 1, 2: 1, 3: 1}
+
+
+def test_posting_size_plan_hand_case(spark):
+    """Docs 0,1,130 all containing 'w': deltas 1,1,129 → varint bytes
+    1+1+2 = 4 vs raw 24; a within-doc repeat adds nothing (distinct
+    pairs); empty docs contribute no terms."""
+    from outage_data_scraper_spark.operators.index import posting_size_plan
+
+    docs = spark.createDataFrame(
+        [(0, "w w x"), (1, "w"), (130, "W"), (131, "   ")],
+        "doc_id long, text string",
+    )
+    out = {r.term: r for r in posting_size_plan(docs).collect()}
+    assert set(out) == {"w", "x"}
+    assert (out["w"].df, out["w"].raw_bytes, out["w"].varint_bytes) == (3, 24, 4)
+    assert (out["x"].df, out["x"].varint_bytes) == (1, 1)
