@@ -1966,6 +1966,41 @@ def q110_posting_size_plan(spark, sf_dir):
     return posting_size_plan(docs).orderBy("term")
 
 
+def q111_streaming_cms(spark, sf_dir):
+    """STREAMING Count-Min maintenance, VALUE-GATED
+    (streaming/sketches.py): the corpus replays as 4 deterministic
+    micro-batches (doc_id % 4); each batch folds to its own ≤ d·w-row
+    partial sketch inside foreachBatch (batch-id-keyed overwrite →
+    idempotent on retry), and the serving read merges partials with one
+    groupBy sum. CMS merge is associative+commutative, so the streamed
+    sketch is BIT-IDENTICAL to q81's batch sketch over the same tokens
+    — the oracle is the batch cell law. No keyed state, no watermark:
+    the sketch shape for a 100 TB/day stream. Tokens explode per doc
+    BEFORE splitting so each batch carries whole documents."""
+    import tempfile
+
+    from outage_data_scraper_spark.functions import textkit
+    from outage_data_scraper_spark.streaming.sketches import run_streaming_cms
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id",
+        F.explode(textkit.tokens(textkit.normalized(F.col("text")))).alias(
+            "term"
+        ),
+    )
+    d = tempfile.mkdtemp(prefix="q111_")
+    return (
+        run_streaming_cms(spark, toks, 4, d, "term", "doc_id")
+        .select(
+            F.col("row").cast("long").alias("row"),
+            F.col("bucket").cast("long").alias("bucket"),
+            "cnt",
+        )
+        .orderBy("row", "bucket")
+    )
+
+
 def q64_boilerplate_dictionary(spark, sf_dir):
     """Corpus boilerplate dictionary (dedup.boilerplate_dictionary): the
     top-20 most widespread 4-token spans (q49's unit, ndocs ≥ 5) with
@@ -2559,6 +2594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_hits": q108_hits,
         "q109_triangle_counts": q109_triangle_counts,
         "q110_posting_size_plan": q110_posting_size_plan,
+        "q111_streaming_cms": q111_streaming_cms,
     }
 
 
@@ -5047,5 +5083,19 @@ def oracle_sql() -> dict[str, str]:
                (count(*) * 8)::BIGINT AS raw_bytes,
                sum((length(bin(delta)) + 6) // 7)::BIGINT AS varint_bytes
         FROM sized GROUP BY 1 ORDER BY term
+    """
+    # q111: the streamed-and-merged sketch must equal the batch cell
+    # law over the same tokens (q81's cells CTE, cell-for-cell).
+    oracles["q111_streaming_cms"] = f"""
+        WITH toks AS (
+          SELECT unnest({_TOKS}) AS term FROM documents
+          WHERE length(trim(text)) > 0
+        ),
+        rows_ AS (SELECT unnest([0, 1, 2, 3]) AS row)
+        SELECT row::BIGINT AS row,
+               (('0x' || substr(md5(row || '|' || term), 1, 8))::BIGINT
+                % 2048)::BIGINT AS bucket,
+               count(*)::BIGINT AS cnt
+        FROM toks, rows_ GROUP BY 1, 2 ORDER BY row, bucket
     """
     return oracles

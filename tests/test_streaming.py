@@ -235,3 +235,23 @@ def test_stateful_timeout_closes_stale_session(spark, tmp_path):
     assert ("A", "2024-08-01 10:00:00", 2, 80, "timeout") in closed
     # B stayed active to the end, then timed out too (feed stopped)
     assert all(c[4] == "timeout" for c in closed)
+
+
+def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
+    """The foreachBatch-maintained CMS merged across 3 micro-batches is
+    cell-for-cell identical to the batch sketch over the same values —
+    the mergeability law run through a real streaming checkpoint."""
+    from pyspark.sql import functions as F
+
+    from outage_data_scraper_spark.operators.sketch import cms_table
+    from outage_data_scraper_spark.streaming.sketches import run_streaming_cms
+
+    rows = [(i, f"t{i % 17}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, term string")
+    streamed = run_streaming_cms(
+        spark, df, 3, str(tmp_path / "w"), "term", "doc_id", d=2, w=64
+    )
+    batch = cms_table(df, "term", d=2, w=64)
+    got = {(r.row, r.bucket): r.cnt for r in streamed.collect()}
+    want = {(r.row, r.bucket): r.cnt for r in batch.collect()}
+    assert got == want and sum(got.values()) == 2 * 300
