@@ -416,3 +416,61 @@ def test_exact_quantiles_second_pass_filters_buckets(spark):
     got = {r.rank: r.value for r in out.collect()}
     s = sorted((i * 37) % 997 for i in range(10_000))
     assert got == {1: s[0], 5000: s[4999], 10_000: s[-1]}
+
+
+def test_triangle_count_no_cartesian(spark):
+    """q109's wedge build + closing check must stay equi-joins — never
+    a cartesian/broadcast-nested-loop over the edge relation."""
+    from outage_data_scraper_spark.operators.graph import triangle_count
+    from outage_data_scraper_spark.plans.explain import formatted_plan
+
+    edges = spark.range(200).selectExpr("id AS a", "(id + 1) AS b").unionAll(
+        spark.range(200).selectExpr("id AS a", "(id + 2) AS b")
+    )
+    nodes = spark.range(202).selectExpr("id AS node")
+    plan = formatted_plan(triangle_count(edges, nodes))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hits_normalization_broadcasts_scalar(spark):
+    """q108's per-half-step max must reach the normalization as a
+    broadcast of a ONE-ROW aggregate — a nested-loop join against a
+    1-row relation is fine (that IS the scalar crossJoin); what must
+    never appear is a node-scale unpartitioned window."""
+    from outage_data_scraper_spark.operators.graph import hits_micro
+    from outage_data_scraper_spark.plans.explain import formatted_plan
+
+    edges = spark.range(100).selectExpr("id AS src", "(id + 1) % 100 AS dst")
+    nodes = spark.range(100).selectExpr("id AS node")
+    plan = formatted_plan(hits_micro(edges, nodes, n_iter=1))
+    assert "Window" not in plan
+
+
+def test_anchor_text_single_pair_shuffle(spark):
+    """q106: no window anywhere — the top anchor must come from the
+    min-struct aggregate, not a per-dst sort."""
+    from outage_data_scraper_spark.operators.graph import aggregate_anchor_text
+    from outage_data_scraper_spark.plans.explain import formatted_plan
+
+    links = spark.range(500).selectExpr(
+        "id AS src", "id % 7 AS dst", "concat('a', id % 3) AS anchor"
+    )
+    plan = formatted_plan(aggregate_anchor_text(links))
+    assert "Window" not in plan
+
+
+def test_allocate_quotas_windows_only_group_sized(spark):
+    """q104: the corpus reduces to group cardinality in ONE hash
+    aggregate before any window/rank touches it — the plan's windows
+    must sit ABOVE the group-by, never over the raw rows (asserted by
+    the aggregate appearing below the first window in the tree)."""
+    from outage_data_scraper_spark.operators.sampling import allocate_quotas
+    from outage_data_scraper_spark.plans.explain import formatted_plan
+
+    df = spark.range(10_000).selectExpr("concat('g', id % 13) AS grp")
+    plan = formatted_plan(allocate_quotas(df, "grp", 137))
+    first_window = plan.index("Window")
+    first_agg = plan.index("HashAggregate")
+    assert first_agg > first_window  # formatted tree prints top-down:
+    # the aggregate node LISTED after the window is its child (input)
