@@ -32,6 +32,7 @@ def pop_wave(
     salt: int = 4,
     lane_cap: int = 500,
     wave_budget: int | None = None,
+    domain_budget: int | None = None,
 ) -> DataFrame:
     """Select this wave's fetch batch: top-k pending URLs per host,
     then (optionally) the global top ``wave_budget`` rows by the
@@ -53,6 +54,19 @@ def pop_wave(
     10^10 posture forbids. The default un-budgeted path keeps the
     two-shuffle wave law exactly as before.
 
+    ``domain_budget`` is the FAIRNESS mode: the budget apportions
+    across registered domains (eTLD+1 — the key crawl budgets belong
+    to, functions/urlkit.registered_domain) proportional to each
+    domain's pending pool via Hamilton largest-remainder quotas
+    (operators/sampling.allocate_quotas), then each domain pops its
+    top-quota rows by the ordering law. A single mega-registrant can
+    never eat the wave, and every pending domain with a large-enough
+    share is guaranteed its floor. Wave size is exactly the budget
+    when the budget ≤ pending, except that a domain handed
+    floor(share)+1 with only floor(share) rows forfeits that single
+    unit (≤ 1 per domain, only when budget > domain pool). Composes
+    with ``wave_budget`` (domain quotas first, global cut after).
+
     Returns the popped rows with a ``salted_part`` fetch-partition column.
     The caller marks them in-flight / fetched via the catalog MERGE.
     """
@@ -63,6 +77,8 @@ def pop_wave(
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= per_host_k)
     )
+    if domain_budget is not None:
+        popped = _domain_cut(popped, int(domain_budget))
     if wave_budget is not None:
         popped = _budget_cut(popped, int(wave_budget))
     popped = (
@@ -86,6 +102,37 @@ def pop_wave(
             ),
         }
     ).drop("rn", "cnt")
+
+
+def _domain_cut(popped: DataFrame, budget: int) -> DataFrame:
+    """Per-registered-domain proportional wave cut: Hamilton quotas
+    over each domain's pending pool, then each domain keeps its
+    top-quota rows by the full ordering law (+url tiebreak).
+
+    Scale shape: the pool is localCheckpointed once (the per-host
+    window chain computes once, and the quota aggregate + ranked
+    filter share it); quotas are a DOMAIN-cardinality relation —
+    broadcast back; the per-domain rank window is bounded by each
+    domain's per-host-capped pool, with the eTLD+1 key exactly as
+    skewed as the politeness layer already handles per host."""
+    from ..functions.urlkit import registered_domain
+    from ..operators.sampling import allocate_quotas
+
+    pool = popped.withColumn(
+        "__dom", registered_domain(F.col("host"))
+    ).localCheckpoint(eager=True)
+    quotas = allocate_quotas(pool, "__dom", budget).select(
+        "__dom", F.col("quota").alias("__quota")
+    )
+    wd = Window.partitionBy("__dom").orderBy(
+        *([F.col(c).asc() for c in ORDER_COLS] + [F.col("url").asc()])
+    )
+    return (
+        pool.withColumn("__drn", F.row_number().over(wd))
+        .join(F.broadcast(quotas), "__dom")
+        .filter(F.col("__drn") <= F.col("__quota"))
+        .drop("__dom", "__drn", "__quota")
+    )
 
 
 def _budget_cut(popped: DataFrame, budget: int, n_buckets: int = 1024) -> DataFrame:

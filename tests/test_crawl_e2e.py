@@ -337,3 +337,68 @@ def test_wave_budget_cut_exact_vs_sorted_limit(spark):
             .collect()
         )
         assert got == ref, f"trial {trial}"
+
+
+def test_domain_budget_pop_fairness(spark):
+    """pop_wave(domain_budget=N): a mega-registrant cannot eat the
+    wave — quotas apportion by pending share (Hamilton law), each
+    domain pops its best rows by the ordering law, Σ popped == budget
+    (budget ≤ pool, every domain pool ≥ its quota)."""
+    from outage_data_scraper_spark.frontier.priority import pop_wave
+
+    rows = []
+    # mega.com: 950 pending across 19 hosts; five small .org.uk
+    # registrants with 10 pending each (1000 total pending)
+    for i in range(950):
+        host = f"h{i % 19}.mega.com"
+        rows.append((f"http://{host}/{i}", host, 0, 0.0, 0, 0, i, 0,
+                     None, None, None, None, "pending", 0))
+    for d in range(5):
+        for i in range(10):
+            host = f"w.site{d}.org.uk"
+            rows.append((f"http://{host}/{i}", host, 0, 0.0, 0, 0,
+                         10_000 + d * 100 + i, 0,
+                         None, None, None, None, "pending", 0))
+    fr = spark.createDataFrame(
+        rows,
+        "url string, host string, salted_part int, priority double, "
+        "depth int, event_seq int, seed_seq int, child_seq int, "
+        "state string, layout string, emc string, family string, "
+        "status string, wave int",
+    ).repartition(8)
+    popped = pop_wave(fr, per_host_k=100, num_parts=8, domain_budget=100)
+    got = popped.collect()
+    assert len(got) == 100
+    # shares: mega.com floor(100·950/1000) = 95; each site{d}.org.uk
+    # (org.uk is a two-level suffix → the eTLD+1 is site{d}.org.uk)
+    # floor(100·10/1000) = 1
+    mega = [r for r in got if r.host.endswith(".mega.com")]
+    small = [r for r in got if r.host.endswith(".org.uk")]
+    assert len(mega) == 95
+    assert len(small) == 5 and len({r.host for r in small}) == 5
+    # within-domain selection follows the ordering law: smallest
+    # seed_seq rows pop first
+    assert sorted(r.seed_seq for r in got if "site0" in r.host) == [10_000]
+
+
+def test_domain_budget_quota_exceeding_pool_forfeits_unit(spark):
+    """A domain handed floor+1 with only floor rows forfeits that one
+    unit (documented); totals never exceed the budget."""
+    from outage_data_scraper_spark.frontier.priority import pop_wave
+
+    rows = []
+    for i in range(99):
+        rows.append((f"http://a.big.com/{i}", "a.big.com", 0, 0.0, 0, 0, i,
+                     0, None, None, None, None, "pending", 0))
+    rows.append(("http://b.tiny.com/0", "b.tiny.com", 0, 0.0, 0, 0, 999, 0,
+                 None, None, None, None, "pending", 0))
+    fr = spark.createDataFrame(
+        rows,
+        "url string, host string, salted_part int, priority double, "
+        "depth int, event_seq int, seed_seq int, child_seq int, "
+        "state string, layout string, emc string, family string, "
+        "status string, wave int",
+    ).repartition(4)
+    got = pop_wave(fr, per_host_k=200, num_parts=8, domain_budget=100).collect()
+    # big: floor(100*99/100)=99 → 99 kept; tiny: floor(1)=1 → 1 kept
+    assert len(got) == 100
