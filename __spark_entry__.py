@@ -2001,6 +2001,84 @@ def q111_streaming_cms(spark, sf_dir):
     )
 
 
+def q112_domain_fair_wave(spark, sf_dir):
+    """Domain-fair budgeted wave pop (frontier/priority.py:pop_wave
+    ``domain_budget`` + sampling.allocate_quotas): the wave budget
+    apportions across REGISTERED DOMAINS (eTLD+1) proportional to each
+    domain's pending pool via Hamilton largest-remainder quotas, then
+    each domain pops its top-quota rows by the crawl-ordering law
+    (+url tiebreak) — a single mega-registrant can never eat a
+    budgeted wave (vs q05's plain per-host top-k and the global
+    wave_budget cut, where one domain's priority mass starves the
+    rest). Frontier synthesizes from documents: 70% of URLs land on
+    11 hosts of mega.com, the rest spread over three *.org.uk
+    registrants (the two-level-suffix branch of registered_domain
+    gates too). The oracle recomputes per-host top-k → Hamilton
+    quotas → per-domain ranked cut, so the COMPOSED law is
+    value-gated end to end. Scale shape: quotas are a
+    domain-cardinality broadcast; the pool localCheckpoints once."""
+    from outage_data_scraper_spark.frontier.priority import pop_wave
+
+    docs = _t(spark, sf_dir, "documents")
+    dom = F.when(
+        F.col("doc_id") % 10 < 7, F.lit("mega.com")
+    ).otherwise(
+        F.concat(F.lit("site"), (F.col("doc_id") % 3).cast("string"), F.lit(".org.uk"))
+    )
+    host = F.concat(
+        F.lit("h"), (F.col("doc_id") % 11).cast("string"), F.lit("."), dom
+    )
+    fr = docs.select(
+        F.concat(F.lit("https://"), host, F.lit("/p/"), F.col("doc_id")).alias("url"),
+        host.alias("host"),
+        F.lit(0).alias("salted_part"),
+        (F.col("doc_id") % 4).cast("double").alias("priority"),
+        F.lit(0).alias("depth"),
+        (F.col("doc_id") % 7).cast("int").alias("event_seq"),
+        F.col("doc_id").cast("int").alias("seed_seq"),
+        F.lit(0).alias("child_seq"),
+        F.lit("pending").alias("status"),
+    )
+    return (
+        pop_wave(fr, per_host_k=5, num_parts=8, domain_budget=60)
+        .select("url", "host")
+        .orderBy("url")
+    )
+
+
+def q113_hop_distance(spark, sf_dir):
+    """Multi-source BFS hop distance (graph.hop_distance): the
+    LINK-graph crawl depth from the seed set — "crawl within k clicks
+    of the seeds" scoping and the far-from-seeds spam signal. Edges
+    synthesize as a binary tree rooted at 0 (doc DIV 2 → doc, spans
+    every node in ≤ ~9 levels) plus mod-101 shortcut edges (cycles —
+    the oracle's walk must be hop-bounded); seeds = {0, 300}. The
+    engine runs delta-frontier level-synchronous BFS (each node joins
+    the edge list exactly once across all rounds); the oracle is a
+    hop-bounded recursive UNION walk + min — semantics vs execution,
+    and BFS's canonical fixpoint makes the values engine-exact."""
+    from outage_data_scraper_spark.operators.graph import hop_distance
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    tree = docs.filter(F.col("doc_id") >= 1).select(
+        F.expr("doc_id DIV 2").alias("src"), F.col("doc_id").alias("dst")
+    )
+    short = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 101).alias("dst"),
+    )
+    seeds = spark.createDataFrame([(0,), (300,)], "node long")
+    d = hop_distance(tree.unionByName(short), seeds, max_rounds=16)
+    return (
+        docs.join(d, docs["doc_id"] == d["node"], "left")
+        .select(
+            F.col("doc_id").cast("long").alias("node"),
+            F.coalesce(F.col("dist"), F.lit(-1)).cast("long").alias("dist"),
+        )
+        .orderBy("node")
+    )
+
+
 def q64_boilerplate_dictionary(spark, sf_dir):
     """Corpus boilerplate dictionary (dedup.boilerplate_dictionary): the
     top-20 most widespread 4-token spans (q49's unit, ndocs ≥ 5) with
@@ -2595,6 +2673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q109_triangle_counts": q109_triangle_counts,
         "q110_posting_size_plan": q110_posting_size_plan,
         "q111_streaming_cms": q111_streaming_cms,
+        "q112_domain_fair_wave": q112_domain_fair_wave,
+        "q113_hop_distance": q113_hop_distance,
     }
 
 
@@ -5097,5 +5177,86 @@ def oracle_sql() -> dict[str, str]:
                 % 2048)::BIGINT AS bucket,
                count(*)::BIGINT AS cnt
         FROM toks, rows_ GROUP BY 1, 2 ORDER BY row, bucket
+    """
+    # q112: the COMPOSED domain-fair pop law re-derived end to end —
+    # per-host top-k (the q05 window), Hamilton quotas over per-domain
+    # pool counts (the q104 arithmetic: // ≡ DIV on non-negative
+    # operands), per-domain ranked cut with the +url tiebreak. The
+    # synthesized dom CASE mirrors what registered_domain extracts from
+    # the host (mega.com 2-label vs *.org.uk two-level-suffix 3-label).
+    oracles["q112_domain_fair_wave"] = """
+        WITH fr AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 10 < 7 THEN 'mega.com'
+                      ELSE 'site' || (doc_id % 3) || '.org.uk' END AS dom,
+                 (doc_id % 4) AS priority,
+                 (doc_id % 7) AS event_seq,
+                 doc_id AS seed_seq
+          FROM documents
+        ),
+        u AS (
+          SELECT *, 'h' || (doc_id % 11) || '.' || dom AS host FROM fr
+        ),
+        uu AS (
+          SELECT *, 'https://' || host || '/p/' || doc_id AS url FROM u
+        ),
+        pool AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY host ORDER BY priority, event_seq, seed_seq
+            ) AS rn FROM uu
+          ) WHERE rn <= 5
+        ),
+        c AS (SELECT dom, count(*)::BIGINT AS n_items FROM pool GROUP BY 1),
+        b AS (
+          SELECT dom, n_items,
+                 (60 * n_items) // (SELECT sum(n_items) FROM c) AS base,
+                 (60 * n_items) % (SELECT sum(n_items) FROM c) AS rem
+          FROM c
+        ),
+        q AS (
+          SELECT dom,
+                 base + CASE WHEN row_number() OVER (ORDER BY rem DESC, dom ASC)
+                             <= (SELECT 60 - sum(base) FROM b)
+                        THEN 1 ELSE 0 END AS quota
+          FROM b
+        ),
+        ranked AS (
+          SELECT p.url, p.host, p.dom,
+                 row_number() OVER (
+                   PARTITION BY p.dom
+                   ORDER BY p.priority, p.event_seq, p.seed_seq, p.url
+                 ) AS drn
+          FROM pool p
+        )
+        SELECT r.url, r.host
+        FROM ranked r JOIN q USING (dom)
+        WHERE r.drn <= q.quota
+        ORDER BY url
+    """
+    # q113: hop-bounded recursive UNION walk (the dedup form terminates
+    # on the shortcut cycles) + min per node — the linear semantics the
+    # engine's delta-frontier BFS must reproduce exactly. d < 16 mirrors
+    # max_rounds=16; true eccentricity here is ~9 so the bound is slack.
+    oracles["q113_hop_distance"] = """
+        WITH RECURSIVE edges AS (
+          SELECT (doc_id // 2) AS src, doc_id AS dst
+          FROM documents WHERE doc_id >= 1
+          UNION ALL
+          SELECT doc_id, (doc_id * 7 + 3) % 101 FROM documents
+        ),
+        walk(node, d) AS (
+          SELECT * FROM (VALUES (0::BIGINT, 0::BIGINT),
+                                (300::BIGINT, 0::BIGINT))
+          UNION
+          SELECT e.dst, w.d + 1
+          FROM walk w JOIN edges e ON w.node = e.src
+          WHERE w.d < 16
+        ),
+        md AS (SELECT node, min(d) AS dist FROM walk GROUP BY 1)
+        SELECT d.doc_id::BIGINT AS node,
+               coalesce(md.dist, -1)::BIGINT AS dist
+        FROM documents d LEFT JOIN md ON md.node = d.doc_id
+        ORDER BY node
     """
     return oracles

@@ -74,6 +74,7 @@ class Crawler:
         bloom_fpp: float = 1e-4,
         host_budget: int | None = None,
         wave_budget: int | None = None,
+        domain_budget: int | None = None,
     ):
         self.spark = spark
         self.cat = catalog
@@ -92,6 +93,10 @@ class Crawler:
         # (e.g. PageRank host-rank feedback) decides which hosts make
         # the wave, not just fetch order — see priority.pop_wave
         self.wave_budget = wave_budget
+        # fairness mode: the budget apportions across registered domains
+        # (Hamilton quotas over pending pools) before any global cut, so
+        # one mega-registrant cannot eat a budgeted wave
+        self.domain_budget = domain_budget
 
     # -- state ---------------------------------------------------------------
     def bootstrap(self, seeds: DataFrame) -> None:
@@ -241,6 +246,7 @@ class Crawler:
         popped = pop_wave(
             pending, self.per_host_k, self.num_parts, self.salt,
             wave_budget=self.wave_budget,
+            domain_budget=self.domain_budget,
         ).withColumn("wave", F.lit(wave))
 
         # robots gate (north rule; absent in the reference, default-allow

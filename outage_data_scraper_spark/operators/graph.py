@@ -346,3 +346,74 @@ def triangle_count(
         "node",
         F.coalesce(F.col("__nt"), F.lit(0)).cast("long").alias("n_triangles"),
     )
+
+
+def hop_distance(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_rounds: int = 32,
+    src: str = "src",
+    dst: str = "dst",
+    require_convergence: bool = True,
+) -> DataFrame:
+    """Multi-source BFS over the link graph: minimum hop count from the
+    seed set to every reachable node — the LINK-graph crawl depth (vs
+    the frontier's discovery ``depth``, which depends on wave timing):
+    the classic "crawl within k clicks of the seeds" scoping signal,
+    and the denominator quality heuristic (pages far from any seed are
+    disproportionately spam/trap space).
+
+    Level-synchronous delta-frontier BFS (the Pregel shape): per round,
+    only the nodes DISCOVERED LAST ROUND join the edge list (one hash
+    join), and candidates already labeled are dropped with one
+    node-keyed anti-join. Each node enters the frontier at most once,
+    so total join work across ALL rounds is O(edges incident to
+    reachable nodes) — not O(rounds · edges); dist is node-sized and
+    append-only. localCheckpoint per round (the iterative-lineage law);
+    the per-round empty-check is a driver scalar. BFS's fixpoint is
+    canonical (no tie rule needed — a node's level is unique), which is
+    what makes the result value-gatable cross-engine.
+
+    ``seeds`` must carry a ``node`` column. Returns (node, dist) for
+    reachable nodes only; unreached nodes are absent (callers left-join
+    and coalesce). Raises if the frontier is still non-empty after
+    ``max_rounds`` and ``require_convergence`` (a hop-capped partial
+    BFS is a legitimate crawl scope — but then the cap is part of the
+    operator's contract, so it must be explicit)."""
+    e = edges.select(
+        F.col(src).cast("long").alias("__s"), F.col(dst).cast("long").alias("__t")
+    )
+    dist = (
+        seeds.select(F.col("node").cast("long").alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("node")
+    for r in range(1, max_rounds + 1):
+        cand = (
+            frontier.join(e, frontier["node"] == e["__s"])
+            .select(F.col("__t").alias("node"))
+            .distinct()
+        )
+        new = (
+            cand.join(dist, "node", "left_anti")
+            .select("node", F.lit(r).cast("long").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if new.isEmpty():
+            return dist
+        dist = dist.unionByName(new).localCheckpoint(eager=True)
+        frontier = new.select("node")
+    # one more expansion to see whether the cap truncated the BFS
+    leftover = (
+        frontier.join(e, frontier["node"] == e["__s"])
+        .select(F.col("__t").alias("node"))
+        .join(dist, "node", "left_anti")
+    )
+    if require_convergence and not leftover.isEmpty():
+        raise ValueError(
+            f"hop_distance: frontier still expanding after {max_rounds} "
+            "rounds; raise max_rounds or pass require_convergence=False"
+        )
+    return dist

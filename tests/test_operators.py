@@ -2620,3 +2620,86 @@ def test_posting_size_plan_hand_case(spark):
     assert set(out) == {"w", "x"}
     assert (out["w"].df, out["w"].raw_bytes, out["w"].varint_bytes) == (3, 24, 4)
     assert (out["x"].df, out["x"].varint_bytes) == (1, 1)
+
+
+def test_hop_distance_hand_graph(spark):
+    """Chain with a shortcut: BFS takes the shorter of the two routes;
+    unreachable nodes are absent from the result."""
+    from outage_data_scraper_spark.operators.graph import hop_distance
+
+    # 0→1→2→3→4 chain plus shortcut 0→3; 9 is isolated (no inbound)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (0, 3), (9, 9)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.dist for r in hop_distance(edges, seeds).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 2}
+
+
+def test_hop_distance_multi_seed_and_cycle(spark):
+    """Two seeds, a cycle: each node labels at its min distance over
+    both sources; the cycle terminates (delta frontier empties)."""
+    from outage_data_scraper_spark.operators.graph import hop_distance
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (10, 2), (10, 11), (11, 12)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(0,), (10,)], "node long")
+    got = {r.node: r.dist for r in hop_distance(edges, seeds).collect()}
+    assert got == {0: 0, 10: 0, 1: 1, 2: 1, 11: 1, 12: 2}
+
+
+def test_hop_distance_matches_python_bfs(spark):
+    """Randomized parity vs a driver-side textbook BFS."""
+    import collections
+    import random
+
+    from outage_data_scraper_spark.operators.graph import hop_distance
+
+    rng = random.Random(7)
+    n = 60
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+    seeds = [0, 17, 41]
+    adj = collections.defaultdict(list)
+    for s, t in edges:
+        adj[s].append(t)
+    ref, dq = {s: 0 for s in seeds}, collections.deque(seeds)
+    while dq:
+        u = dq.popleft()
+        for v in adj[u]:
+            if v not in ref:
+                ref[v] = ref[u] + 1
+                dq.append(v)
+    got = {
+        r.node: r.dist
+        for r in hop_distance(
+            spark.createDataFrame(edges, "src long, dst long"),
+            spark.createDataFrame([(s,) for s in seeds], "node long"),
+        ).collect()
+    }
+    assert got == ref
+
+
+def test_hop_distance_cap_raises_when_unconverged(spark):
+    """A chain longer than max_rounds fails loud unless the cap is made
+    explicit with require_convergence=False (then it's a hop-capped
+    partial BFS)."""
+    import pytest
+
+    from outage_data_scraper_spark.operators.graph import hop_distance
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    with pytest.raises(ValueError, match="still expanding"):
+        hop_distance(edges, seeds, max_rounds=3)
+    part = {
+        r.node: r.dist
+        for r in hop_distance(
+            edges, seeds, max_rounds=3, require_convergence=False
+        ).collect()
+    }
+    assert part == {0: 0, 1: 1, 2: 2, 3: 3}
