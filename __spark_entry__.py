@@ -2079,6 +2079,63 @@ def q113_hop_distance(spark, sf_dir):
     )
 
 
+def q114_host_mirror_detection(spark, sf_dir):
+    """Host-level mirror detection (frontier/mirrors.py, Bharat &
+    Broder 1999): hosts whose page-signature sets overlap are aliases
+    (CDNs, vanity domains, literal mirrors) — the frontier keeps one
+    canonical host instead of re-crawling each. Pages synthesize onto
+    40 hosts where adjacent pairs (m2k, m2k+1) mirror each other except
+    host-specific pages ((r + doc_id) % 5 == 0 stays 'own'), plus a
+    'common' boilerplate signature on EVERY host: df > max_df drops it
+    from the pair join (the q86 skew law — no boilerplate hash fans
+    out), but it still counts in each host's denominator set.
+    Containment in integer basis points of the smaller set — no float.
+    One distinct collapse + one df-capped sig equi-join; host sizes
+    join back host-cardinality-sized."""
+    from outage_data_scraper_spark.frontier.mirrors import detect_mirrors
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    host = F.concat(F.lit("m"), (F.col("doc_id") % 40).cast("string"))
+    content = F.when(
+        (F.expr("doc_id DIV 40") + F.col("doc_id")) % 5 == 0,
+        F.concat(
+            F.lit("own/"),
+            (F.col("doc_id") % 40).cast("string"),
+            F.lit("/"),
+            F.expr("doc_id DIV 40").cast("string"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("mir/"),
+            F.expr("(doc_id % 40) DIV 2").cast("string"),
+            F.lit("/"),
+            F.expr("doc_id DIV 40").cast("string"),
+        )
+    )
+    pages = docs.select(host.alias("host"), F.md5(content).alias("sig")).unionByName(
+        docs.select(host.alias("host"), F.md5(F.lit("common")).alias("sig"))
+    )
+    return detect_mirrors(pages, min_shared=3, max_df=2).orderBy(
+        "host_a", "host_b"
+    )
+
+
+def q115_bm25_max_score(spark, sf_dir):
+    """WAND / MaxScore upper-bound table (index.bm25_max_score_table,
+    Broder et al. 2003): per vocabulary term, df and the maximum BM25
+    contribution any single doc can earn (same integer micro-units as
+    q71's scores) — the term-sized pruning structure a 10^10-doc top-k
+    engine reads to skip whole posting lists. The contribution
+    expression is bit-identical to q71's (same constants, same
+    left-assoc shapes, same micro rounding), so the gated bound is a
+    TRUE bound on every score q71 sums. One tf agg, one term-keyed df
+    join reusing the agg partitioning, one map-side-combined max."""
+    from outage_data_scraper_spark.operators.index import bm25_max_score_table
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_max_score_table(docs, k1=1.2, b=0.75).orderBy("term")
+
+
 def q64_boilerplate_dictionary(spark, sf_dir):
     """Corpus boilerplate dictionary (dedup.boilerplate_dictionary): the
     top-20 most widespread 4-token spans (q49's unit, ndocs ≥ 5) with
@@ -2675,6 +2732,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_streaming_cms": q111_streaming_cms,
         "q112_domain_fair_wave": q112_domain_fair_wave,
         "q113_hop_distance": q113_hop_distance,
+        "q114_host_mirror_detection": q114_host_mirror_detection,
+        "q115_bm25_max_score": q115_bm25_max_score,
     }
 
 
@@ -5258,5 +5317,73 @@ def oracle_sql() -> dict[str, str]:
                coalesce(md.dist, -1)::BIGINT AS dist
         FROM documents d LEFT JOIN md ON md.node = d.doc_id
         ORDER BY node
+    """
+    # q114: same page synthesis, same law — distinct (host, sig)
+    # collapse, df ≤ 2 cut before the pair join, full-set denominators,
+    # integer basis-point containment (// ≡ DIV, non-negative).
+    oracles["q114_host_mirror_detection"] = """
+        WITH pages AS (
+          SELECT DISTINCT 'm' || (doc_id % 40) AS host,
+                 md5(CASE WHEN (doc_id // 40 + doc_id) % 5 = 0
+                     THEN 'own/' || (doc_id % 40) || '/' || (doc_id // 40)
+                     ELSE 'mir/' || ((doc_id % 40) // 2) || '/' ||
+                          (doc_id // 40) END) AS sig
+          FROM documents
+          UNION
+          SELECT DISTINCT 'm' || (doc_id % 40) AS host, md5('common') AS sig
+          FROM documents
+        ),
+        sizes AS (SELECT host, count(*)::BIGINT AS n FROM pages GROUP BY 1),
+        rare AS (
+          SELECT * FROM pages WHERE sig IN (
+            SELECT sig FROM pages GROUP BY 1 HAVING count(*) <= 2)
+        ),
+        pairs AS (
+          SELECT a.host AS host_a, b.host AS host_b,
+                 count(*)::BIGINT AS n_shared
+          FROM rare a JOIN rare b ON a.sig = b.sig AND a.host < b.host
+          GROUP BY 1, 2 HAVING count(*) >= 3
+        )
+        SELECT p.host_a, p.host_b, p.n_shared,
+               sa.n AS n_a, sb.n AS n_b,
+               ((10000 * p.n_shared) // least(sa.n, sb.n))::BIGINT
+                 AS containment_bp
+        FROM pairs p
+        JOIN sizes sa ON sa.host = p.host_a
+        JOIN sizes sb ON sb.host = p.host_b
+        ORDER BY host_a, host_b
+    """
+    # q115: q71's contribution CTEs verbatim with the term filter
+    # removed and the per-doc sum swapped for a per-term max — the
+    # upper bound gates against the same double-expression shapes.
+    oracles["q115_bm25_max_score"] = f"""
+        WITH base AS (
+          SELECT doc_id, {_TOKS} AS w FROM documents WHERE length({_NORM}) > 0
+        ),
+        s AS (
+          SELECT count(*)::BIGINT AS n,
+                 sum(len(w))::DOUBLE / count(*) AS avgdl
+          FROM base
+        ),
+        pos AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM base),
+        m AS (
+          SELECT term, doc_id, dl, count(*)::BIGINT AS tf
+          FROM pos WHERE term != ''
+          GROUP BY 1, 2, 3
+        ),
+        d AS (SELECT term, count(*)::BIGINT AS df FROM m GROUP BY 1),
+        c AS (
+          SELECT m.term, d.df,
+                 CAST(round(
+                   ln((CAST(s.n AS DOUBLE) - df + 0.5::DOUBLE)
+                      / (df + 0.5::DOUBLE) + 1.0::DOUBLE)
+                   * ((tf::DOUBLE * 2.2::DOUBLE)
+                      / (tf::DOUBLE + 1.2::DOUBLE
+                         * (0.25::DOUBLE + 0.75::DOUBLE * dl::DOUBLE / s.avgdl)))
+                   * 1000000.0::DOUBLE, 0) AS BIGINT) AS cu
+          FROM m JOIN d USING (term), s
+        )
+        SELECT term, max(df)::BIGINT AS df, max(cu)::BIGINT AS ub_u
+        FROM c GROUP BY 1 ORDER BY term
     """
     return oracles

@@ -183,3 +183,70 @@ def posting_size_plan(
         .cast("long")
         .alias("varint_bytes"),
     )
+
+
+def bm25_max_score_table(
+    docs: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-term WAND / MaxScore upper bounds (Broder et al. 2003;
+    Turtle & Flood 1995): for every vocabulary term, the MAXIMUM BM25
+    contribution any single document can earn from it, in the same
+    integer micro-units bm25_topk sums. A top-k query engine reads this
+    term-sized table to skip whole posting lists (if the sum of the
+    remaining terms' upper bounds cannot beat the current k-th score,
+    stop) — the pruning structure that makes top-k retrieval affordable
+    over a 10^10-doc index, computed once at index-build time.
+
+    Returns (term, df, ub_u). Scale shape: one (term, doc) tf
+    aggregation (the inverted-index shuffle, map-side combined), df as
+    a second term-keyed agg over it, one term-keyed join back (reuses
+    the agg's hash partitioning; vocabulary-sized relation — the Zipf
+    head is bounded because both sides are already per-term
+    aggregates), then a map-side-combined max per term. N and avgdl are
+    the two driver scalars bm25_topk already uses; the contribution
+    expression is IDENTICAL to bm25_topk's, so ub_u is a true bound for
+    every score it would sum (asserted in tests)."""
+    toks = textkit.tokens(textkit.normalized(F.col(text_col)))
+    base = docs.select(F.col(id_col), toks.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.size("toks")).alias("sum_dl")
+    ).collect()[0]
+    if int(stats.n) == 0:
+        return base.select(
+            F.lit("").alias("term"),
+            F.lit(None).cast("long").alias("df"),
+            F.lit(None).cast("long").alias("ub_u"),
+        ).limit(0)
+    n_docs, avgdl = int(stats.n), stats.sum_dl / stats.n
+    pos = base.select(
+        F.col(id_col),
+        F.size("toks").alias("dl"),
+        F.explode("toks").alias("term"),
+    ).filter(F.col("term") != "")
+    tfdf = pos.groupBy("term", id_col, "dl").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tfdf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    j = tfdf.join(df_t, "term")
+    # the exact bm25_topk contribution expression — ub must bound it
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    tfn = (tfd * F.lit(k1 + 1.0)) / (
+        tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dld / F.lit(avgdl))
+    )
+    contrib_u = F.round(idf * tfn * F.lit(1e6), 0).cast("long")
+    return j.select("term", "df", contrib_u.alias("cu")).groupBy(
+        "term"
+    ).agg(
+        F.max("df").cast("long").alias("df"),
+        F.max("cu").cast("long").alias("ub_u"),
+    )

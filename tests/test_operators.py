@@ -2703,3 +2703,34 @@ def test_hop_distance_cap_raises_when_unconverged(spark):
         ).collect()
     }
     assert part == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bm25_max_score_is_tight_single_term_bound(spark):
+    """For every vocabulary term, ub_u equals the best single-term
+    bm25_topk score any doc earns (the expressions are shared), hence
+    bounds every contribution the ranker would sum."""
+    from outage_data_scraper_spark.operators.index import (
+        bm25_max_score_table,
+        bm25_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark joins windows and spark shuffles"),
+            (1, "windows windows windows everywhere"),
+            (2, "joins beat loops; spark wins"),
+            (3, "a completely different document entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    tbl = {r.term: (r.df, r.ub_u) for r in bm25_max_score_table(docs).collect()}
+    assert tbl  # non-empty vocab
+    for term, (df, ub) in tbl.items():
+        scores = [
+            r.score_u
+            for r in bm25_topk(docs, [term], top_k=10).collect()
+            if r.score_u is not None
+        ]
+        assert scores, term
+        assert max(scores) == ub, term
+        assert len(scores) == df, term
