@@ -127,6 +127,14 @@ EXTENDED = [
     "q105_snapshot_diff",
     "q106_anchor_text_rollup",
     "q108_hits",
+    "q109_triangle_counts",
+    "q110_posting_size_plan",
+    # round-7c additions (q111 is a streaming replay dominated by
+    # micro-batch scheduling — soaked separately, like q95/q97)
+    "q112_domain_fair_wave",
+    "q113_hop_distance",
+    "q114_host_mirror_detection",
+    "q115_bm25_max_score",
 ]
 
 
