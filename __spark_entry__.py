@@ -2136,6 +2136,62 @@ def q115_bm25_max_score(spark, sf_dir):
     return bm25_max_score_table(docs, k1=1.2, b=0.75).orderBy("term")
 
 
+def q116_language_balanced_mix(spark, sf_dir):
+    """Language-balanced training-mix composition — the curation loop
+    closed end to end: Hamilton quotas over languages
+    (sampling.allocate_quotas, q104's gated law) → EXACT quota sampling
+    (sampling.quota_sample, q78's deterministic k-smallest-hash law) →
+    the per-language corpus card over exactly the sampled docs (q60's
+    doc/token/char totals). This gates the stage BOUNDARIES of "take
+    250 docs proportional by language and report the resulting mix" —
+    quota derivation feeding selection feeding reporting. The quota
+    dict crossing the driver is language-cardinality (the documented
+    driver-scale class); sampling and the card are fully distributed."""
+    from outage_data_scraper_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    quotas = {
+        r["lang"]: int(r["quota"])
+        for r in sampling.allocate_quotas(docs, "lang", budget=250).collect()
+    }
+    sampled = sampling.quota_sample(docs, "lang", quotas)
+    return (
+        sampled.select(
+            "lang",
+            textkit.token_count(F.col("text")).alias("nt"),
+            F.length("text").cast("long").alias("nc"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+            F.sum("nc").cast("long").alias("n_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q117_index_segment_merge(spark, sf_dir):
+    """Incremental inverted-index maintenance
+    (index.merge_inverted_index): the corpus splits into a BASE segment
+    (doc_id % 3 != 0) and a DELTA segment (doc_id % 3 == 0 — id ranges
+    INTERLEAVE, so the merge's numeric posting re-sort is load-bearing,
+    not a trivial concat), each indexed independently with min_df=1;
+    the merge adds df/total_tf, splices posting lists back into
+    doc-ascending order, and applies min_df=2 POST-merge (a term at df
+    1+1 across segments survives, exactly as a rebuild counts it). The
+    oracle is q70's full-corpus build verbatim: merge(build(A),
+    build(B)) ≡ build(A ∪ B) — the segment-merge law a continuous
+    crawl's index refresh depends on, gated value-exact down to the
+    posting strings."""
+    from outage_data_scraper_spark.operators import index
+
+    docs = _t(spark, sf_dir, "documents")
+    base = index.build_inverted_index(docs.filter(F.col("doc_id") % 3 != 0))
+    delta = index.build_inverted_index(docs.filter(F.col("doc_id") % 3 == 0))
+    return index.merge_inverted_index(base, delta, min_df=2).orderBy("term")
+
+
 def q64_boilerplate_dictionary(spark, sf_dir):
     """Corpus boilerplate dictionary (dedup.boilerplate_dictionary): the
     top-20 most widespread 4-token spans (q49's unit, ndocs ≥ 5) with
@@ -2734,6 +2790,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q113_hop_distance": q113_hop_distance,
         "q114_host_mirror_detection": q114_host_mirror_detection,
         "q115_bm25_max_score": q115_bm25_max_score,
+        "q116_language_balanced_mix": q116_language_balanced_mix,
+        "q117_index_segment_merge": q117_index_segment_merge,
     }
 
 
@@ -5386,4 +5444,43 @@ def oracle_sql() -> dict[str, str]:
         SELECT term, max(df)::BIGINT AS df, max(cu)::BIGINT AS ub_u
         FROM c GROUP BY 1 ORDER BY term
     """
+    # q116: the three gated laws composed — Hamilton quotas over lang
+    # (q104 arithmetic), the k-smallest-(hash60, id) selection (q78
+    # law), then q60's card totals over exactly the selected rows.
+    oracles["q116_language_balanced_mix"] = f"""
+        WITH c AS (
+          SELECT lang, count(*)::BIGINT AS n_items FROM documents GROUP BY 1
+        ),
+        b AS (
+          SELECT lang, n_items,
+                 (250 * n_items) // (SELECT sum(n_items) FROM c) AS base,
+                 (250 * n_items) % (SELECT sum(n_items) FROM c) AS rem
+          FROM c
+        ),
+        q AS (
+          SELECT lang,
+                 base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang ASC)
+                             <= (SELECT 250 - sum(base) FROM b)
+                        THEN 1 ELSE 0 END AS quota
+          FROM b
+        ),
+        r AS (
+          SELECT d.doc_id, d.lang, d.text,
+                 row_number() OVER (
+                   PARTITION BY d.lang
+                   ORDER BY ('0x' || substr(md5('quota-1' || d.doc_id::VARCHAR), 1, 15))::BIGINT,
+                            d.doc_id
+                 ) AS rk,
+                 q.quota
+          FROM documents d JOIN q ON d.lang = q.lang
+        ),
+        s AS (SELECT * FROM r WHERE rk <= quota)
+        SELECT lang, count(*)::BIGINT AS n_docs,
+               sum({_N_TOKS})::BIGINT AS n_tokens,
+               sum(length(text))::BIGINT AS n_chars
+        FROM s GROUP BY 1 ORDER BY lang
+    """
+    # q117: merge(build(A), build(B)) ≡ build(A ∪ B) — the oracle IS
+    # q70's full-corpus build (same min_df=2, same posting string law).
+    oracles["q117_index_segment_merge"] = oracles["q70_inverted_index"]
     return oracles

@@ -135,6 +135,8 @@ EXTENDED = [
     "q113_hop_distance",
     "q114_host_mirror_detection",
     "q115_bm25_max_score",
+    # q116 composes q104+q78+q60 — stages benched individually
+    "q117_index_segment_merge",
 ]
 
 

@@ -250,3 +250,67 @@ def bm25_max_score_table(
         F.max("df").cast("long").alias("df"),
         F.max("cu").cast("long").alias("ub_u"),
     )
+
+
+def merge_inverted_index(
+    base: DataFrame,
+    delta: DataFrame,
+    min_df: int = 1,
+) -> DataFrame:
+    """Incremental index maintenance: merge a DELTA index segment into
+    a BASE segment without rescanning the base corpus — the Lucene-
+    style segment merge a continuous crawl needs (re-building a
+    10^10-doc index per refresh is the thing this avoids; the refresh
+    pass only tokenizes NEW docs, then merges term-sized rows).
+
+    Contract: both inputs are build_inverted_index outputs
+    (doc_buckets=1) over DISJOINT doc-id sets (new docs get new ids;
+    updates route through delete + reinsert). df/total_tf add; posting
+    lists concatenate and RE-SORT by doc id (numeric, not lexical — doc
+    10 sorts after doc 9), so interleaved id ranges merge correctly and
+    `merge(build(A), build(B)) ≡ build(A ∪ B)` exactly (the q117 gate).
+    ``min_df`` applies AFTER the merge — a term at df 1+1 across
+    segments survives a min_df=2 cut, exactly as a full rebuild would
+    count it.
+
+    Scale shape: ONE term-keyed full-outer join of two term-sized
+    relations (both already aggregated — the Zipf head is one row per
+    side per segment), then pure array algebra per row; no corpus-sized
+    shuffle anywhere."""
+    a = base.select(
+        "term",
+        F.col("df").alias("__dfa"),
+        F.col("total_tf").alias("__tfa"),
+        F.col("postings").alias("__pa"),
+    )
+    b = delta.select(
+        "term",
+        F.col("df").alias("__dfb"),
+        F.col("total_tf").alias("__tfb"),
+        F.col("postings").alias("__pb"),
+    )
+    empty = F.array().cast("array<string>")
+    both = F.concat(
+        F.coalesce(F.split(F.col("__pa"), ","), empty),
+        F.coalesce(F.split(F.col("__pb"), ","), empty),
+    )
+    keyed = F.transform(
+        both,
+        lambda e: F.struct(
+            F.substring_index(e, ":", 1).cast("long").alias("d"),
+            e.alias("e"),
+        ),
+    )
+    merged = a.join(b, "term", "full_outer").select(
+        "term",
+        (F.coalesce("__dfa", F.lit(0)) + F.coalesce("__dfb", F.lit(0)))
+        .cast("long")
+        .alias("df"),
+        (F.coalesce("__tfa", F.lit(0)) + F.coalesce("__tfb", F.lit(0)))
+        .cast("long")
+        .alias("total_tf"),
+        F.concat_ws(
+            ",", F.transform(F.sort_array(keyed), lambda s: s["e"])
+        ).alias("postings"),
+    )
+    return merged.filter(F.col("df") >= min_df)

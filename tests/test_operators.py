@@ -2734,3 +2734,60 @@ def test_bm25_max_score_is_tight_single_term_bound(spark):
         assert scores, term
         assert max(scores) == ub, term
         assert len(scores) == df, term
+
+
+def test_index_segment_merge_equals_full_build(spark):
+    """merge(build(A), build(B)) ≡ build(A ∪ B) for a random disjoint
+    split with interleaved ids (the numeric posting re-sort matters:
+    doc 10 must follow doc 9, not doc 1)."""
+    import random
+
+    from outage_data_scraper_spark.operators.index import (
+        build_inverted_index,
+        merge_inverted_index,
+    )
+
+    rng = random.Random(11)
+    vocab = ["red", "green", "blue", "cyan"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 9))))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    in_a = {i for i, _ in rows if rng.random() < 0.5}
+    a = docs.filter(F.col("doc_id").isin(sorted(in_a)))
+    b = docs.filter(~F.col("doc_id").isin(sorted(in_a)))
+    for min_df in (1, 2, 4):
+        full = {
+            r.term: (r.df, r.total_tf, r.postings)
+            for r in build_inverted_index(docs, min_df=min_df).collect()
+        }
+        got = {
+            r.term: (r.df, r.total_tf, r.postings)
+            for r in merge_inverted_index(
+                build_inverted_index(a), build_inverted_index(b), min_df=min_df
+            ).collect()
+        }
+        assert got == full, min_df
+
+
+def test_index_segment_merge_term_only_in_one_side(spark):
+    """A term absent from one segment passes through unchanged."""
+    from outage_data_scraper_spark.operators.index import (
+        build_inverted_index,
+        merge_inverted_index,
+    )
+
+    a = spark.createDataFrame([(0, "solo alpha")], "doc_id long, text string")
+    b = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    got = {
+        r.term: (r.df, r.postings)
+        for r in merge_inverted_index(
+            build_inverted_index(a), build_inverted_index(b)
+        ).collect()
+    }
+    assert got == {
+        "solo": (1, "0:0"),
+        "alpha": (2, "0:1,1:0"),
+        "beta": (1, "1:1"),
+    }
