@@ -474,3 +474,57 @@ def test_allocate_quotas_windows_only_group_sized(spark):
     first_agg = plan.index("HashAggregate")
     assert first_agg > first_window  # formatted tree prints top-down:
     # the aggregate node LISTED after the window is its child (input)
+
+
+def test_mirror_detection_no_cartesian(spark):
+    """q114: the host-pair evidence must come from the sig equi-join —
+    never a cartesian/nested-loop over the host space."""
+    from outage_data_scraper_spark.frontier.mirrors import detect_mirrors
+    from outage_data_scraper_spark.plans.explain import formatted_plan
+
+    pages = spark.range(2000).selectExpr(
+        "concat('h', id % 50) AS host", "md5(concat('s', id % 400)) AS sig"
+    )
+    plan = formatted_plan(detect_mirrors(pages, min_shared=2, max_df=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_domain_cut_quotas_broadcast(spark):
+    """q112: the Hamilton quota table joins back onto the pool as a
+    BROADCAST (domain-cardinality relation), and the only windows are
+    the per-host/per-domain partitioned ranks — no unpartitioned
+    row-scale window anywhere in the budgeted pop."""
+    from outage_data_scraper_spark.frontier.priority import pop_wave
+    from outage_data_scraper_spark.plans.explain import formatted_plan
+
+    fr = spark.range(5000).selectExpr(
+        "concat('https://h', id % 40, '.dom', id % 6, '.com/p/', id) AS url",
+        "concat('h', id % 40, '.dom', id % 6, '.com') AS host",
+        "0 AS salted_part",
+        "CAST(id % 3 AS DOUBLE) AS priority",
+        "0 AS depth",
+        "CAST(id % 5 AS INT) AS event_seq",
+        "CAST(id AS INT) AS seed_seq",
+        "0 AS child_seq",
+        "'pending' AS status",
+    )
+    plan = formatted_plan(pop_wave(fr, per_host_k=10, num_parts=8, domain_budget=100))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # the per-domain rank window is partitioned by the domain key; the
+    # ONLY unpartitioned windows are allocate_quotas' internals, which
+    # run over the domain-COUNT relation (n_items/__base/__rem columns)
+    # — never over frontier rows (the documented small-window exception)
+    saw_dom_rank = False
+    for line in plan.splitlines():
+        low = line.lower()
+        if "windowspecdefinition(" not in low:
+            continue
+        if "windowspecdefinition(__dom" in low or "windowspecdefinition(host" in low:
+            saw_dom_rank = saw_dom_rank or "windowspecdefinition(__dom" in low
+            continue
+        # unpartitioned: must be a quota-relation window, not frontier
+        assert (
+            "n_items" in low or "__base" in low or "__rem" in low
+        ), f"unpartitioned window over frontier columns: {line}"
+    assert saw_dom_rank
