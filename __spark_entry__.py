@@ -2192,6 +2192,73 @@ def q117_index_segment_merge(spark, sf_dir):
     return index.merge_inverted_index(base, delta, min_df=2).orderBy("term")
 
 
+def q118_rag_chunk_windows(spark, sf_dir):
+    """Retrieval/RAG chunk export (packing.chunk_windows): WITHIN-doc
+    overlapping windows — 64 tokens starting every 48 (16-token overlap
+    preserves context across cuts), last window ragged, short docs emit
+    one chunk, no chunk ever crosses a document (retrieval chunks quote
+    one source) — the manifest a vector-store ingest reads, vs q98's
+    cross-doc concat-and-chunk for causal-LM training. Pure projection
+    + explode: zero shuffles, zero windows; all-integer fixed-stride
+    law with the DIV kept on the non-negative domain."""
+    from outage_data_scraper_spark.operators.packing import chunk_windows
+
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", textkit.token_count(F.col("text")).alias("n_tok")
+    )
+    return chunk_windows(
+        sized, "n_tok", window_len=64, stride=48
+    ).orderBy("doc_id", "chunk_id")
+
+
+def q119_focused_crawl_priority(spark, sf_dir):
+    """Focused-crawl steering (frontier/focus.py, Chakrabarti 1999 /
+    shark-search): every candidate URL scored BEFORE fetch from its
+    best in-link — inherited parent relevance decayed to 85% (integer
+    basis points) plus a bonus per DISTINCT query term in the anchor
+    text (a 'spark spark spark' anchor earns one mention). max, not
+    sum: one strong recommendation beats many weak ones, and minted
+    in-links can't inflate it. The output plugs into the frontier's
+    priority column (the reprioritize_frontier wiring). Links are the
+    q106 anchor graph; parent scores synthesize as (doc_id % 97)·10⁴
+    micro. One edge pass: src join to node-sized scores, per-row anchor
+    projection, map-side-combined per-dst max — no window."""
+    from outage_data_scraper_spark.frontier.focus import focused_priority
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    links = (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
+        )
+        .select(
+            F.col("doc_id").alias("src"),
+            F.pmod(F.col("doc_id") * 3 + F.col("k") * 17, F.lit(101)).alias(
+                "dst"
+            ),
+            F.array_join(F.slice(F.split(F.col("text"), " "), 1, 2), " ").alias(
+                "anchor"
+            ),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    scores = docs.select(
+        F.col("doc_id").alias("node"),
+        ((F.col("doc_id") % 97) * 10000).cast("long").alias("score_micro"),
+    )
+    return (
+        focused_priority(links, scores, ["spark", "window", "join"])
+        .select(
+            F.col("dst").cast("long").alias("dst"),
+            "n_inlinks",
+            "priority_micro",
+        )
+        .orderBy("dst")
+    )
+
+
 def q64_boilerplate_dictionary(spark, sf_dir):
     """Corpus boilerplate dictionary (dedup.boilerplate_dictionary): the
     top-20 most widespread 4-token spans (q49's unit, ndocs ≥ 5) with
@@ -2792,6 +2859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q115_bm25_max_score": q115_bm25_max_score,
         "q116_language_balanced_mix": q116_language_balanced_mix,
         "q117_index_segment_merge": q117_index_segment_merge,
+        "q118_rag_chunk_windows": q118_rag_chunk_windows,
+        "q119_focused_crawl_priority": q119_focused_crawl_priority,
     }
 
 
@@ -5483,4 +5552,45 @@ def oracle_sql() -> dict[str, str]:
     # q117: merge(build(A), build(B)) ≡ build(A ∪ B) — the oracle IS
     # q70's full-corpus build (same min_df=2, same posting string law).
     oracles["q117_index_segment_merge"] = oracles["q70_inverted_index"]
+    # q118: the fixed-stride law re-derived — n_chunks−1 = ceil(max(n−64,
+    # 0)/48) via generate_series (inclusive upper bound), // ≡ DIV on
+    # the non-negative domain by construction.
+    oracles["q118_rag_chunk_windows"] = f"""
+        WITH sized AS (
+          SELECT doc_id, ({_N_TOKS})::BIGINT AS n FROM documents
+        ),
+        pos AS (
+          SELECT doc_id, n,
+                 unnest(generate_series(
+                   0, (greatest(n - 64, 0) + 47) // 48)) AS chunk_id
+          FROM sized WHERE n > 0
+        )
+        SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+               (chunk_id * 48)::BIGINT AS start,
+               least(64, n - chunk_id * 48)::BIGINT AS length
+        FROM pos ORDER BY doc_id, chunk_id
+    """
+    # q119: the shark-search evidence law over the shared anchor graph —
+    # per-link (parent·8500) // 10000 + distinct-term hits · 250000,
+    # per-dst MAX; src%97 products promote to BIGINT (doc_id is BIGINT).
+    oracles["q119_focused_crawl_priority"] = f"""
+        WITH links AS ({_ANCHOR_LINKS_SQL}),
+        h AS (
+          SELECT dst, src,
+                 (list_contains(string_split(lower(anchor), ' '), 'spark')::BIGINT
+                  + list_contains(string_split(lower(anchor), ' '), 'window')::BIGINT
+                  + list_contains(string_split(lower(anchor), ' '), 'join')::BIGINT)
+                   AS hits
+          FROM links
+        ),
+        c AS (
+          SELECT dst,
+                 ((((src % 97) * 10000) * 8500) // 10000
+                  + hits * 250000) AS contrib
+          FROM h
+        )
+        SELECT dst::BIGINT AS dst, count(*)::BIGINT AS n_inlinks,
+               max(contrib)::BIGINT AS priority_micro
+        FROM c GROUP BY 1 ORDER BY dst
+    """
     return oracles

@@ -137,6 +137,8 @@ EXTENDED = [
     "q115_bm25_max_score",
     # q116 composes q104+q78+q60 — stages benched individually
     "q117_index_segment_merge",
+    "q118_rag_chunk_windows",
+    "q119_focused_crawl_priority",
 ]
 
 

@@ -108,3 +108,53 @@ def pack_sequences(
         F.min("ord").alias("first_doc"),
         F.max("ord").alias("last_doc"),
     )
+
+
+def chunk_windows(
+    sized: DataFrame,
+    size_col: str,
+    id_col: str = "doc_id",
+    window_len: int = 256,
+    stride: int = 192,
+) -> DataFrame:
+    """WITHIN-document overlapping window chunking — the retrieval/RAG
+    export (vs pack_sequences' cross-document concat-and-chunk): each
+    document cuts into windows of ``window_len`` tokens starting every
+    ``stride`` tokens (overlap = window_len − stride preserves context
+    across cuts), the last window ragged, and a document shorter than
+    one window emits exactly one chunk. No document ever crosses a
+    chunk (retrieval chunks must quote one source).
+
+    n_chunks(doc) = 1 + ceil(max(0, n − window_len) / stride) — the
+    standard fixed-stride law; start_i = i·stride,
+    len_i = min(window_len, n − start_i). All-integer, so the manifest
+    is value-gatable cross-engine.
+
+    Scale shape: a PURE PROJECTION + explode — zero shuffles, zero
+    windows (each row is decided from its own token count). The
+    exploded relation is Σ n_chunks ≈ total_tokens/stride rows, linear
+    in the corpus; chunk text extraction then rides whatever scan
+    already tokenizes the doc (slice(toks, start+1, len))."""
+    if stride <= 0 or window_len <= 0:
+        raise ValueError("window_len and stride must be positive")
+    n = F.col(size_col).cast("long")
+    # DIV stays on the non-negative domain (the CLAUDE.md sign law:
+    # Spark DIV truncates, DuckDB // floors — they agree only ≥ 0)
+    n_chunks = F.lit(1) + F.expr(
+        f"(greatest({size_col} - {window_len}, 0) + {stride} - 1) DIV {stride}"
+    )
+    exploded = sized.filter(n > 0).select(
+        # empty docs emit no chunks (and sequence(1, 0) would DESCEND)
+        F.col(id_col),
+        n.alias("__n"),
+        F.posexplode(F.sequence(F.lit(1), n_chunks)).alias("chunk_id", "__x"),
+    )
+    start = F.col("chunk_id").cast("long") * stride
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.alias("start"),
+        F.least(F.lit(window_len).cast("long"), F.col("__n") - start).alias(
+            "length"
+        ),
+    )

@@ -402,3 +402,50 @@ def test_domain_budget_quota_exceeding_pool_forfeits_unit(spark):
     got = pop_wave(fr, per_host_k=200, num_parts=8, domain_budget=100).collect()
     # big: floor(100*99/100)=99 → 99 kept; tiny: floor(1)=1 → 1 kept
     assert len(got) == 100
+
+
+def test_focused_priority_evidence_law(spark):
+    """Best in-link wins (max, not sum); anchor terms count DISTINCT;
+    unscored parents contribute anchor evidence only."""
+    from outage_data_scraper_spark.frontier.focus import focused_priority
+
+    links = spark.createDataFrame(
+        [
+            (1, 100, "spark spark spark"),   # 1 distinct hit, parent 1
+            (2, 100, "nothing here"),        # 0 hits, parent 2 (strong)
+            (3, 200, "spark join stuff"),    # 2 hits, parent unscored
+        ],
+        "src long, dst long, anchor string",
+    )
+    scores = spark.createDataFrame(
+        [(1, 1_000_000), (2, 4_000_000)], "node long, score_micro long"
+    )
+    got = {
+        r.dst: (r.n_inlinks, r.priority_micro)
+        for r in focused_priority(
+            links, scores, ["spark", "join"],
+            inherit_bp=5000, anchor_bonus_micro=100_000,
+        ).collect()
+    }
+    # dst 100: max(1M*0.5 + 1*100k, 4M*0.5 + 0) = max(600k, 2M) = 2M
+    assert got[100] == (2, 2_000_000)
+    # dst 200: parent 3 unscored → coalesce 0; two distinct terms
+    assert got[200] == (1, 200_000)
+
+
+def test_focused_priority_case_fold_and_empty_terms(spark):
+    """Anchors fold case before matching; empty query raises."""
+    import pytest
+
+    from outage_data_scraper_spark.frontier.focus import focused_priority
+
+    links = spark.createDataFrame(
+        [(1, 9, "Spark JOIN now")], "src long, dst long, anchor string"
+    )
+    scores = spark.createDataFrame([(1, 0)], "node long, score_micro long")
+    r = focused_priority(
+        links, scores, ["spark", "join"], anchor_bonus_micro=7
+    ).collect()[0]
+    assert r.priority_micro == 14
+    with pytest.raises(ValueError):
+        focused_priority(links, scores, [])

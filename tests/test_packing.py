@@ -88,3 +88,48 @@ def test_pack_sequences_single_partition_window_is_chunk_sized(spark):
     # side built from groupBy("chk") — group-count-sized by construction
     assert plan.count("Window") >= 1
     assert out.count() == (200 * 3 + 15) // 16
+
+
+def test_chunk_windows_hand_cases(spark):
+    """Fixed-stride law: short doc → one chunk; exact window → one;
+    one past → two with ragged tail; empty doc emits nothing."""
+    from outage_data_scraper_spark.operators.packing import chunk_windows
+
+    sized = spark.createDataFrame(
+        [(0, 10), (1, 64), (2, 65), (3, 200), (4, 0)],
+        "doc_id long, n long",
+    )
+    got = {}
+    for r in chunk_windows(sized, "n", window_len=64, stride=48).collect():
+        got.setdefault(r.doc_id, []).append((r.chunk_id, r.start, r.length))
+    for v in got.values():
+        v.sort()
+    assert got[0] == [(0, 0, 10)]
+    assert got[1] == [(0, 0, 64)]
+    assert got[2] == [(0, 0, 64), (1, 48, 17)]
+    # n=200: ceil((200-64)/48) = 3 extra chunks; last covers to 200
+    assert got[3] == [(0, 0, 64), (1, 48, 64), (2, 96, 64), (3, 144, 56)]
+    assert 4 not in got
+
+
+def test_chunk_windows_coverage_and_overlap_law(spark):
+    """Every token is covered; consecutive chunks overlap by exactly
+    window_len − stride except at the ragged tail; last chunk ends at n."""
+    from outage_data_scraper_spark.operators.packing import chunk_windows
+
+    sized = spark.createDataFrame(
+        [(i, 1 + (i * 37) % 500) for i in range(50)], "doc_id long, n long"
+    )
+    rows = chunk_windows(sized, "n", window_len=96, stride=64).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    ns = {i: 1 + (i * 37) % 500 for i in range(50)}
+    for d, rs in by_doc.items():
+        rs.sort(key=lambda r: r.chunk_id)
+        assert rs[0].start == 0
+        for a, b in zip(rs, rs[1:]):
+            assert b.start == a.start + 64
+        last = rs[-1]
+        assert last.start + last.length == ns[d]
+        assert all(0 < r.length <= 96 for r in rs)
