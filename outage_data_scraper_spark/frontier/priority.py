@@ -104,17 +104,23 @@ def pop_wave(
     ).drop("rn", "cnt")
 
 
-def _domain_cut(popped: DataFrame, budget: int) -> DataFrame:
+def _domain_cut(popped: DataFrame, budget: int, n_buckets: int = 1024) -> DataFrame:
     """Per-registered-domain proportional wave cut: Hamilton quotas
     over each domain's pending pool, then each domain keeps its
     top-quota rows by the full ordering law (+url tiebreak).
 
-    Scale shape: the pool is localCheckpointed once (the per-host
-    window chain computes once, and the quota aggregate + ranked
-    filter share it); quotas are a DOMAIN-cardinality relation —
-    broadcast back; the per-domain rank window is bounded by each
-    domain's per-host-capped pool, with the eTLD+1 key exactly as
-    skewed as the politeness layer already handles per host."""
+    Scale shape — the GROUPED histogram cut (_budget_cut's law, one
+    boundary PER DOMAIN, no driver-side per-domain state): the pool is
+    localCheckpointed once; quotas are a DOMAIN-cardinality broadcast;
+    a (domain, bucket) histogram + a bucket-count-bounded (≤ n_buckets
+    rows per domain) cumulative window find each domain's boundary
+    bucket; whole buckets below it keep UNSORTED, and only the boundary
+    bucket — ≈ pool_dom/n_buckets rows — ranks by the full law. A naive
+    per-domain row_number instead sorts a mega-registrant's entire pool
+    in ONE task (measured: the 4M soak's 1.2M-row partition dominated
+    the 78 s wall). Degenerate pools (every law column constant) fall
+    back to the plain per-domain rank — that regime has no cut column,
+    and the fallback is exactly the semantic definition."""
     from ..functions.urlkit import registered_domain
     from ..operators.sampling import allocate_quotas
 
@@ -124,15 +130,83 @@ def _domain_cut(popped: DataFrame, budget: int) -> DataFrame:
     quotas = allocate_quotas(pool, "__dom", budget).select(
         "__dom", F.col("quota").alias("__quota")
     )
-    wd = Window.partitionBy("__dom").orderBy(
-        *([F.col(c).asc() for c in ORDER_COLS] + [F.col("url").asc()])
+    full_order = [F.col(c).asc() for c in ORDER_COLS] + [F.col("url").asc()]
+    # global stats: the first law column that varies anywhere — columns
+    # before it are constant over the whole pool, hence within every
+    # domain, so bucketing it is monotone in the lexicographic law
+    stats_cols = [F.count(F.lit(1)).alias("n")]
+    for c in ORDER_COLS:
+        stats_cols += [
+            F.min(c).alias(f"mn_{c}"),
+            F.max(c).alias(f"mx_{c}"),
+            F.count(c).alias(f"nn_{c}"),
+        ]
+    st = pool.agg(*stats_cols).collect()[0]
+    n = int(st["n"])
+    null_cols = [c for c in ORDER_COLS if int(st[f"nn_{c}"]) != n]
+    if null_cols:
+        raise ValueError(
+            f"_domain_cut: NULLs in order column(s) {null_cols}; the "
+            "histogram cut requires non-null law columns"
+        )
+    cut_col = None
+    for c in ORDER_COLS:
+        if st[f"mn_{c}"] is not None and st[f"mx_{c}"] > st[f"mn_{c}"]:
+            cut_col = c
+            break
+    wd = Window.partitionBy("__dom").orderBy(*full_order)
+    if cut_col is None or n == 0:
+        # every law column constant: rows tie up to url — rank directly
+        return (
+            pool.withColumn("__drn", F.row_number().over(wd))
+            .join(F.broadcast(quotas), "__dom")
+            .filter(F.col("__drn") <= F.col("__quota"))
+            .drop("__dom", "__drn", "__quota")
+        )
+    mn, mx = float(st[f"mn_{cut_col}"]), float(st[f"mx_{cut_col}"])
+    width = (mx - mn) / n_buckets or 1.0
+    bucket = F.least(
+        F.floor((F.col(cut_col) - F.lit(mn)) / F.lit(width)).cast("int"),
+        F.lit(n_buckets - 1),
     )
-    return (
-        pool.withColumn("__drn", F.row_number().over(wd))
+    # per-domain boundary: the first bucket whose cumulative count
+    # reaches the quota (window input ≤ n_buckets rows per domain); a
+    # domain whose whole pool is under quota has no boundary row and
+    # keeps everything
+    wb = Window.partitionBy("__dom").orderBy("__b")
+    hist = (
+        pool.select("__dom", bucket.alias("__b"))
+        .groupBy("__dom", "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
         .join(F.broadcast(quotas), "__dom")
-        .filter(F.col("__drn") <= F.col("__quota"))
-        .drop("__dom", "__drn", "__quota")
+        .withColumn("__cum", F.sum("__c").over(wb))
     )
+    bdry = (
+        hist.filter(F.col("__cum") >= F.col("__quota"))
+        .groupBy("__dom")
+        .agg(
+            F.min_by(F.struct("__b", "__c", "__cum", "__quota"), "__b").alias(
+                "__s"
+            )
+        )
+        .select(
+            "__dom",
+            F.col("__s.__b").alias("__bdry"),
+            (F.col("__s.__quota") - (F.col("__s.__cum") - F.col("__s.__c")))
+            .alias("__slots"),
+        )
+    )
+    tagged = pool.withColumn("__b", bucket).join(F.broadcast(bdry), "__dom", "left")
+    keep = tagged.filter(
+        F.col("__bdry").isNull() | (F.col("__b") < F.col("__bdry"))
+    )
+    edge = (
+        tagged.filter(F.col("__b") == F.col("__bdry"))
+        .withColumn("__drn", F.row_number().over(wd))
+        .filter(F.col("__drn") <= F.col("__slots"))
+        .drop("__drn")
+    )
+    return keep.unionByName(edge).drop("__dom", "__b", "__bdry", "__slots")
 
 
 def _budget_cut(popped: DataFrame, budget: int, n_buckets: int = 1024) -> DataFrame:

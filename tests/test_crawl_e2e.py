@@ -449,3 +449,63 @@ def test_focused_priority_case_fold_and_empty_terms(spark):
     assert r.priority_micro == 14
     with pytest.raises(ValueError):
         focused_priority(links, scores, [])
+
+
+def test_domain_cut_histogram_equals_naive_rank(spark):
+    """The grouped histogram cut must equal the per-domain sorted-limit
+    law exactly, across regimes: skewed mega-domain, tiny domains,
+    quota == pool, degenerate all-constant law columns."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from outage_data_scraper_spark.frontier.priority import (
+        ORDER_COLS,
+        _domain_cut,
+    )
+    from outage_data_scraper_spark.functions.urlkit import registered_domain
+
+    rng = random.Random(3)
+    for trial, (n, const_law) in enumerate([(3000, False), (800, True)]):
+        rows = []
+        for i in range(n):
+            if rng.random() < 0.6:
+                dom = "mega.com"
+            else:
+                dom = f"d{rng.randrange(7)}.org.uk"
+            host = f"h{rng.randrange(5)}.{dom}"
+            pr = 0.0 if const_law else float(rng.randrange(4))
+            ev = 0 if const_law else rng.randrange(6)
+            rows.append(
+                (f"http://{host}/{i}", host, 0, pr, 0, ev, i, 0, "pending")
+            )
+        fr = spark.createDataFrame(
+            rows,
+            "url string, host string, salted_part int, priority double, "
+            "depth int, event_seq int, seed_seq int, child_seq int, "
+            "status string",
+        ).repartition(8)
+        for budget in (1, 50, n // 3, n, n * 2):
+            got = sorted(
+                r.url for r in _domain_cut(fr, budget).collect()
+            )
+            # naive law: Hamilton quotas + per-domain full rank
+            from outage_data_scraper_spark.operators.sampling import (
+                allocate_quotas,
+            )
+
+            pool = fr.withColumn("__dom", registered_domain(F.col("host")))
+            qt = allocate_quotas(pool, "__dom", budget).select(
+                "__dom", F.col("quota").alias("__q")
+            )
+            wd = Window.partitionBy("__dom").orderBy(
+                *([F.col(c).asc() for c in ORDER_COLS] + [F.col("url").asc()])
+            )
+            ref = sorted(
+                r.url
+                for r in pool.withColumn("__rn", F.row_number().over(wd))
+                .join(qt, "__dom")
+                .filter(F.col("__rn") <= F.col("__q"))
+                .collect()
+            )
+            assert got == ref, (trial, budget)
