@@ -2259,6 +2259,61 @@ def q119_focused_crawl_priority(spark, sf_dir):
     )
 
 
+def q120_capture_index(spark, sf_dir):
+    """CDX-style capture index (frontier/snapshot.py:capture_index):
+    per URL over its WHOLE fetch history — captures, distinct digests,
+    content transitions (the change-rate numerator q61's revisit
+    scheduler estimates from), first/last epoch-µs, latest digest.
+    Events stand in for the fetch log (url = user page, digest = md5
+    of the event type, ts = capture time); equal-ts captures tie-break
+    on the digest string in BOTH engines, and the latest digest is the
+    max (ts, digest) struct, so every column is a pure function of the
+    capture set. One URL-keyed shuffle; the lag window is bounded by
+    per-URL capture counts."""
+    from outage_data_scraper_spark.frontier.snapshot import capture_index
+
+    ev = _t(spark, sf_dir, "events")
+    caps = ev.select(
+        F.concat(F.lit("https://p/"), F.col("user_id").cast("string")).alias(
+            "url"
+        ),
+        "ts",
+        F.md5(F.col("event_type")).alias("digest"),
+    )
+    return capture_index(caps).orderBy("url")
+
+
+def q121_tokenizer_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility — the multilingual-equity
+    report (a tokenizer that spends 2× the tokens per character on one
+    language halves that language's effective context window): q79's
+    gated BPE token pricing joined back to language, rolled up to
+    (n_docs, n_chars, n_bpe_tokens, chars_per_token_centi) with the
+    ratio in integer CENTI units (DIV of two gated sums — no float).
+    One tiny-key aggregate riding q79's scoring scan."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    stats = q79_bpe_encode_stats(spark, sf_dir).select("doc_id", "n_bpe_tokens")
+    return (
+        docs.join(stats, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_chars",
+            "n_bpe_tokens",
+            F.expr("(100 * n_chars) DIV n_bpe_tokens")
+            .cast("long")
+            .alias("chars_per_token_centi"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q64_boilerplate_dictionary(spark, sf_dir):
     """Corpus boilerplate dictionary (dedup.boilerplate_dictionary): the
     top-20 most widespread 4-token spans (q49's unit, ndocs ≥ 5) with
@@ -2861,6 +2916,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q117_index_segment_merge": q117_index_segment_merge,
         "q118_rag_chunk_windows": q118_rag_chunk_windows,
         "q119_focused_crawl_priority": q119_focused_crawl_priority,
+        "q120_capture_index": q120_capture_index,
+        "q121_tokenizer_fertility": q121_tokenizer_fertility,
     }
 
 
@@ -5592,5 +5649,55 @@ def oracle_sql() -> dict[str, str]:
         SELECT dst::BIGINT AS dst, count(*)::BIGINT AS n_inlinks,
                max(contrib)::BIGINT AS priority_micro
         FROM c GROUP BY 1 ORDER BY dst
+    """
+    # q120: same (ts, digest) tie law; latest digest re-derived via a
+    # DESC row_number (≡ Spark's max (us, digest) struct); epoch_us on
+    # the UTC-cast timestamp (the TIMESTAMP_NTZ law).
+    oracles["q120_capture_index"] = """
+        WITH cap AS (
+          SELECT 'https://p/' || user_id AS url, ts,
+                 md5(event_type) AS digest
+          FROM events
+        ),
+        o AS (
+          SELECT url, epoch_us(ts) AS us, digest,
+                 lag(digest) OVER (PARTITION BY url ORDER BY ts, digest)
+                   AS prev
+          FROM cap
+        ),
+        last AS (
+          SELECT url, digest FROM (
+            SELECT url, digest,
+                   row_number() OVER (
+                     PARTITION BY url ORDER BY us DESC, digest DESC) AS rn
+            FROM o
+          ) WHERE rn = 1
+        )
+        SELECT o.url, count(*)::BIGINT AS n_captures,
+               count(DISTINCT o.digest)::BIGINT AS n_digests,
+               sum(CASE WHEN prev IS NOT NULL AND prev != o.digest
+                        THEN 1 ELSE 0 END)::BIGINT AS n_changes,
+               min(us)::BIGINT AS first_us,
+               max(us)::BIGINT AS last_us,
+               min(l.digest) AS last_digest
+        FROM o JOIN last l ON o.url = l.url
+        GROUP BY o.url ORDER BY o.url
+    """
+    # q121: q79's gated pricing composed with the language rollup;
+    # centi ratio = DIV of the two gated sums on non-negative operands.
+    oracles["q121_tokenizer_fertility"] = f"""
+        WITH t AS (
+          SELECT doc_id, n_bpe_tokens
+          FROM ({oracles["q79_bpe_encode_stats"]})
+        ),
+        j AS (
+          SELECT d.lang, d.n_chars::BIGINT AS nc, t.n_bpe_tokens::BIGINT AS nt
+          FROM documents d JOIN t USING (doc_id)
+        )
+        SELECT lang, count(*)::BIGINT AS n_docs,
+               sum(nc)::BIGINT AS n_chars,
+               sum(nt)::BIGINT AS n_bpe_tokens,
+               ((100 * sum(nc)) // sum(nt))::BIGINT AS chars_per_token_centi
+        FROM j GROUP BY 1 ORDER BY lang
     """
     return oracles

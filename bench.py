@@ -139,6 +139,8 @@ EXTENDED = [
     "q117_index_segment_merge",
     "q118_rag_chunk_windows",
     "q119_focused_crawl_priority",
+    "q120_capture_index",
+    # q121 composes q79 + a lang rollup — stage benched via q79
 ]
 
 

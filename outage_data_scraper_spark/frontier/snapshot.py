@@ -70,3 +70,53 @@ def snapshot_diff_stats(diff: DataFrame) -> DataFrame:
     return diff.groupBy("status").agg(
         F.count(F.lit(1)).cast("long").alias("n_keys")
     )
+
+
+def capture_index(
+    captures: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "ts",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """CDX-style per-URL capture index (the Common Crawl / Wayback
+    index artifact): per URL over its whole fetch history — capture
+    count, distinct content digests, number of content TRANSITIONS
+    (digest != previous digest in (ts, digest) order — the change-rate
+    numerator revisit scheduling estimates from), first/last capture
+    time in epoch microseconds, and the latest digest. snapshot_diff
+    compares two crawls; this summarizes ALL of them.
+
+    Determinism: the history orders by (ts, digest) — equal-timestamp
+    captures tie-break on the digest string, and the latest digest is
+    the max (ts, digest) struct — so every output is a pure function of
+    the capture SET (engine-exact). Timestamps cast to session-UTC
+    timestamp before epoch math (the TIMESTAMP_NTZ law).
+
+    Scale shape: one hash shuffle on the URL key; the lag window is
+    bounded by each URL's capture count (revisit-schedule bounded —
+    tens, not billions); the final agg is map-side combined."""
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(key_col).orderBy(us.asc(), F.col(digest_col).asc())
+    o = captures.select(
+        F.col(key_col).alias("url"),
+        us.alias("__us"),
+        F.col(digest_col).alias("__d"),
+        F.lag(F.col(digest_col)).over(w).alias("__prev"),
+    )
+    return o.groupBy("url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_captures"),
+        F.count_distinct("__d").cast("long").alias("n_digests"),
+        F.sum(
+            (F.col("__prev").isNotNull() & (F.col("__prev") != F.col("__d")))
+            .cast("long")
+        )
+        .cast("long")
+        .alias("n_changes"),
+        F.min("__us").cast("long").alias("first_us"),
+        F.max("__us").cast("long").alias("last_us"),
+        F.max_by("__d", F.struct(F.col("__us"), F.col("__d"))).alias(
+            "last_digest"
+        ),
+    )
