@@ -2314,6 +2314,71 @@ def q121_tokenizer_fertility(spark, sf_dir):
     )
 
 
+def q122_badwords_filter(spark, sf_dir):
+    """C4 §2.2 blocklist page filter (operators/badwords.py): any page
+    containing a blocklist word/PHRASE is dropped entirely — the first
+    content filter a C4-style pipeline runs (distinct from q54's
+    decontamination, which COUNTS eval-set overlap). Hits synthesize by
+    appending a single-token and a 3-token phrase to deterministic doc
+    subsets in BOTH engines; matching runs on the corpus-canonical
+    token stream so case/punctuation can't split the law. The frozen
+    list constant-folds into the plan (isin literals per phrase length
+    — no join); per-doc hits are one map-side-combined rollup."""
+    from outage_data_scraper_spark.operators.badwords import badwords_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    text2 = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 17 == 0, F.lit(" zorblax")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            F.col("doc_id") % 23 == 0, F.lit(" grim flagged phrase")
+        ).otherwise(F.lit("")),
+    )
+    planted = docs.select("doc_id", text2.alias("text"))
+    return badwords_filter(
+        planted, ("Zorblax", "grim flagged phrase")
+    ).orderBy("doc_id")
+
+
+def q123_cleaning_funnel(spark, sf_dir):
+    """The cleaning-funnel audit report (the RefinedWeb-style stage
+    table a pipeline ships with its corpus): per q51 stage, docs in /
+    out / dropped — stage 1 the Gopher quality gate, stage 2 span-dedup
+    rewriting + exact dedup on cleaned text (span dedup rewrites, the
+    exact-dedup canonical pick drops). Three scalar counts cross the
+    driver (the documented driver-scale class); the oracle recomputes
+    both stage boundaries from the SAME gated CTEs q51/q96 share, so
+    the funnel can't drift from the pipeline it audits."""
+    from outage_data_scraper_spark.operators import sampling as _s  # noqa: F401
+
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", "text", textkit.tokens(F.col("text")).alias("toks")
+    )
+    kept = toked.filter(
+        textkit.gopher_keep(F.col("text"), F.col("toks"))
+    ).select("doc_id", "text")
+    cleaned = dedup.span_dedup(kept, span_tokens=4, df_min=5).select(
+        "doc_id", F.md5("clean_text").alias("clean_sig")
+    )
+    canon = cleaned.groupBy("clean_sig").agg(
+        F.min("doc_id").alias("canonical_id")
+    )
+    surv = cleaned.join(canon, "clean_sig").filter(
+        F.col("doc_id") == F.col("canonical_id")
+    )
+    n0, n1, n2 = docs.count(), kept.count(), surv.count()
+    return spark.createDataFrame(
+        [
+            (1, "gopher_quality", n0, n1, n0 - n1),
+            (2, "span_dedup_exact_dedup", n1, n2, n1 - n2),
+        ],
+        "stage_id long, stage string, n_in long, n_out long, n_dropped long",
+    ).orderBy("stage_id")
+
+
 def q64_boilerplate_dictionary(spark, sf_dir):
     """Corpus boilerplate dictionary (dedup.boilerplate_dictionary): the
     top-20 most widespread 4-token spans (q49's unit, ndocs ≥ 5) with
@@ -2918,6 +2983,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q119_focused_crawl_priority": q119_focused_crawl_priority,
         "q120_capture_index": q120_capture_index,
         "q121_tokenizer_fertility": q121_tokenizer_fertility,
+        "q122_badwords_filter": q122_badwords_filter,
+        "q123_cleaning_funnel": q123_cleaning_funnel,
     }
 
 
@@ -5699,5 +5766,53 @@ def oracle_sql() -> dict[str, str]:
                sum(nt)::BIGINT AS n_bpe_tokens,
                ((100 * sum(nc)) // sum(nt))::BIGINT AS chars_per_token_centi
         FROM j GROUP BY 1 ORDER BY lang
+    """
+    # q122: same plant, same canonical token stream, same drop-on-any-
+    # hit law; DuckDB list comprehensions are 1-BASED, so 3-gram i runs
+    # 1..len-2 with the inclusive [i : i+2] slice.
+    oracles["q122_badwords_filter"] = f"""
+        WITH d AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 17 = 0 THEN ' zorblax' ELSE '' END
+                 || CASE WHEN doc_id % 23 = 0 THEN ' grim flagged phrase'
+                         ELSE '' END AS text
+          FROM documents
+        ),
+        t AS (SELECT doc_id, {_TOKS} AS w FROM d),
+        hits AS (
+          SELECT doc_id,
+                 len(list_filter(w, x -> x = 'zorblax'))::BIGINT
+                 + CASE WHEN len(w) >= 3 THEN
+                     len(list_filter(
+                       [array_to_string(w[i : i + 2], ' ')
+                        for i in generate_series(1, len(w) - 2)],
+                       g -> g = 'grim flagged phrase'))::BIGINT
+                   ELSE 0 END AS n_hits
+          FROM t
+        )
+        SELECT doc_id, n_hits, (n_hits = 0) AS keep
+        FROM hits ORDER BY doc_id
+    """
+    # q123: both stage boundaries recomputed from the SAME gated CTEs
+    # (gopher kept + the full q51 composition as a subquery).
+    oracles["q123_cleaning_funnel"] = f"""
+        WITH {_GOPHER_KEPT_CTES},
+        surv AS (
+          SELECT doc_id FROM ({oracles["q51_clean_corpus_pipeline"]})
+        ),
+        n0 AS (SELECT count(*)::BIGINT AS n FROM documents),
+        n1 AS (SELECT count(*)::BIGINT AS n FROM kept),
+        n2 AS (SELECT count(*)::BIGINT AS n FROM surv)
+        SELECT * FROM (
+          SELECT 1::BIGINT AS stage_id, 'gopher_quality' AS stage,
+                 n0.n AS n_in, n1.n AS n_out,
+                 (n0.n - n1.n)::BIGINT AS n_dropped
+          FROM n0, n1
+          UNION ALL
+          SELECT 2::BIGINT, 'span_dedup_exact_dedup', n1.n, n2.n,
+                 (n1.n - n2.n)::BIGINT
+          FROM n1, n2
+        ) ORDER BY stage_id
     """
     return oracles

@@ -140,7 +140,9 @@ EXTENDED = [
     "q118_rag_chunk_windows",
     "q119_focused_crawl_priority",
     "q120_capture_index",
-    # q121 composes q79 + a lang rollup — stage benched via q79
+    # q121 composes q79 + a lang rollup — stage benched via q79;
+    # q123 composes q51's stages — likewise stage-benched
+    "q122_badwords_filter",
 ]
 
 

@@ -2791,3 +2791,54 @@ def test_index_segment_merge_term_only_in_one_side(spark):
         "alpha": (2, "0:1,1:0"),
         "beta": (1, "1:1"),
     }
+
+
+def test_badwords_filter_occurrence_and_phrase_law(spark):
+    """Every occurrence counts (twice = 2); phrases match on the
+    canonical token stream (case/punctuation folded); docs shorter than
+    a phrase emit no n-grams; keep = zero hits."""
+    import pytest
+
+    from outage_data_scraper_spark.operators.badwords import badwords_filter
+
+    docs = spark.createDataFrame(
+        [
+            (0, "clean wholesome text here"),
+            (1, "bad stuff and BAD stuff again"),
+            (2, "a Very Bad, Phrase appears"),
+            (3, "bad"),                # exactly one token, one hit
+            (4, "very bad"),           # shorter than the 3-token phrase
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_hits, r.keep)
+        for r in badwords_filter(docs, ("bad", "very bad phrase")).collect()
+    }
+    assert got[0] == (0, True)
+    assert got[1] == (2, False)
+    # doc 2: the canonical tokenizer is whitespace-only, so "bad,"
+    # keeps its comma and neither the word nor the 3-gram matches —
+    # the law is the C4 one (list entries must be token-exact)
+    assert got[2] == (0, True)
+    assert got[3] == (1, False)
+    # doc 4 "very bad": too short for the 3-gram, but the single token
+    # 'bad' still hits
+    assert got[4] == (1, False)
+    assert got[5] == (0, True)
+    with pytest.raises(ValueError):
+        badwords_filter(docs, ("ok", "   "))
+
+
+def test_badwords_filter_punctuation_free_phrase_hits(spark):
+    """On punctuation-free text the 3-token phrase matches exactly, at
+    every occurrence, across token positions."""
+    from outage_data_scraper_spark.operators.badwords import badwords_filter
+
+    docs = spark.createDataFrame(
+        [(0, "x very bad phrase y very bad phrase")],
+        "doc_id long, text string",
+    )
+    r = badwords_filter(docs, ("very bad phrase",)).collect()[0]
+    assert (r.n_hits, r.keep) == (2, False)
