@@ -2379,6 +2379,29 @@ def q123_cleaning_funnel(spark, sf_dir):
     ).orderBy("stage_id")
 
 
+def q124_layout_pruning_report(spark, sf_dir):
+    """Zone-map layout planner (plans/layout.py:pruning_report): before
+    rewriting a 100 TB table, simulate row-group min/max pruning under
+    each candidate sort key — 64 equal-width key slices, per-slice
+    probe-column envelope, a slice scans iff its envelope intersects
+    the predicate. Probe: a 3-day epoch-µs window over events.ts;
+    candidates: event_id (time-correlated → prunes to a sliver) vs
+    user_id (uncorrelated → scans everything). The report IS the
+    'would this partition strategy hold at 1000×' answer, value-gated:
+    integer DIV buckets, integer envelopes, basis-point scan fraction."""
+    from outage_data_scraper_spark.plans.layout import pruning_report
+
+    ev = _t(spark, sf_dir, "events")
+    probe = F.unix_micros(F.col("ts").cast("timestamp"))
+    return pruning_report(
+        ev,
+        ["event_id", "user_id"],
+        probe,
+        lo=1_704_844_800_000_000,  # 2024-01-10T00:00:00Z
+        hi=1_705_104_000_000_000,  # 2024-01-13T00:00:00Z
+    ).orderBy("sort_key")
+
+
 def q64_boilerplate_dictionary(spark, sf_dir):
     """Corpus boilerplate dictionary (dedup.boilerplate_dictionary): the
     top-20 most widespread 4-token spans (q49's unit, ndocs ≥ 5) with
@@ -2985,6 +3008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_tokenizer_fertility": q121_tokenizer_fertility,
         "q122_badwords_filter": q122_badwords_filter,
         "q123_cleaning_funnel": q123_cleaning_funnel,
+        "q124_layout_pruning_report": q124_layout_pruning_report,
     }
 
 
@@ -5815,4 +5839,34 @@ def oracle_sql() -> dict[str, str]:
           FROM n1, n2
         ) ORDER BY stage_id
     """
+    # q124: the zone-map law per candidate, UNION ALL — width =
+    # span // 64 + 1 (both engines compute it from the same integer
+    # min/max), envelopes and the intersect test all-integer.
+    _prune_branch = """
+        SELECT '{k}' AS sort_key,
+               count(*)::BIGINT AS n_groups,
+               sum(CASE WHEN mnp <= {hi} AND mxp >= {lo}
+                        THEN 1 ELSE 0 END)::BIGINT AS groups_scanned,
+               sum(n)::BIGINT AS rows_total,
+               sum(CASE WHEN mnp <= {hi} AND mxp >= {lo}
+                        THEN n ELSE 0 END)::BIGINT AS rows_scanned,
+               ((10000 * sum(CASE WHEN mnp <= {hi} AND mxp >= {lo}
+                                  THEN n ELSE 0 END)) // sum(n))::BIGINT
+                 AS scan_bp
+        FROM (
+          SELECT (({k} - s.mn) // ((s.mx - s.mn) // 64 + 1)) AS grp,
+                 min(epoch_us(ts)) AS mnp, max(epoch_us(ts)) AS mxp,
+                 count(*)::BIGINT AS n
+          FROM events,
+               (SELECT min({k}) AS mn, max({k}) AS mx FROM events) s
+          GROUP BY 1
+        )
+    """
+    _lo, _hi = 1_704_844_800_000_000, 1_705_104_000_000_000
+    oracles["q124_layout_pruning_report"] = (
+        _prune_branch.format(k="event_id", lo=_lo, hi=_hi)
+        + " UNION ALL "
+        + _prune_branch.format(k="user_id", lo=_lo, hi=_hi)
+        + " ORDER BY sort_key"
+    )
     return oracles

@@ -143,6 +143,7 @@ EXTENDED = [
     # q121 composes q79 + a lang rollup — stage benched via q79;
     # q123 composes q51's stages — likewise stage-benched
     "q122_badwords_filter",
+    "q124_layout_pruning_report",
 ]
 
 

@@ -351,3 +351,74 @@ def synth_warc_corpus() -> list[tuple[str, bytes]]:
     bounds = [m.start() for m in _re.finditer(b"\x1f\x8b\x08", bytes(b))]
     b[bounds[3] + 40] ^= 0xFF
     return [("a.warc.gz", a), ("b.warc.gz", bytes(b)), ("c.warc", c)]
+
+
+def write_warc(
+    pages: DataFrame,
+    out_dir: str,
+    num_files: int | None = None,
+) -> DataFrame:
+    """WARC EXPORT sink — the archival complement of read_warc: every
+    partition writes ONE `.warc.gz` file (one gzip member per record,
+    the Common-Crawl layout read_warc ingests and range-fetchers rely
+    on) and emits a manifest row (warc_file, n_records, n_bytes).
+    ``pages`` must carry url / warc_ts / html (+ optional http_status,
+    mime). The round trip through read_warc is bit-faithful on the
+    HTML payload (asserted in tests) — crawl → export → re-ingest is
+    lossless, so a WARC archive is a valid cold-storage form of the
+    pages table.
+
+    Scale shape: a pure per-partition pass — no shuffle beyond the
+    optional sizing repartition; each task streams its rows through the
+    gzip framer and writes one object (at 10^5 tasks this is exactly
+    how Common Crawl segments are produced). The manifest is
+    file-count-sized. ``out_dir`` must be a directory every executor
+    can write (local/NFS here; an object-store path in production)."""
+    import os as _os
+
+    from pyspark import TaskContext
+
+    cols = ["url", "warc_ts", "html"] + [
+        c for c in ("http_status", "mime") if c in pages.columns
+    ]
+    src = pages.select(*cols)
+    if num_files is not None:
+        src = src.repartition(num_files)
+    _os.makedirs(out_dir, exist_ok=True)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        recs: list[dict] = []
+        for b in batches:
+            for row in b.itertuples(index=False):
+                d = row._asdict()
+                ts = d["warc_ts"]
+                recs.append(
+                    {
+                        "url": d["url"],
+                        "ts": pd.Timestamp(ts).strftime("%Y-%m-%dT%H:%M:%SZ"),
+                        "html": bytes(d["html"]),
+                        "status": int(d.get("http_status") or 200),
+                        "mime": d.get("mime") or "text/html",
+                    }
+                )
+        if not recs:
+            yield pd.DataFrame(
+                {"warc_file": [], "n_records": [], "n_bytes": []}
+            ).astype({"warc_file": str, "n_records": "int64", "n_bytes": "int64"})
+            return
+        blob = synth_warc(recs, member_per_record=True)
+        path = _os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
+        with open(path, "wb") as f:
+            f.write(blob)
+        yield pd.DataFrame(
+            {
+                "warc_file": [path],
+                "n_records": [len(recs)],
+                "n_bytes": [len(blob)],
+            }
+        )
+
+    return src.mapInPandas(
+        run, "warc_file string, n_records long, n_bytes long"
+    )

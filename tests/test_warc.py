@@ -211,3 +211,58 @@ def test_warc11_fractional_second_dates_parse():
     assert warc._parse_warc_ts("2024-03-01T12:00:00.123Z") is not None
     assert warc._parse_warc_ts("2024-03-01T12:00:00Z") is not None
     assert warc._parse_warc_ts("not-a-date") is None
+
+
+def test_write_warc_roundtrip_lossless(spark, tmp_path):
+    """crawl → write_warc → read_warc is lossless: every (url, html)
+    survives bit-exactly, statuses/mimes preserved, manifest counts
+    add up — a WARC archive is a valid cold-storage form of pages."""
+    from outage_data_scraper_spark.sources.warc import (
+        read_warc,
+        synth_warc_corpus,
+        write_warc,
+    )
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    for name, blob in synth_warc_corpus():
+        (src_dir / name).write_bytes(blob)
+    pages = read_warc(spark, str(src_dir)).cache()
+    n_src = pages.count()
+
+    out_dir = tmp_path / "export"
+    manifest = write_warc(pages, str(out_dir), num_files=3).collect()
+    assert sum(m.n_records for m in manifest) == n_src
+    assert all(m.n_bytes > 0 for m in manifest)
+    assert len(list(out_dir.glob("*.warc.gz"))) == len(manifest)
+
+    back = read_warc(spark, str(out_dir))
+    import hashlib
+
+    def key(r):
+        return (r.url, hashlib.md5(bytes(r.html)).hexdigest(),
+                r.http_status, r.mime)
+
+    assert sorted(key(r) for r in back.collect()) == sorted(
+        key(r) for r in pages.collect()
+    )
+
+
+def test_write_warc_empty_partitions(spark, tmp_path):
+    """Empty partitions write no file and emit no manifest row."""
+    from outage_data_scraper_spark.sources.warc import read_warc, write_warc
+
+    from outage_data_scraper_spark.sources.warc import synth_warc
+
+    blob = synth_warc(
+        [{"url": "http://a/x", "ts": "2024-03-01T00:00:00Z",
+          "html": b"<html><body>one</body></html>"}]
+    )
+    src = tmp_path / "one"
+    src.mkdir()
+    (src / "a.warc.gz").write_bytes(blob)
+    pages = read_warc(spark, str(src))
+    out = tmp_path / "exp"
+    manifest = write_warc(pages.repartition(8), str(out)).collect()
+    assert sum(m.n_records for m in manifest) == 1
+    assert len(list(out.glob("*.warc.gz"))) == len(manifest)
