@@ -2402,6 +2402,56 @@ def q124_layout_pruning_report(spark, sf_dir):
     ).orderBy("sort_key")
 
 
+def q125_robots_gate(spark, sf_dir):
+    """The robots.txt gate law itself, value-gated (frontier/robots.py:
+    robots_gate — previously pytest-only): per host one of
+    allow / deny / disallow-prefix rules / ABSENT (default-allow), the
+    per-URL decision = policy or prefix match on path_and_query, and
+    Crawl-delay riding the same broadcast join onto every kept row.
+    20 synthetic hosts cycle all four policy branches; paths cycle
+    /private, /pub, /tmp/xy so both rule prefixes and the non-match
+    gate. The oracle re-derives policy + prefix law + delay in SQL —
+    the O35 semantics are now engine-exact, not just unit-tested."""
+    from outage_data_scraper_spark.frontier.robots import robots_gate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    host = F.concat(
+        F.lit("h"), (F.col("doc_id") % 20).cast("string"), F.lit(".robo.net")
+    )
+    path = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("/private/p"), F.col("doc_id").cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("/pub/p"), F.col("doc_id").cast("string")),
+        )
+        .otherwise(F.concat(F.lit("/tmp/xy"), F.col("doc_id").cast("string")))
+    )
+    cands = docs.select(
+        F.concat(F.lit("https://"), host, path).alias("url"), host.alias("host")
+    )
+    robots = spark.createDataFrame(
+        [
+            (
+                f"h{h}.robo.net",
+                "allow" if h % 4 == 0 else "deny" if h % 4 == 1 else "rules",
+                '["/private","/tmp/x"]' if h % 4 == 2 else "[]",
+                float(h // 4 + 1) if h % 4 == 2 else None,
+            )
+            for h in range(20)
+            if h % 4 != 3  # absent hosts exercise the default policy
+        ],
+        "host string, allow_all string, rules string, crawl_delay double",
+    )
+    return (
+        robots_gate(cands, robots, default_allow=True)
+        .select("url", "host", "crawl_delay")
+        .orderBy("url")
+    )
+
+
 def q64_boilerplate_dictionary(spark, sf_dir):
     """Corpus boilerplate dictionary (dedup.boilerplate_dictionary): the
     top-20 most widespread 4-token spans (q49's unit, ndocs ≥ 5) with
@@ -3009,6 +3059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_badwords_filter": q122_badwords_filter,
         "q123_cleaning_funnel": q123_cleaning_funnel,
         "q124_layout_pruning_report": q124_layout_pruning_report,
+        "q125_robots_gate": q125_robots_gate,
     }
 
 
@@ -5869,4 +5920,31 @@ def oracle_sql() -> dict[str, str]:
         + _prune_branch.format(k="user_id", lo=_lo, hi=_hi)
         + " ORDER BY sort_key"
     )
+    # q125: the robots law re-derived — policy CASE over h%4 (absent
+    # hosts = default-allow), deny-if-any-prefix-matches for the rules
+    # branch, crawl_delay only where a rules host defines one.
+    oracles["q125_robots_gate"] = """
+        WITH u AS (
+          SELECT doc_id, doc_id % 20 AS h,
+                 'h' || (doc_id % 20) || '.robo.net' AS host,
+                 CASE doc_id % 3
+                   WHEN 0 THEN '/private/p' || doc_id
+                   WHEN 1 THEN '/pub/p' || doc_id
+                   ELSE '/tmp/xy' || doc_id END AS path
+          FROM documents
+        ),
+        k AS (
+          SELECT 'https://' || host || path AS url, host,
+                 CASE WHEN h % 4 = 2 THEN ((h // 4) + 1)::DOUBLE
+                      ELSE NULL END AS crawl_delay,
+                 CASE WHEN h % 4 = 0 THEN TRUE
+                      WHEN h % 4 = 1 THEN FALSE
+                      WHEN h % 4 = 3 THEN TRUE
+                      ELSE NOT (starts_with(path, '/private')
+                                OR starts_with(path, '/tmp/x'))
+                 END AS allowed
+          FROM u
+        )
+        SELECT url, host, crawl_delay FROM k WHERE allowed ORDER BY url
+    """
     return oracles

@@ -144,6 +144,7 @@ EXTENDED = [
     # q123 composes q51's stages — likewise stage-benched
     "q122_badwords_filter",
     "q124_layout_pruning_report",
+    "q125_robots_gate",
 ]
 
 
