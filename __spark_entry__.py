@@ -2452,6 +2452,51 @@ def q125_robots_gate(spark, sf_dir):
     )
 
 
+def q126_incremental_index_refresh(spark, sf_dir):
+    """The INCREMENTAL crawl→index refresh loop, end to end: a recrawl
+    changes some pages (doc_id%7 — text gains a suffix) and discovers
+    new ones (doc_id%13 — absent from the old crawl); snapshot_diff
+    (q105's law) derives WHICH keys changed/appeared from content
+    signatures alone; remove_docs_from_index tombstone-compacts the
+    changed docs out of the base segment; a delta segment indexes ONLY
+    the affected docs' new text; merge_inverted_index splices it in
+    with min_df applied post-merge. The oracle is the q70-style FULL
+    REBUILD over the new corpus state — diff → remove → delta → merge
+    must be indistinguishable from rebuilding, which is the refresh
+    contract a continuous crawl's search index lives by. Only affected
+    docs ever re-tokenize; the base corpus is never rescanned."""
+    from outage_data_scraper_spark.frontier.snapshot import snapshot_diff
+    from outage_data_scraper_spark.operators import index
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 13 != 0).select("doc_id", "text")
+    new = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" updated fresh content")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    diff = snapshot_diff(
+        old.select("doc_id", F.md5("text").alias("sig")),
+        new.select("doc_id", F.md5("text").alias("sig")),
+        "doc_id",
+        "sig",
+    )
+    affected = diff.filter(F.col("status").isin("changed", "new")).select(
+        F.col("doc_id")
+    )
+    changed = diff.filter(F.col("status") == "changed").select("doc_id")
+    base = index.build_inverted_index(old)
+    compacted = index.remove_docs_from_index(base, changed)
+    delta = index.build_inverted_index(new.join(affected, "doc_id"))
+    return index.merge_inverted_index(compacted, delta, min_df=2).orderBy(
+        "term"
+    )
+
+
 def q64_boilerplate_dictionary(spark, sf_dir):
     """Corpus boilerplate dictionary (dedup.boilerplate_dictionary): the
     top-20 most widespread 4-token spans (q49's unit, ndocs ≥ 5) with
@@ -3060,6 +3105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q123_cleaning_funnel": q123_cleaning_funnel,
         "q124_layout_pruning_report": q124_layout_pruning_report,
         "q125_robots_gate": q125_robots_gate,
+        "q126_incremental_index_refresh": q126_incremental_index_refresh,
     }
 
 
@@ -5946,5 +5992,34 @@ def oracle_sql() -> dict[str, str]:
           FROM u
         )
         SELECT url, host, crawl_delay FROM k WHERE allowed ORDER BY url
+    """
+    # q126: the refresh contract — the incremental diff→remove→delta→
+    # merge pipeline must equal the q70-style FULL REBUILD over the new
+    # corpus state (same token law, same posting string law, min_df=2).
+    oracles["q126_incremental_index_refresh"] = f"""
+        WITH d AS (
+          SELECT doc_id,
+                 text || CASE WHEN doc_id % 7 = 0
+                              THEN ' updated fresh content' ELSE '' END AS text
+          FROM documents
+        ),
+        pos AS (
+          SELECT doc_id, u.x AS term, u.i - 1 AS pos
+          FROM (SELECT doc_id,
+                       unnest(list_transform({_TOKS}, (x, i) -> {{'x': x, 'i': i}})) AS u
+                FROM d
+                WHERE length({_NORM}) > 0)
+        ),
+        perdoc AS (
+          SELECT term, doc_id, count(*)::BIGINT AS tf,
+                 string_agg(pos::VARCHAR, '|' ORDER BY pos) AS plist
+          FROM pos GROUP BY 1, 2
+        )
+        SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS total_tf,
+               string_agg(doc_id::VARCHAR || ':' || plist, ',' ORDER BY doc_id)
+                 AS postings
+        FROM perdoc GROUP BY 1
+        HAVING count(*) >= 2
+        ORDER BY term
     """
     return oracles

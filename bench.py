@@ -145,6 +145,7 @@ EXTENDED = [
     "q122_badwords_filter",
     "q124_layout_pruning_report",
     "q125_robots_gate",
+    "q126_incremental_index_refresh",
 ]
 
 

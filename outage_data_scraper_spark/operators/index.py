@@ -314,3 +314,45 @@ def merge_inverted_index(
         ).alias("postings"),
     )
     return merged.filter(F.col("df") >= min_df)
+
+
+def remove_docs_from_index(
+    index: DataFrame,
+    removed: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tombstone COMPACTION: rewrite an index segment without the given
+    documents — the delete half of incremental maintenance (updates =
+    remove old doc ids, then merge_inverted_index the re-built delta;
+    between compactions a real system serves base ⊖ tombstones, and
+    this is the rewrite the compactor runs). Terms whose posting lists
+    empty out drop entirely.
+
+    Scale shape: posting rows explode to (term, entry) — the index's
+    own cardinality, NOT the corpus token count (an entry is one doc's
+    whole position list) — anti-join the removed-id relation (hash
+    join; removed sets are delete batches, no broadcast assumption),
+    and regroup per term with the same deterministic struct sort the
+    builder uses. tf per entry is recomputed from the position list,
+    so df/total_tf stay exact without consulting the corpus."""
+    entries = index.select(
+        "term", F.explode(F.split("postings", ",")).alias("__e")
+    ).select(
+        "term",
+        "__e",
+        F.substring_index("__e", ":", 1).cast("long").alias("__doc"),
+        F.size(F.split(F.substring_index("__e", ":", -1), "\\|")).alias("__tf"),
+    )
+    rm = removed.select(F.col(id_col).cast("long").alias("__doc")).distinct()
+    kept = entries.join(rm, "__doc", "left_anti")
+    return kept.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("__tf").cast("long").alias("total_tf"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__doc", "__e"))),
+                lambda s: s["__e"],
+            ),
+        ).alias("postings"),
+    )

@@ -2842,3 +2842,71 @@ def test_badwords_filter_punctuation_free_phrase_hits(spark):
     )
     r = badwords_filter(docs, ("very bad phrase",)).collect()[0]
     assert (r.n_hits, r.keep) == (2, False)
+
+
+def test_remove_docs_from_index_hand_case(spark):
+    """Removing a doc rewrites df/total_tf/postings exactly; a term
+    whose posting list empties out drops entirely."""
+    from outage_data_scraper_spark.operators.index import (
+        build_inverted_index,
+        remove_docs_from_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta alpha"), (1, "alpha gamma"), (2, "beta")],
+        "doc_id long, text string",
+    )
+    idx = build_inverted_index(docs)
+    rm = spark.createDataFrame([(0,)], "doc_id long")
+    got = {
+        r.term: (r.df, r.total_tf, r.postings)
+        for r in remove_docs_from_index(idx, rm).collect()
+    }
+    assert got == {
+        "alpha": (1, 1, "1:0"),
+        "beta": (1, 1, "2:0"),
+        "gamma": (1, 1, "1:1"),
+    }
+
+
+def test_incremental_refresh_equals_rebuild_randomized(spark):
+    """diff-free form of the q126 law on a random corpus: remove a
+    random doc subset, re-add them with NEW text via a delta segment,
+    merged result == full rebuild of the final state."""
+    import random
+
+    from outage_data_scraper_spark.operators.index import (
+        build_inverted_index,
+        merge_inverted_index,
+        remove_docs_from_index,
+    )
+
+    rng = random.Random(23)
+    vocab = ["ant", "bee", "cat", "dog", "elk"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 7))))
+        for i in range(25)
+    ]
+    changed = {i for i, _ in rows if rng.random() < 0.4}
+    newrows = [
+        (i, t + " fox" if i in changed else t) for i, t in rows
+    ]
+    docs_old = spark.createDataFrame(rows, "doc_id long, text string")
+    docs_new = spark.createDataFrame(newrows, "doc_id long, text string")
+    base = build_inverted_index(docs_old)
+    compacted = remove_docs_from_index(
+        base, spark.createDataFrame([(i,) for i in sorted(changed)], "doc_id long")
+    )
+    delta = build_inverted_index(
+        docs_new.filter(docs_new.doc_id.isin(sorted(changed)))
+    )
+    for min_df in (1, 2):
+        got = {
+            r.term: (r.df, r.total_tf, r.postings)
+            for r in merge_inverted_index(compacted, delta, min_df=min_df).collect()
+        }
+        ref = {
+            r.term: (r.df, r.total_tf, r.postings)
+            for r in build_inverted_index(docs_new, min_df=min_df).collect()
+        }
+        assert got == ref, min_df
