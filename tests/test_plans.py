@@ -528,3 +528,24 @@ def test_domain_cut_quotas_broadcast(spark):
             "n_items" in low or "__base" in low or "__rem" in low
         ), f"unpartitioned window over frontier columns: {line}"
     assert saw_dom_rank
+
+
+def test_index_tombstone_compaction_plan_shape(spark):
+    """q126's compaction: the removed-id filter is a hash anti-join at
+    index-entry cardinality — never a cartesian/nested-loop, and no
+    window anywhere in the rewrite."""
+    from outage_data_scraper_spark.operators.index import (
+        build_inverted_index,
+        remove_docs_from_index,
+    )
+    from outage_data_scraper_spark.plans.explain import formatted_plan
+
+    docs = spark.range(200).selectExpr(
+        "id AS doc_id", "concat('w', id % 9, ' w', id % 5) AS text"
+    )
+    rm = spark.range(50).selectExpr("id * 3 AS doc_id")
+    plan = formatted_plan(remove_docs_from_index(build_inverted_index(docs), rm))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+    assert "Window" not in plan
