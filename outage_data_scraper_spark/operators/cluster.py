@@ -196,6 +196,82 @@ def kmeans_oracle_sql(
     )
 
 
+def _semdedup_dropped_fn(tau: float):
+    """Per-cluster pair search as a grouped-pandas kernel: gram matrix
+    via BLAS for the bulk decision, with bit-exact parity to the JVM
+    expression ``round(dot/(norm_a*norm_b), 4) >= tau`` guaranteed by
+    (a) norms accumulated in the SAME left-fold dim order as
+    F.aggregate, and (b) any pair whose BLAS cosine lands within 1e-6
+    of the rounding cut being RE-DERIVED with a sequential Python fold
+    (IEEE ops are deterministic, so the fold is bit-identical to the
+    JVM's) and Java's exact BigDecimal.valueOf/HALF_UP rounding via
+    decimal (repr(float) is the same shortest-roundtrip string
+    BigDecimal.valueOf uses). BLAS error for d dims is ~d·eps ≈ 1e-14
+    per entry — five orders inside the band, so no decision outside
+    the band can differ from the JVM's. NaN/±Inf cosines follow
+    Spark's comparison order (NaN greatest)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pandas as pd
+
+    # the HALF_UP cut: round(x, 4) >= tau flips within ±~5e-5 of tau;
+    # outside [cut_lo, cut_hi] the decision is band-free
+    cut_lo = tau - 5e-5 - 1e-6
+    cut_hi = tau - 5e-5 + 1e-6
+
+    def exact_pred(a: np.ndarray, b: np.ndarray) -> bool:
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a.tolist(), b.tolist()):
+            dot += x * y
+            na += x * x
+            nb += y * y
+        c = dot / (math.sqrt(na) * math.sqrt(nb))
+        if math.isnan(c):
+            return True  # Spark: NaN compares greater than any value
+        if math.isinf(c):
+            return c > 0
+        r = float(
+            Decimal(repr(c)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+        )
+        return r >= tau
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        M = np.array(pdf["v"].tolist(), dtype=np.float64)
+        n = M.shape[0]
+        if n < 2:
+            return pd.DataFrame({"vec_id": np.array([], dtype=np.int64)})
+        # norms in F.aggregate's left-fold dim order (bit-exact)
+        acc = np.zeros(n)
+        for j in range(M.shape[1]):
+            acc = acc + M[:, j] * M[:, j]
+        norms = np.sqrt(acc)
+        dropped = np.zeros(n, dtype=bool)
+        blk = max(1, min(n, 64 * 1024 * 1024 // (8 * max(n, 1))))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            for c0 in range(0, n, blk):
+                c1 = min(c0 + blk, n)
+                cos = (M @ M[c0:c1].T) / np.outer(norms, norms[c0:c1])
+                # only a LOWER-sorted row r < c0 + c can drop column c:
+                # mask r >= c0 + c  ⟺  c <= r - c0  (tril with k = -c0)
+                tri = np.tril(np.ones((n, c1 - c0), dtype=bool), k=-c0)
+                cos[tri] = -np.inf
+                hit = (cos > cut_hi) | np.isnan(cos)
+                band = (cos >= cut_lo) & (cos <= cut_hi)
+                if band.any():
+                    for r, c in zip(*np.nonzero(band)):
+                        hit[r, c] = exact_pred(M[r], M[c0 + c])
+                dropped[c0:c1] |= hit.any(axis=0)
+        return pd.DataFrame({"vec_id": ids[dropped].astype(np.int64)})
+
+    return fn
+
+
 def semdedup(
     emb: DataFrame,
     k: int = 8,
@@ -214,9 +290,15 @@ def semdedup(
     don't; cross-cluster near-dups are the accepted approximation
     (Abbas et al. §3.1). Pass precomputed ``labels`` (vec_id, cluster)
     to reuse an existing clustering instead of re-running k-means —
-    the r7 soak's q93 wall was ~2× the necessary cost without it."""
-    from .similarity import cosine
+    the r7 soak's q93 wall was ~2× the necessary cost without it.
 
+    The intra-cluster pair search runs as ONE grouped-pandas pass per
+    cluster (gram matrix in BLAS, r8 optimization — the pair SELF-JOIN
+    with interpreted higher-order-function cosines was 8× the cost of
+    everything else in the r7 bench combined) with a bit-exactness
+    band: see _semdedup_dropped_fn. The shuffle moves each vector
+    once, keyed by cluster, instead of materializing every intra-
+    cluster PAIR through a join."""
     if labels is None:
         labels = kmeans_micro(emb, k, n_iter, id_col, vec_col).localCheckpoint(
             eager=True
@@ -225,16 +307,10 @@ def semdedup(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     ).join(labels, "vec_id")
-    a, b = v.alias("a"), v.alias("b")
     dropped = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .filter(F.round(cosine(F.col("a.v"), F.col("b.v")), 4) >= F.lit(tau))
-        .select(F.col("b.vec_id").alias("vec_id"))
-        .distinct()
+        v.select("cluster", "vec_id", "v")
+        .groupBy("cluster")
+        .applyInPandas(_semdedup_dropped_fn(tau), "vec_id long")
         .withColumn("__drop", F.lit(True))
     )
     return (
