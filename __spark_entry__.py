@@ -606,10 +606,13 @@ def q51_clean_corpus_pipeline(spark, sf_dir):
     cleaned = dedup.span_dedup(kept, span_tokens=4, df_min=5).select(
         "doc_id", F.md5("clean_text").alias("clean_sig")
     )
-    canon = cleaned.groupBy("clean_sig").agg(F.min("doc_id").alias("canonical_id"))
-    surv = cleaned.join(canon, "clean_sig").filter(
-        F.col("doc_id") == F.col("canonical_id")
-    )
+    # min-id canonical WITHOUT a join back: every output column of the
+    # surviving row (doc_id = group min, split = f(doc_id), clean_sig =
+    # group key) is derivable from the aggregation alone, so the whole
+    # upstream cleaning pipeline is computed ONCE per materialization
+    # instead of twice (r8; the groupBy+join shape re-derived span_dedup
+    # on both join inputs — guide §2.4)
+    surv = cleaned.groupBy("clean_sig").agg(F.min("doc_id").alias("doc_id"))
     return surv.select(
         "doc_id", split_column(F.col("doc_id")).alias("split"), "clean_sig"
     )
@@ -1374,10 +1377,10 @@ def q90_clean_pipeline_exactsubstr(spark, sf_dir):
     cleaned = dedup.remove_duplicated_spans(
         kept, window_tokens=8, min_count=2
     ).select("doc_id", F.md5("clean_text").alias("clean_sig"))
-    canon = cleaned.groupBy("clean_sig").agg(F.min("doc_id").alias("canonical_id"))
-    surv = cleaned.join(canon, "clean_sig").filter(
-        F.col("doc_id") == F.col("canonical_id")
-    )
+    # one-pass min-id canonical (see q51): the survivor row is fully
+    # derivable from groupBy(clean_sig).agg(min(doc_id)) — no join back,
+    # so the ExactSubstr removal pipeline runs once, not twice (r8)
+    surv = cleaned.groupBy("clean_sig").agg(F.min("doc_id").alias("doc_id"))
     return surv.select(
         "doc_id", split_column(F.col("doc_id")).alias("split"), "clean_sig"
     )

@@ -163,6 +163,34 @@ def shingle_hashes(text: Column, k: int = 5) -> Column:
     return F.transform(word_shingles(text, k), F.md5)
 
 
+def shingle_hash64(text: Column, k: int = 5) -> Column:
+    """Array of 64-bit shingle ids: an xxhash64 chain over the k token
+    hashes at each position — the identity-only twin of word_shingles
+    for operators that never need the shingle STRING (corpus-wide
+    window counts, Jaccard set intersection, contamination probes).
+    Building the space-joined window string just to hash it copies ~k
+    tokens per position; hashing hash pairs is a fixed-width 16-byte op
+    per fold step (r8 optimization, guide §2.3 narrower types /
+    project-before-work). Same (k−1)-fold zip_with shape as
+    word_shingles; the suffix tail positions (xxhash64 silently SKIPS a
+    null argument rather than returning null, so they hold junk chain
+    values, not nulls) are cut by an exact-length slice to
+    max(n_tokens − k + 1, 0) — never a null filter, and never
+    slice-to-INT_MAX (CLAUDE.md pitfall). Window equality ≡
+    token-sequence equality up to an xxhash64 chain collision (~2⁻⁶⁴
+    per pair — the same standing assumption the string form's
+    xxhash64(window) made); token boundaries are inherent, so no length
+    disambiguator column is needed."""
+    toks = F.split(normalized(text), " ")
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    out = th
+    for j in range(1, k):
+        suffix = F.slice(th, j + 1, F.size(th))
+        out = F.zip_with(out, suffix, lambda a, b: F.xxhash64(a, b))
+    n_win = F.size(toks) - F.lit(k - 1)
+    return F.slice(out, 1, F.greatest(n_win, F.lit(0)))
+
+
 # -- Gopher-style document-quality rules ----------------------------------------
 # Token-level re-statement of the Gopher/C4 web-corpus filter family
 # (Rae et al. 2021 §A1.1), frozen so the DuckDB oracle can mirror each

@@ -405,9 +405,9 @@ def ngram_jaccard_pairs(
     Results are identical to the md5-based DuckDB oracle because only
     shingle *identity* feeds the counts.
     """
-    arr = F.array_distinct(
-        F.transform(textkit.word_shingles(F.col(text_col), k_shingle), lambda s: F.xxhash64(s))
-    )
+    # identity-only shingles: the token-hash chain (shingle_hash64)
+    # replaces building each window string just to hash it (r8)
+    arr = F.array_distinct(textkit.shingle_hash64(F.col(text_col), k_shingle))
     # No size(arr)>0 pre-filter: explode already drops empty/null arrays,
     # and Catalyst would push the filter BELOW the repartition — running
     # the whole shingle expression serially on the unsplit input just to
@@ -542,8 +542,9 @@ def span_dedup(
     # tokenization HOISTED to a materialized column: expressions inside
     # higher-order-function lambdas re-evaluate PER ELEMENT (CLAUDE.md),
     # so referencing the raw split-expression from the span lambda would
-    # re-tokenize the whole document once per span
-    base = docs.select(
+    # re-tokenize the whole document once per span; _spread parallelizes
+    # the projection past a one-split parquet scan (r8)
+    base = _spread(docs).select(
         F.col(id_col),
         F.split(textkit.normalized(F.col(text_col)), " ").alias("__toks"),
     )
@@ -556,10 +557,10 @@ def span_dedup(
             "pos", "span_text"
         ),
     )
-    counts = flat.groupBy("span_text").agg(
-        F.count_distinct(F.col(id_col)).alias("df")
-    )
     if not keep_stats:
+        counts = flat.groupBy("span_text").agg(
+            F.count_distinct(F.col(id_col)).alias("df")
+        )
         boiler = counts.filter(F.col("df") >= df_min).select("span_text")
         kept = flat.join(F.broadcast(boiler), "span_text", "left_anti")
         return kept.groupBy(id_col).agg(
@@ -573,7 +574,20 @@ def span_dedup(
                 " ",
             ).alias("clean_text")
         )
-    joined = flat.join(counts, "span_text")
+    # stats path (r8): key the span-DF count and the join back on the
+    # 8-byte xxhash64 of the span (span identity only — the span STRING
+    # rides the row for reassembly but never keys an exchange), and
+    # repartition ONCE on that key so the count aggregation and the join
+    # consume the same shuffle stage — the chunk projection over the
+    # corpus runs once per materialization instead of twice (guide
+    # §2.4; the q63 span core got the same restructure). count_distinct
+    # plans its two-phase (sh, id)→(sh) aggregate on the co-partitioned
+    # input with no further exchange.
+    flat = flat.withColumn("__sh", F.xxhash64("span_text")).repartition("__sh")
+    counts = flat.groupBy("__sh").agg(
+        F.count_distinct(F.col(id_col)).alias("df")
+    )
+    joined = flat.join(counts, "__sh")
     keep = F.col("df") < df_min
     return joined.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_spans"),
@@ -780,9 +794,10 @@ def benchmark_overlap(
     explosion; only (doc_id, shingle) survivors of the probe aggregate.
     """
     def shingled(df: DataFrame) -> DataFrame:
+        # identity-only probe: hash-chain shingles, never window strings (r8)
         return df.select(
             F.col(id_col).alias("doc_id"),
-            F.explode(textkit.word_shingles(F.col(text_col), k)).alias("s"),
+            F.explode(textkit.shingle_hash64(F.col(text_col), k)).alias("s"),
         )
 
     bench = shingled(benchmark).select("s").distinct()
@@ -807,32 +822,34 @@ def _maximal_dup_spans(
     [s, e) half-open; spans within a doc are disjoint by the
     gaps-and-islands merge.
 
-    Plan shape (unchanged from the original q63 body): one narrow
-    posexplode; ONE wide shuffle keyed on (xxhash64(window),
-    length(window)) — 12 bytes per position, never the window string;
-    survivors regroup per document for the island merge.
+    Plan shape (r8): one narrow posexplode of the token-hash shingle
+    chain (shingle_hash64 — no window STRING is ever built, 8 bytes per
+    position instead of the ~8-token text); ONE wide shuffle keyed on
+    the shingle hash that BOTH the count aggregation and the join back
+    consume (explicit repartition("wh") → the two consumers share the
+    exchange via Spark's shuffle-stage reuse, so the shingle projection
+    over the corpus runs ONCE per materialization instead of twice —
+    measured 2.8 s → 1.5 s at sf0.1, guide §2.4 "two operations keyed
+    the same way can often share one exchange"); survivors regroup per
+    document for the island merge. The count side reduces to ≥min_count
+    keys (the duplicated-substring dictionary — tiny on a cleaned
+    corpus), the join is co-partitioned (no further exchange), and a
+    hot boilerplate key skews only the join partition, which AQE's
+    skew-join splitting handles — unlike a count window, which would
+    pin every occurrence of the hot key in one task with no runtime
+    remedy.
     """
-    flat = docs.select(
+    flat = _spread(docs).select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(textkit.word_shingles(F.col(text_col), w)).alias("pos", "wtext"),
-    ).select(
-        "doc_id",
-        "pos",
-        F.xxhash64("wtext").alias("wh"),
-        F.length("wtext").alias("wl"),
-    )
-    # groupBy (partial-aggregated map-side) + join back, NOT a window
-    # over the raw key: the count table after the ≥min_count filter
-    # is the duplicated-substring dictionary — small on a cleaned corpus
-    # and broadcastable at scale, where a window would materialize every
-    # occurrence of a hot boilerplate window in one task
+        F.posexplode(textkit.shingle_hash64(F.col(text_col), w)).alias("pos", "wh"),
+    ).repartition("wh")
     counts = (
-        flat.groupBy("wh", "wl")
+        flat.groupBy("wh")
         .agg(F.count("*").alias("c"))
         .filter(F.col("c") >= min_count)
-        .select("wh", "wl")
+        .select("wh")
     )
-    dup = flat.join(counts, ["wh", "wl"]).select("doc_id", "pos")
+    dup = flat.join(counts, ["wh"]).select("doc_id", "pos")
     prior = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
