@@ -599,9 +599,15 @@ def q51_clean_corpus_pipeline(spark, sf_dir):
     from outage_data_scraper_spark.operators.sampling import split_column
 
     docs = _t(spark, sf_dir, "documents")
-    toked = docs.select("doc_id", "text", textkit.tokens(F.col("text")).alias("toks"))
-    kept = toked.filter(
-        textkit.gopher_keep(F.col("text"), F.col("toks"))
+    # spread BEFORE tokenizing and pin the gopher filter above the
+    # exchange (dedup.pin_filter) — a plain filter pushes below the
+    # repartition and runs the whole rule cascade serially in the
+    # one-split scan task (r8)
+    toked = dedup._spread(docs.select("doc_id", "text")).withColumn(
+        "toks", textkit.tokens(F.col("text"))
+    )
+    kept = dedup.pin_filter(
+        toked, textkit.gopher_keep(F.col("text"), F.col("toks"))
     ).select("doc_id", "text")
     cleaned = dedup.span_dedup(kept, span_tokens=4, df_min=5).select(
         "doc_id", F.md5("clean_text").alias("clean_sig")
@@ -1370,9 +1376,13 @@ def q90_clean_pipeline_exactsubstr(spark, sf_dir):
     from outage_data_scraper_spark.operators.sampling import split_column
 
     docs = _t(spark, sf_dir, "documents")
-    toked = docs.select("doc_id", "text", textkit.tokens(F.col("text")).alias("toks"))
-    kept = toked.filter(
-        textkit.gopher_keep(F.col("text"), F.col("toks"))
+    # spread + pinned gopher filter (see q51): the rule cascade must not
+    # serialize below the repartition into the one-split scan task (r8)
+    toked = dedup._spread(docs.select("doc_id", "text")).withColumn(
+        "toks", textkit.tokens(F.col("text"))
+    )
+    kept = dedup.pin_filter(
+        toked, textkit.gopher_keep(F.col("text"), F.col("toks"))
     ).select("doc_id", "text")
     cleaned = dedup.remove_duplicated_spans(
         kept, window_tokens=8, min_count=2

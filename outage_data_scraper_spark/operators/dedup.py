@@ -88,6 +88,21 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
+def pin_filter(df: DataFrame, pred) -> DataFrame:
+    """Filter by an EXPENSIVE deterministic predicate without letting
+    Catalyst push it below a spreading repartition (the CLAUDE.md
+    one-split serialization pitfall: Filter pushes through
+    RepartitionByExpression, so `_spread(df).filter(pred)` evaluates
+    pred serially inside the unsplit scan task). The predicate is
+    evaluated inside a one-element explode and the filter references
+    the generator's output — Generate is never pushed below an
+    exchange and a filter on generator output cannot cross it. One
+    Generate row per input row is noise next to the predicate itself
+    (r8; measured 1.44 s → 0.26 s for the gopher pass at sf0.1)."""
+    out = df.select("*", F.explode(F.array(pred)).alias("__keep"))
+    return out.filter(F.col("__keep")).drop("__keep")
+
+
 # -- exact -------------------------------------------------------------------
 
 def exact_dedup_map(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
