@@ -43,7 +43,11 @@ def badwords_filter(
         if not toks:
             raise ValueError(f"empty blocklist phrase: {p!r}")
         by_len.setdefault(len(toks), []).append(" ".join(toks))
-    base = docs.select(
+    from .dedup import _spread
+
+    # _spread: the n-gram scan is O(tokens × max phrase length) per doc
+    # and would otherwise serialize into a one-split scan task (r8)
+    base = _spread(docs).select(
         F.col(id_col), textkit.tokens(textkit.normalized(F.col(text_col))).alias("__t")
     )
     hits = None

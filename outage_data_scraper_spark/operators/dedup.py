@@ -557,9 +557,12 @@ def span_dedup(
     # tokenization HOISTED to a materialized column: expressions inside
     # higher-order-function lambdas re-evaluate PER ELEMENT (CLAUDE.md),
     # so referencing the raw split-expression from the span lambda would
-    # re-tokenize the whole document once per span; _spread parallelizes
-    # the projection past a one-split parquet scan (r8)
-    base = _spread(docs).select(
+    # re-tokenize the whole document once per span. No _spread here: the
+    # 4-token chunk projection is cheap enough that the round-robin
+    # exchange costs more than the serialized map work it saves
+    # (measured 0.50 vs 0.78 s at sf0.1, r8) — callers whose input is
+    # already distributed (q51's pinned gopher filter) lose nothing
+    base = docs.select(
         F.col(id_col),
         F.split(textkit.normalized(F.col(text_col)), " ").alias("__toks"),
     )
@@ -647,12 +650,14 @@ def chunk_dedup_keep_first(
     bound, identical expression in the DuckDB oracle so the tie rule
     is engine-exact).
 
-    Plan shape: chunk (narrow posexplode) → per-chunk-text min-key agg
-    → join back on chunk text (the agg's hash partitioning is reused
-    by the join — one effective exchange of the flat relation) →
-    per-doc regroup. No collect; the winner table is
-    distinct-chunk-sized, never broadcast (it is corpus-scale, unlike
-    span_dedup's tiny ≥df_min dictionary).
+    Plan shape (r8): chunk (narrow posexplode) → ONE exchange keyed on
+    the 8-byte xxhash64 of the chunk text that both the min-key winner
+    aggregation and the join back consume (explicit repartition +
+    shuffle-stage reuse, the q49/q63 restructure — the chunk projection
+    over the corpus ran twice per materialization before) → per-doc
+    regroup. No collect; the winner table is distinct-chunk-sized,
+    never broadcast (it is corpus-scale, unlike span_dedup's tiny
+    ≥df_min dictionary).
 
     Returns (id_col, n_spans, n_dropped, clean_text); documents whose
     every chunk lost keep an empty clean_text (stats row preserved).
@@ -660,7 +665,9 @@ def chunk_dedup_keep_first(
     from ..functions import textkit
 
     # tokenization hoisted out of the HOF lambda (per-element
-    # re-evaluation trap, CLAUDE.md)
+    # re-evaluation trap, CLAUDE.md); no _spread — the 4-token chunk
+    # projection is cheaper than the round-robin exchange (r8, same
+    # trade as span_dedup)
     base = docs.select(
         F.col(id_col),
         F.split(textkit.normalized(F.col(text_col)), " ").alias("__toks"),
@@ -672,9 +679,11 @@ def chunk_dedup_keep_first(
         ),
     )
     packed = (F.col(id_col) * F.lit(1 << 24) + F.col("pos")).alias("__key")
-    keyed = flat.select(id_col, "pos", "span_text", packed)
-    winners = keyed.groupBy("span_text").agg(F.min("__key").alias("__win"))
-    joined = keyed.join(winners, "span_text")
+    keyed = flat.select(
+        id_col, "pos", "span_text", packed
+    ).withColumn("__sh", F.xxhash64("span_text")).repartition("__sh")
+    winners = keyed.groupBy("__sh").agg(F.min("__key").alias("__win"))
+    joined = keyed.join(winners, "__sh")
     keep = F.col("__key") == F.col("__win")
     return joined.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_spans"),

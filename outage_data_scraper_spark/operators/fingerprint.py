@@ -89,13 +89,18 @@ def winnow_fingerprints(
 ) -> DataFrame:
     """Per-document winnowing fingerprints as (id_col, pos, fp) rows.
 
-    One Arrow-batched mapInPandas over (id, text) — zero shuffles
-    (tests/test_plans.py asserts the exchange count); downstream
-    cross-doc matching equi-joins on fp, which is the only wide op in
-    the whole fingerprinting story and carries ~2/(w+1) of the shingle
-    count.
+    One Arrow-batched mapInPandas over (id, text) — the selection is
+    per-document, so the only exchange is `_spread`'s small-input
+    repartition (a no-op on any scan already yielding ≥cores splits,
+    i.e. at scale; without it the whole Python winnow pass serializes
+    into a one-split scan task — r8, 0.80 s → 0.46 s at sf0.1).
+    Downstream cross-doc matching equi-joins on fp, which is the only
+    wide op in the whole fingerprinting story and carries ~2/(w+1) of
+    the shingle count.
     """
-    src = docs.select(F.col(id_col), F.col(text_col).alias("__text"))
+    from .dedup import _spread
+
+    src = _spread(docs.select(F.col(id_col), F.col(text_col).alias("__text")))
     # Output id keeps the INPUT id column's type (a string doc_id must
     # not silently coerce to long at the Arrow boundary).
     id_type = docs.schema[id_col].dataType

@@ -39,7 +39,10 @@ def bigram_lm_scores(
     """Per-doc (n_bigrams, avg_nll) under the corpus-trained add-one
     bigram model: P(w2|w1) = (c(w1 w2)+1) / (c(w1)+V). Docs with fewer
     than two tokens have no bigrams and emit no row."""
+    from .dedup import _spread
+
     text = F.col(text_col)
+    docs = _spread(docs)  # parallelize the explodes past a 1-split scan (r8)
     uni_stream = docs.select(
         F.explode(F.split(textkit.normalized(text), " ")).alias("t")
     )
@@ -53,15 +56,20 @@ def bigram_lm_scores(
     uni = uni.localCheckpoint(eager=True)
     vocab = uni.count()  # one scalar to the driver — the |V| constant
 
+    # one shared bigram exchange (r8, guide §2.4): the count aggregation
+    # and the join back both consume the explicit repartition("bg"), so
+    # the bigram explode over the corpus runs once per materialization
+    # instead of twice; the vocab-sized unigram table broadcasts (it was
+    # an unhinted sort-merge join over the checkpointed RDD before)
     big = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(textkit.word_shingles(text, 2)).alias("bg"),
-    )
+    ).repartition("bg")
     bgc = big.groupBy("bg").agg(F.count("*").alias("c12"))
     scored = (
         big.join(bgc, "bg")
         .withColumn("t", F.split(F.col("bg"), " ")[0])
-        .join(uni, "t")
+        .join(F.broadcast(uni), "t")
         .select(
             "doc_id",
             F.round(
@@ -261,7 +269,9 @@ def score_bigram_lm_table(
     vocab = int(
         spark.read.parquet(os.path.join(path, "meta")).collect()[0]["vocab"]
     )
-    bgs = docs.select(
+    from .dedup import _spread
+
+    bgs = _spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(textkit.word_shingles(F.col(text_col), 2)).alias("bg"),
     )

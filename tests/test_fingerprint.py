@@ -167,13 +167,18 @@ def test_overlap_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_zero_shuffle_plan(spark):
-    """The fingerprint pass is a pure per-doc projection: no Exchange
-    in the plan (the orderBy in q85 is gate-output cosmetics only)."""
-    from outage_data_scraper_spark.plans import count_exchanges
+def test_zero_wide_shuffle_plan(spark):
+    """The fingerprint pass is a pure per-doc projection: the only
+    Exchange ever allowed is _spread's small-input RoundRobin
+    repartition (a no-op on scans already yielding >= cores splits —
+    it exists so the Python winnow pass doesn't serialize into a
+    one-split scan task); no hash/range exchange may appear."""
+    from outage_data_scraper_spark.plans import formatted_plan
 
     df = spark.createDataFrame([(1, "a b c d e f g h")], "doc_id long, text string")
-    assert count_exchanges(winnow_fingerprints(df)) == 0
+    plan = formatted_plan(winnow_fingerprints(df))
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
 
 
 def test_winnow_string_doc_id_passthrough(spark):
