@@ -63,14 +63,24 @@ def _events_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shifted −30 min so the reference's first-interval term is non-zero
     (pipeline.py:94)."""
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id")
-    return ev.select(
+    # window keyed on outage_id (the string cast) rather than user_id:
+    # the cast is injective, so the groups — and min() — are identical,
+    # and every downstream metrics window partitioned by outage_id now
+    # shares this one exchange instead of re-shuffling (r8; q25 carried
+    # two exchanges for one logical partitioning)
+    base = ev.select(
         F.col("user_id").cast("string").alias("outage_id"),
         F.date_trunc("second", F.col("ts")).alias("timestamp"),
-        (F.min(F.date_trunc("second", F.col("ts"))).over(w) - F.expr("INTERVAL 30 MINUTES")).alias(
+        F.col("value").cast("long").alias("customer_affected"),
+    )
+    w = Window.partitionBy("outage_id")
+    return base.select(
+        "outage_id",
+        "timestamp",
+        (F.min("timestamp").over(w) - F.expr("INTERVAL 30 MINUTES")).alias(
             "start_time"
         ),
-        F.col("value").cast("long").alias("customer_affected"),
+        "customer_affected",
     )
 
 
@@ -106,13 +116,21 @@ def q01_pricing_summary(spark, sf_dir):
 
 
 def q02_top_revenue_orders(spark, sf_dir):
-    """O20 equi-joins (dims broadcast by AQE) + agg + deterministic top-k."""
+    """O20 equi-joins (dims broadcast by AQE) + agg + deterministic
+    top-k. r8: revenue partial-aggregates per l_orderkey BEFORE the
+    joins (guide §2.3 aggregate-before-shuffle — the orderkey grouping
+    is join-key-aligned, so the per-order sum is unchanged and the
+    joins and final aggregate see |orders| rows instead of |lineitem|;
+    0.75 → 0.50 s at sf0.1, collect()-identical)."""
     o, li, c = (_t(spark, sf_dir, t) for t in ("orders", "lineitem", "customer"))
+    rev = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev")
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        rev.join(o, rev.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "c_mktsegment")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(F.sum("__rev"), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
     )
@@ -1168,8 +1186,13 @@ def q81_cms_heavy_hitters(spark, sf_dir):
     toks = docs.filter(F.length(F.trim("text")) > 0).select(
         F.explode(textkit.tokens(textkit.normalized(F.col("text")))).alias("term")
     )
-    table = sketch.cms_table(toks, "term")
+    # one corpus aggregation feeds everything (r8): the sketch builds
+    # from the vocab-sized exact-count table via cms_table_weighted
+    # (identical cells — the sum distributes), so the corpus explodes
+    # once and the d md5 bucket hashes run per DISTINCT term, not per
+    # token occurrence
     cand = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    table = sketch.cms_table_weighted(cand, "term", "exact_cnt")
     est = sketch.cms_estimate(table, cand.select("term"), "term")
     return (
         est.join(cand, "term")

@@ -124,6 +124,28 @@ def cms_table(
     )
 
 
+def cms_table_weighted(
+    counts: DataFrame, key_col: str, cnt_col: str, d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """cms_table over a PRE-AGGREGATED (key, count) relation: each cell
+    is Σ count of the keys hashing into it — the IDENTICAL table
+    cms_table builds from the raw stream (the sum distributes over
+    occurrences), but the d md5 bucket hashes are computed once per
+    DISTINCT key instead of once per occurrence (r8: q81 was hashing
+    every corpus token d times AND re-exploding the corpus for the
+    exact counts; with this, one corpus aggregation feeds sketch,
+    probes and exact counts). cms_table stays the streaming shape —
+    a raw stream can't be pre-aggregated across micro-batches."""
+    buckets = F.array(*[cms_bucket(F.col(key_col), i, w) for i in range(d)])
+    return (
+        counts.select(
+            F.col(cnt_col).alias("__c"), F.posexplode(buckets).alias("row", "bucket")
+        )
+        .groupBy("row", "bucket")
+        .agg(F.sum("__c").cast("long").alias("cnt"))
+    )
+
+
 def cms_estimate(
     table: DataFrame, candidates: DataFrame, key_col: str, d: int = CMS_D,
     w: int = CMS_W,
