@@ -87,18 +87,77 @@ def _dist_expr(centroid: list[int], q_col: str):
     )
 
 
+#: above this many k×dim centroid CELLS the assignment switches from the
+#: baked literal expression to the broadcast centroid-array join: the
+#: literal's plan grows O(k·dim) and Catalyst compile/analysis time with
+#: it (the r7 VERDICT scale-shape finding — at k=64·d=64 the 4096-term
+#: expression already dominated the q92 soak wall; SemDeDup at
+#: production scale needs k in the thousands)
+LITERAL_ASSIGNMENT_MAX_CELLS = 4096
+
+
+def _assign(qdf: DataFrame, cent: dict[int, list[int]], max_literal_cells: int):
+    """argmin assignment under the integer law — literal-expression
+    form below the plan-size threshold, broadcast centroid-array form
+    above it (identical values: same distances, same array_min
+    lexicographic tie rule)."""
+    k = len(cent)
+    dim = len(cent[0])
+    if k * dim <= max_literal_cells:
+        dists = F.array(
+            *[
+                F.struct(
+                    _dist_expr(cent[i], "q").alias("d"),
+                    F.lit(i).alias("cid"),
+                )
+                for i in range(k)
+            ]
+        )
+        return qdf.withColumn("best", F.array_min(dists)).select(
+            "vec_id", F.col("best.cid").alias("cluster"), "q"
+        )
+    # broadcast table path: one row holding array<struct<cid, c>>,
+    # crossJoined (1×n) so the plan stays O(1) in k·dim; per-row work is
+    # the same O(k·dim) integer arithmetic, now data instead of plan
+    spark = qdf.sparkSession
+    cents = spark.createDataFrame(
+        [([(i, [int(v) for v in cent[i]]) for i in range(k)],)],
+        "__cents array<struct<cid:int,c:array<bigint>>>",
+    )
+    dist = lambda s: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("q"), s["c"], lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("__cents"),
+            lambda s: F.struct(dist(s).alias("d"), s["cid"].alias("cid")),
+        )
+    )
+    return (
+        qdf.crossJoin(F.broadcast(cents))
+        .withColumn("best", best)
+        .select("vec_id", F.col("best.cid").alias("cluster"), "q")
+    )
+
+
 def kmeans_micro(
     emb: DataFrame,
     k: int = 8,
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_literal_cells: int = LITERAL_ASSIGNMENT_MAX_CELLS,
 ) -> DataFrame:
     """Integer-micro Lloyd k-means: (vec_id, cluster) after ``n_iter``
     assignment rounds (assignment round r uses the centroids updated
     from round r-1's assignment; the returned labels are round
     n_iter's). Deterministic and bit-identical cross-engine — see the
-    module docstring for the law."""
+    module docstring for the law. Assignment is a literal-centroid
+    projection up to ``max_literal_cells`` k×dim cells and a broadcast
+    centroid-array join past it (_assign — value-identical, parity
+    test in tests/test_cluster.py)."""
     if k < 1 or n_iter < 1:
         raise ValueError("k and n_iter must be >= 1")
     qdf = quantize_micro(emb, id_col, vec_col).localCheckpoint(eager=True)
@@ -110,18 +169,7 @@ def kmeans_micro(
     }
     assigned = None
     for _ in range(n_iter):
-        dists = F.array(
-            *[
-                F.struct(
-                    _dist_expr(cent[i], "q").alias("d"),
-                    F.lit(i).alias("cid"),
-                )
-                for i in range(k)
-            ]
-        )
-        assigned = qdf.withColumn("best", F.array_min(dists)).select(
-            "vec_id", F.col("best.cid").alias("cluster"), "q"
-        )
+        assigned = _assign(qdf, cent, max_literal_cells)
         # update: ONE map-side-combined shuffle, k×dim reduced cells
         cells = (
             assigned.select("cluster", F.posexplode("q").alias("i", "v"))

@@ -118,6 +118,27 @@ def test_semdedup_no_cartesian_and_final_assignment_is_projection(spark):
     assert count_exchanges(kmeans_micro(df, k=2, n_iter=1)) == 0
 
 
+def test_kmeans_table_assignment_parity(spark):
+    """The broadcast centroid-array assignment (max_literal_cells
+    forced to 0) must produce labels identical to the literal-
+    expression path across k/n_iter regimes (r8 — the literal plan
+    grows O(k*dim) and was the VERDICT scale-shape finding)."""
+    rng = random.Random(96)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(6)] for i in range(60)}
+    df = _emb_df(spark, vecs)
+    for k, n_iter in [(2, 1), (5, 2), (8, 3)]:
+        lit = {
+            r.vec_id: r.cluster for r in kmeans_micro(df, k=k, n_iter=n_iter).collect()
+        }
+        tab = {
+            r.vec_id: r.cluster
+            for r in kmeans_micro(
+                df, k=k, n_iter=n_iter, max_literal_cells=0
+            ).collect()
+        }
+        assert tab == lit, f"k={k} n_iter={n_iter}"
+
+
 def test_semdedup_precomputed_labels_parity(spark):
     """semdedup(labels=...) must equal the self-clustering path when
     given kmeans_micro's own output."""
