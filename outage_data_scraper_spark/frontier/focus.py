@@ -58,6 +58,11 @@ def focused_priority(
     for t in query_terms:
         h = F.array_contains(toks, t.lower()).cast("long")
         hits = h if hits is None else hits + h
+    # a NULL anchor must not null the whole contrib (r8 advisor
+    # finding: a dst whose in-links all had NULL anchors returned a
+    # NULL priority while n_inlinks still counted them) — NULL-anchor
+    # links contribute inherited-score evidence only
+    hits = F.coalesce(hits, F.lit(0))
     scored = links.join(
         page_scores.select(
             F.col("node").alias("__src"), F.col(score).alias("__sc")

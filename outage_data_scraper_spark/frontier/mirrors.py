@@ -56,22 +56,27 @@ def detect_mirrors(
     sizes = d.groupBy("host").agg(
         F.count(F.lit(1)).cast("long").alias("n_sigs")
     )
-    # d is distinct, so count(*) per sig IS the distinct-host df
-    rare = (
-        d.join(
-            d.groupBy("sig")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") <= max_df)
-            .select("sig"),
-            "sig",
-        )
-    )
-    a = rare.select(F.col("host").alias("host_a"), "sig")
-    b = rare.select(F.col("host").alias("host_b"), "sig")
-    shared = (
-        a.join(b, "sig")
+    # d is distinct, so count(*) per sig IS the distinct-host df.
+    # r8 (the q19/q86 pair-mining shape): df as a window count on ONE
+    # sig-keyed exchange, the ≤max_df cap filtered BEFORE collect_list
+    # materializes anything (lists stay bounded), pairs exploded from
+    # the bounded lists on the same partitioning — replaces the
+    # df-table join + sig self-join, which re-shuffled the signature
+    # relation twice more. Singleton sigs (df < 2) can't pair and drop
+    # with the same filter.
+    from pyspark.sql import Window
+
+    kept = d.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("sig"))
+    ).filter((F.col("__df") >= 2) & (F.col("__df") <= max_df))
+    grouped = kept.groupBy("sig").agg(F.collect_list("host").alias("ms"))
+    pairs = (
+        grouped.select(F.explode("ms").alias("host_a"), F.col("ms"))
+        .select("host_a", F.explode("ms").alias("host_b"))
         .filter(F.col("host_a") < F.col("host_b"))
-        .groupBy("host_a", "host_b")
+    )
+    shared = (
+        pairs.groupBy("host_a", "host_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )

@@ -6,8 +6,10 @@ Distinct from benchmark decontamination (dedup.benchmark_overlap counts
 k-gram OVERLAP with an eval set to measure leakage) — this is a binary
 drop-on-any-hit law over a curated phrase list, the first content
 filter a C4-style pipeline runs. Matching is on the corpus-canonical
-token stream (textkit.normalized → whitespace tokens), so "Bad-Word!"
-and "bad word" hit identically and the law is value-gatable.
+token stream (textkit.normalized → lowercased WHITESPACE tokens — no
+punctuation folding: "BAD word" and "bad word" hit identically, but
+"bad," does NOT match "bad", exactly as the module's own test
+asserts), so the law is value-gatable.
 
 Scale shape: the blocklist is a FROZEN constant folded into the plan
 (an `isin` literal per phrase length — the degenerate broadcast: at
@@ -37,6 +39,10 @@ def badwords_filter(
     occurring twice counts twice — the audit number); keep is C4's law:
     drop on ANY hit. Phrases are normalized through the same tokenizer
     as the text, and empty/whitespace phrases are rejected."""
+    if not phrases:
+        # an empty tuple used to fall through to hits=None and crash
+        # with AttributeError at plan-build time (r8 advisor finding)
+        raise ValueError("badwords_filter: phrases must be non-empty")
     by_len: dict[int, list[str]] = {}
     for p in phrases:
         toks = [t for t in p.strip().lower().split() if t]

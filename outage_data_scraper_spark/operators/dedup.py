@@ -431,6 +431,13 @@ def ngram_jaccard_pairs(
         _spread(docs)
         .select(F.col(id_col), arr.alias("arr"))
         .select(F.col(id_col), F.size("arr").alias("n"), F.explode("arr").alias("sh"))
+        # explicit-count repartition (exempt from AQE coalescing, the
+        # _bucketed_apply pattern): the byte-targeting coalescer would
+        # merge this small exchange into 1-2 partitions and serialize
+        # the CPU-heavy pair explosion that runs on top of it (r8;
+        # 1.79 -> 1.36 s at sf0.1). The window below reuses this
+        # partitioning, so the exchange count is unchanged.
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism, "sh")
     )
     w = Window.partitionBy("sh")
     kept = sh.withColumn("df", F.count(F.lit(1)).over(w)).filter(

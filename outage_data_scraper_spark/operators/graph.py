@@ -323,6 +323,12 @@ def triangle_count(
             .alias("e")
         )
         .select(F.col("e.s").alias("s"), F.col("e.t").alias("t"))
+        # pin the oriented edge list behind one exchange: the wedge
+        # build (twice) and the closing-edge probe all derive from it,
+        # and without the explicit repartition each consumer re-derives
+        # the degree joins from the scans (r8; shuffle-stage reuse
+        # computes it once)
+        .repartition("s", "t")
     )
     e1 = oriented.select(F.col("s").alias("u"), F.col("t").alias("v"))
     e2 = oriented.select(F.col("s").alias("v"), F.col("t").alias("w"))

@@ -137,6 +137,15 @@ def chunk_windows(
     already tokenizes the doc (slice(toks, start+1, len))."""
     if stride <= 0 or window_len <= 0:
         raise ValueError("window_len and stride must be positive")
+    if stride > window_len:
+        # the n_chunks law would mint a trailing chunk whose start
+        # exceeds n (silent negative length); the documented
+        # overlap = window_len - stride already assumes stride <= window
+        # (r8 advisor finding)
+        raise ValueError(
+            f"stride={stride} > window_len={window_len}: windows would "
+            "skip tokens and the trailing chunk law breaks"
+        )
     n = F.col(size_col).cast("long")
     # DIV stays on the non-negative domain (the CLAUDE.md sign law:
     # Spark DIV truncates, DuckDB // floors — they agree only ≥ 0)

@@ -451,6 +451,23 @@ def test_focused_priority_case_fold_and_empty_terms(spark):
         focused_priority(links, scores, [])
 
 
+def test_focused_priority_null_anchor_contributes_score_only(spark):
+    """A NULL anchor must not null the contrib (r8 advisor finding): a
+    dst whose in-links all carry NULL anchors gets the inherited-score
+    evidence, never a NULL priority."""
+    from outage_data_scraper_spark.frontier.focus import focused_priority
+
+    links = spark.createDataFrame(
+        [(1, 9, None), (2, 9, None)], "src long, dst long, anchor string"
+    )
+    scores = spark.createDataFrame(
+        [(1, 10000), (2, 20000)], "node long, score_micro long"
+    )
+    r = focused_priority(links, scores, ["spark"]).collect()[0]
+    assert r.n_inlinks == 2
+    assert r.priority_micro == 20000 * 8500 // 10000
+
+
 def test_domain_cut_histogram_equals_naive_rank(spark):
     """The grouped histogram cut must equal the per-domain sorted-limit
     law exactly, across regimes: skewed mega-domain, tiny domains,

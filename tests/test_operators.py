@@ -2849,6 +2849,10 @@ def test_badwords_filter_occurrence_and_phrase_law(spark):
     assert got[5] == (0, True)
     with pytest.raises(ValueError):
         badwords_filter(docs, ("ok", "   "))
+    # empty phrase TUPLE must raise cleanly, not crash with
+    # AttributeError at plan-build time (r8 advisor finding)
+    with pytest.raises(ValueError, match="non-empty"):
+        badwords_filter(docs, ())
 
 
 def test_badwords_filter_punctuation_free_phrase_hits(spark):

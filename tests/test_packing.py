@@ -133,3 +133,16 @@ def test_chunk_windows_coverage_and_overlap_law(spark):
         last = rs[-1]
         assert last.start + last.length == ns[d]
         assert all(0 < r.length <= 96 for r in rs)
+
+
+def test_chunk_windows_rejects_stride_over_window(spark):
+    """stride > window_len would mint a trailing chunk whose start
+    exceeds n (silent negative length — r8 advisor finding): must
+    raise, not emit."""
+    import pytest
+
+    from outage_data_scraper_spark.operators.packing import chunk_windows
+
+    sized = spark.createDataFrame([(1, 111)], "doc_id long, n long")
+    with pytest.raises(ValueError, match="stride"):
+        chunk_windows(sized, "n", window_len=10, stride=100)
