@@ -847,6 +847,7 @@ def _maximal_dup_spans(
     text_col: str,
     w: int,
     min_count: int,
+    spread: bool = True,
 ) -> DataFrame:
     """Maximal duplicated-substring spans per document as
     (doc_id, island, s, e, nw) rows — the shared core of the q63
@@ -872,7 +873,7 @@ def _maximal_dup_spans(
     pin every occurrence of the hot key in one task with no runtime
     remedy.
     """
-    flat = _spread(docs).select(
+    flat = (_spread(docs) if spread else docs).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(textkit.shingle_hash64(F.col(text_col), w)).alias("pos", "wh"),
     ).repartition("wh")
@@ -910,6 +911,7 @@ def duplicated_substring_spans(
     text_col: str = "text",
     window_tokens: int = 8,
     min_count: int = 2,
+    spread: bool = True,
 ) -> DataFrame:
     """ExactSubstr-style duplicated-substring measurement (Lee et al.
     2021, "Deduplicating Training Data Makes Language Models Better"
@@ -947,7 +949,9 @@ def duplicated_substring_spans(
     duplicated-substring dictionary — the same
     broadcastable-dictionary scale path as span_dedup.
     """
-    spans = _maximal_dup_spans(docs, id_col, text_col, window_tokens, min_count)
+    spans = _maximal_dup_spans(
+        docs, id_col, text_col, window_tokens, min_count, spread
+    )
     per = spans.groupBy("doc_id").agg(
         F.sum("nw").cast("long").alias("n_dup_windows"),
         F.count("*").cast("long").alias("n_dup_spans"),
@@ -974,6 +978,7 @@ def remove_duplicated_spans(
     text_col: str = "text",
     window_tokens: int = 8,
     min_count: int = 2,
+    spread: bool = True,
 ) -> DataFrame:
     """ExactSubstr span REMOVAL (Lee et al. 2021 §4.1 — the actual
     intervention their suffix-array measurement feeds): delete every
@@ -1004,7 +1009,7 @@ def remove_duplicated_spans(
     span arrays, which AQE broadcasts when the duplicated set is small.
     """
     w = window_tokens
-    spans = _maximal_dup_spans(docs, id_col, text_col, w, min_count)
+    spans = _maximal_dup_spans(docs, id_col, text_col, w, min_count, spread)
     sp_arr = spans.groupBy("doc_id").agg(
         F.sort_array(F.collect_list(F.struct("s", "e"))).alias("sps"),
         F.sum(F.col("e") - F.col("s")).cast("long").alias("cut"),
