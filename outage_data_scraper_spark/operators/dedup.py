@@ -867,11 +867,13 @@ def _maximal_dup_spans(
     the same way can often share one exchange"); survivors regroup per
     document for the island merge. The count side reduces to ≥min_count
     keys (the duplicated-substring dictionary — tiny on a cleaned
-    corpus), the join is co-partitioned (no further exchange), and a
-    hot boilerplate key skews only the join partition, which AQE's
-    skew-join splitting handles — unlike a count window, which would
-    pin every occurrence of the hot key in one task with no runtime
-    remedy.
+    corpus; at bench scale AQE broadcasts it into the join, see
+    plans/r08/q63_*_after.txt, and at dictionary sizes past broadcast
+    the join is co-partitioned on the shared exchange with no further
+    probe-side shuffle either way). A hot boilerplate key skews only a
+    join partition, which AQE's skew-join splitting handles — unlike a
+    count window, which would pin every occurrence of the hot key in
+    one task with no runtime remedy.
     """
     flat = (_spread(docs) if spread else docs).select(
         F.col(id_col).alias("doc_id"),

@@ -57,10 +57,12 @@ def bigram_lm_scores(
     vocab = uni.count()  # one scalar to the driver — the |V| constant
 
     # one shared bigram exchange (r8, guide §2.4): the count aggregation
-    # and the join back both consume the explicit repartition("bg"), so
-    # the bigram explode over the corpus runs once per materialization
-    # instead of twice; the vocab-sized unigram table broadcasts (it was
-    # an unhinted sort-merge join over the checkpointed RDD before)
+    # and the join back both consume the explicit repartition("bg")
+    # (identical exchange subtrees — AQE shuffle-stage reuse computes
+    # the explode once per materialization instead of twice); the
+    # vocab-sized unigram table carries an explicit broadcast hint so
+    # the join strategy is the contract, not a size estimate over the
+    # checkpointed RDD
     big = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(textkit.word_shingles(text, 2)).alias("bg"),
