@@ -45,6 +45,20 @@ def get_spark(
         # per-task in-flight memory (batch ≈ 2k × ~8KB ≈ 16MB)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.speculation", "false")
+        # Codegen class cache (static conf, default 100 entries): a
+        # workload with more distinct whole-stage-codegen units than the
+        # cap recompiles EVERY unit on EVERY re-execution — the 60-query
+        # suite holds ~10^3 units, and the churn cost ~35% of the
+        # headline wall (A/B/A/B alternated sessions, r8:
+        # headline floor 4.67/5.11 at the default vs 3.26/2.97 at 8192).
+        # The cap must exceed the driver's distinct-plan working set;
+        # it bounds compiled-class count, never data, so results and
+        # scale behavior are unchanged (a production driver running a
+        # query mix wants the same headroom).
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "8192"),
+        )
         # partition columns stay strings — snapshot unions must not see
         # a layout='8' directory flip to int via type inference
         .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")

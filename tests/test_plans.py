@@ -549,3 +549,12 @@ def test_index_tombstone_compaction_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftAnti" in plan
     assert "Window" not in plan
+
+
+def test_codegen_cache_sized_for_query_mix(spark):
+    """The session factory must raise the codegen class cache above the
+    workload's distinct-codegen-unit count (static conf; Spark's default
+    of 100 recompiles every stage of a 60-query suite on every
+    re-execution — r8 A/B: ~35% of the headline wall was janino churn).
+    """
+    assert int(spark.conf.get("spark.sql.codegen.cache.maxEntries")) >= 4096
